@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the per-operator registry (one entry per implemented
+  * SURVEY §2 operator); `oracleSql` carries the DuckDB-equivalent SQL for
+  * every SQL-expressible query. Definitions live in `graft.queries.*`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private lazy val all: Seq[(String, QueryDef)] =
+    graft.queries.CoreQueries.defs ++
+    graft.queries.ScalarQueries.defs
+
+  /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
+    * scan → filter → hash-agg → join → sort, the same pipeline shape as
+    * the reference's mortgage benchmark
+    * (reference `benchmarks/mortgage/mortgage.py:448-510`).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    li.filter(col("l_quantity") > lit(5))
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+      .select(col("l_orderkey"), col("o_custkey"), col("revenue"), col("n_lines"))
+      .orderBy(col("revenue").desc)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, q) if q.oracle.isDefined =>
+      // collapse the triple-quoted SQL to one line for the driver's JSON
+      n -> q.oracle.get.replaceAll("\\s+", " ").trim
+    }.toMap
+
+  /** Headline subset for Bench. */
+  def benchNames: Seq[String] =
+    all.collect { case (n, q) if q.headline => n }
 }

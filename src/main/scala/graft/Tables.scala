@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Column pruning and predicate
+  * pushdown reach the parquet scan because every query builds a declarative
+  * plan on top of these readers (verify with `.explain("formatted")` —
+  * `PushedFilters` / narrowed `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as int64 nanos (legacy conf) and convert to
+    * a µs TimestampType — the same ns→truncation the reference's int64
+    * timestamps imply (reference `legate/pandas/common/types.py:112-121`
+    * stores datetime64[ns] as int64).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

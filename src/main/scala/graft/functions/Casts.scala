@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** `astype` — dtype conversion with pandas semantics
+  * (reference `legate/pandas/frontend/frame.py:163-182`,
+  * ASTYPE task `src/transform/tasks/astype.cc:314`, string conversion
+  * `src/string/converter.cc:185`).
+  *
+  * Numeric narrowing truncates toward zero like numpy/C casts — Spark's
+  * `cast` to integral types already truncates, so `astype` is mostly
+  * Spark `cast`. String→timestamp takes a strptime-style format
+  * (`src/string/tasks/to_datetime.cc:314` supports %Y %m %d %H %M %S %y),
+  * translated to Spark's java.time pattern.
+  */
+object Casts {
+
+  def astype(c: Column, dtype: String): Column = dtype match {
+    case "int8"    => c.cast("byte")
+    case "int16"   => c.cast("short")
+    case "int32"   => c.cast("int")
+    case "int64"   => c.cast("long")
+    case "float32" => c.cast("float")
+    case "float64" => c.cast("double")
+    case "bool"    => c.cast("boolean")
+    case "string"  => c.cast("string")
+    case other     => c.cast(other)
+  }
+
+  /** strptime-style → java.time DateTimeFormatter pattern
+    * (the reference's supported directives,
+    * `src/string/tasks/to_datetime.cc`).
+    */
+  def strptimeToJava(fmt: String): String = {
+    val map = Seq(
+      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+    map.foldLeft(fmt) { case (s, (from, to)) => s.replace(from, to) }
+  }
+
+  /** to_datetime(col, format) — string → timestamp. */
+  def toDatetime(c: Column, strptimeFmt: String): Column =
+    to_timestamp(c, strptimeToJava(strptimeFmt))
+}
