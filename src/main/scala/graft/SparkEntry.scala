@@ -13,7 +13,9 @@ object SparkEntry {
 
   private lazy val all: Seq[(String, QueryDef)] =
     graft.queries.CoreQueries.defs ++
-    graft.queries.ScalarQueries.defs
+    graft.queries.ScalarQueries.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.SimilarityQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.similarity.Similarity
+
+/** Similarity search over the embeddings table (`array<float>`, 64-dim).
+  * Oracles compute the identical double-precision formula with DuckDB
+  * list lambdas, so results hash-match after Num.rnd rounding.
+  */
+object SimilarityQueries {
+
+  /** DuckDB SQL fragment: sequential double dot product of two list
+    * columns — mirrors Similarity.dot exactly.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** 6 deterministic ±1 hyperplanes over 64 dims (seed 42) — shared by
+    * the Spark plan and (as inlined literals) the oracle SQL.
+    */
+  private val planes = Similarity.planeLiterals(6, 64)
+
+  private def planeSql(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** bucket = 6-bit sign signature, identical formula both engines. */
+  private def sqlBucket(vec: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${sqlDot(vec, planeSql(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // embedding-cosine near-dup pairs (brute force at this SF; LSH path
+    // below is the scale variant).
+    "q57_cosine_pairs" -> QueryDef(
+      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), 0.4),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+             SELECT id1, id2, sim FROM (
+               SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(${sqlCos("a.embedding", "b.embedding")} * 1e6) / 1e6 AS sim
+               FROM e a, e b WHERE a.vec_id < b.vec_id)
+             WHERE sim >= 0.4""")),
+
+    // brute-force cosine top-k for a query set: the ANN baseline.
+    "q58_ann_brute" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding FROM embeddings),
+             sims AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+               round(${sqlCos("q.embedding", "c.embedding")} * 1e6) / 1e6 AS sim
+               FROM q, c WHERE c.vec_id != q.vec_id)
+             SELECT qid, vid, sim, rn FROM (
+               SELECT qid, vid, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vid ASC) AS BIGINT) AS rn
+               FROM sims) WHERE rn <= 5"""),
+      headline = true),
+
+    // LSH-bucketed ANN: hyperplane sign buckets, join only within the
+    // query's bucket — the 100 TB path (no corpus cross-join). Identical
+    // deterministic hyperplanes inlined in the oracle.
+    "q59_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.lshTopK(e.filter(col("vec_id") < 32), e, 3, planes)
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+                        FROM embeddings),
+             q AS (SELECT * FROM b WHERE vec_id < 32),
+             sims AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+               round(${sqlCos("q.embedding", "c.embedding")} * 1e6) / 1e6 AS sim
+               FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+             SELECT qid, vid, sim, rn FROM (
+               SELECT qid, vid, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vid ASC) AS BIGINT) AS rn
+               FROM sims) WHERE rn <= 3""")),
+
+    // self-norm sanity surface for the vector math (dot in double).
+    "q60_embed_norm" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        graft.functions.Num.rnd(Similarity.norm(col("embedding")), 6).as("l2"),
+        col("label")),
+      Some(s"""SELECT vec_id,
+             round(sqrt(${sqlDot("embedding", "embedding")}) * 1e6) / 1e6 AS l2,
+             label
+             FROM embeddings"""))
+  )
+}

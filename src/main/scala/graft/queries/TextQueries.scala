@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.text.{MinHash, Shingles, SimHash, TextStats}
+
+/** Text-analysis + deduplication surface over the documents table —
+  * the LLM-pipeline operators (SURVEY §7.3 step 10).
+  */
+object TextQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // token counting + quality metrics — single codegen'd scan pass.
+    "q50_text_stats" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextStats.nTokens(col("text")).as("n_tokens"),
+        TextStats.nChars(col("text")).as("n_chars"),
+        TextStats.regexTokenCount(col("text")).as("regex_tokens"),
+        Num.rnd(TextStats.avgTokenLen(col("text")), 6).as("avg_tok_len"),
+        Num.rnd(TextStats.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        Num.rnd(TextStats.stopwordRatio(col("text")), 6).as("stop_ratio")),
+      Some("""SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INTEGER) AS regex_tokens,
+             round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_tok_len,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+             round(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['a','an','the','and','or','of','in','to','is'], t))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS stop_ratio
+             FROM documents"""),
+      headline = true),
+
+    // composite quality score (same formula mirrored in SQL).
+    "q51_quality" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        Num.rnd(TextStats.qualityScore(col("text")), 6).as("quality")),
+      Some("""SELECT doc_id,
+             round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                 + (len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['a','an','the','and','or','of','in','to','is'], t))) * 1.0
+                    / len(string_split(text, ' '))) * 0.3
+                 + least((length(replace(text, ' ', '')) * 1.0
+                          / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3, 6) AS quality
+             FROM documents""")),
+
+    // heuristic language ID (CJK script + marker votes) — identical
+    // decision procedure mirrored in the oracle.
+    "q52_langid" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextStats.langId(col("text")).as("lang_guess")),
+      Some("""SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN de > en AND de > fr AND de > es THEN 'de'
+                  WHEN fr > en AND fr > de AND fr > es THEN 'fr'
+                  WHEN es > en AND es > de AND es > fr THEN 'es'
+                  ELSE 'en' END AS lang_guess
+             FROM (SELECT doc_id, text,
+                   len(list_filter(string_split(text,' '), t -> t='the')) +
+                   len(list_filter(string_split(text,' '), t -> t='and')) +
+                   len(list_filter(string_split(text,' '), t -> t='of')) AS en,
+                   len(list_filter(string_split(text,' '), t -> t='der')) +
+                   len(list_filter(string_split(text,' '), t -> t='und')) +
+                   len(list_filter(string_split(text,' '), t -> t='die')) AS de,
+                   len(list_filter(string_split(text,' '), t -> t='le')) +
+                   len(list_filter(string_split(text,' '), t -> t='et')) +
+                   len(list_filter(string_split(text,' '), t -> t='les')) AS fr,
+                   len(list_filter(string_split(text,' '), t -> t='el')) +
+                   len(list_filter(string_split(text,' '), t -> t='y')) +
+                   len(list_filter(string_split(text,' '), t -> t='los')) AS es
+                   FROM documents)""")),
+
+    // exact dedup at scale: md5 fingerprint → hash-groupBy (16-byte
+    // shuffle keys, not full documents).
+    "q53_dedup_exact" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1""")),
+
+    // exact n-gram-Jaccard near-dup pairs via inverted shingle index —
+    // the ground-truth oracle for the sketch-based methods below.
+    "q54_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+        val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val cand = inv.as("a").join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+          .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+          .withColumn("jaccard", Num.rnd(Shingles.jaccard(col("sh1"), col("sh2")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard"))
+      },
+      Some("""WITH sh AS (
+               SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+             inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+             SELECT id1, id2, j AS jaccard FROM (
+               SELECT id1, id2,
+                 round(len(list_intersect(s1.s, s2.s)) * 1.0 /
+                   (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))), 6) AS j
+               FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
+                         JOIN sh s2 ON cand.id2 = s2.doc_id)
+             WHERE j >= 0.5"""),
+      headline = true),
+
+    // MinHash+LSH near-dup (shingle→minhash→band→bucket-join) — the
+    // scale path; xxhash64 signatures are not expressible in the oracle
+    // (rows-only check), but ground truth is q54 and the MinHashSpec
+    // asserts LSH recall against it.
+    "q55_minhash_lsh" -> QueryDef(
+      (s, d) => MinHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"), Num.rnd(col("jaccard"), 6).as("jaccard")),
+      None,
+      headline = true),
+
+    // SimHash near-dup (custom Catalyst expression + hamming blocking).
+    "q56_simhash" -> QueryDef(
+      (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 12),
+      None)
+  )
+}

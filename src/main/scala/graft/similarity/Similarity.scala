@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus; one scan, no shuffle of the corpus, per-partition
+  * top-k via window over (query, sim).
+  *
+  * Scale path: LSH random-hyperplane bucketing ([[signBits]]): each
+  * vector gets a b-bit signature from fixed pseudo-random hyperplanes;
+  * candidates share a signature bucket, so the join touches only
+  * same-bucket pairs. Deterministic (seeded) hyperplanes keep results
+  * reproducible and oracle-checkable.
+  *
+  * All arithmetic in double via expression lambdas (zip_with +
+  * aggregate) — stays codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-order dot product in double (matches any engine that
+    * left-folds the element products).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d ∈ {-1,+1}
+    * derived from a hash — reproducible across engines (the oracle can
+    * inline the identical literals).
+    */
+  def planeLiterals(planes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dims)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** b-bit hyperplane signature of an embedding column. */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. `sim` is rounded to 6 digits before ranking so
+    * ordering is reproducible across engines; ties break on corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("sim", graft.functions.Num.rnd(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid"), col("sim"), col("rn").cast("long").as("rn"))
+  }
+
+  /** LSH-bucketed ANN: candidates must share the full b-bit bucket with
+    * the query (b small → high recall / bigger buckets). One shuffle on
+    * bucket ids; corpus never cross-joined.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Array[Array[Double]]): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      signBits(col("embedding"), planes).as("bucket"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+      signBits(col("embedding"), planes).as("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("sim", graft.functions.Num.rnd(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid"), col("sim"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Embedding near-dup pairs: all (id1<id2) with cosine ≥ threshold.
+    * Brute force here; at scale swap the crossJoin for the LSH-bucket
+    * join above.
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("sim", graft.functions.Num.rnd(cosine(col("v1"), col("v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's `private[sql]` Column↔Expression conversion, for
+  * registering custom Catalyst expressions (e.g. [[graft.text.SimHash64]])
+  * as user-facing Columns. Lives under `org.apache.spark.sql` solely to
+  * satisfy the access modifier — the standard extension-library pattern.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
