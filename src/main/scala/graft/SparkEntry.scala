@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++
     graft.queries.ScalarQueries.defs ++
     graft.queries.TextQueries.defs ++
-    graft.queries.SimilarityQueries.defs
+    graft.queries.SimilarityQueries.defs ++
+    graft.queries.IoQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

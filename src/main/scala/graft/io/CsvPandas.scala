@@ -1,0 +1,60 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** pandas-flavored CSV reader/writer
+  * (reference `legate/pandas/frontend/io.py:124-443` option surface;
+  * Arrow CSV task `src/io/tasks/read_csv.cc:208`).
+  *
+  * Options map ~1:1 onto Spark's CSV source, which byte-range-splits
+  * files across executors exactly like the reference's per-piece reader —
+  * at 100 TB the scan parallelism is the file-split count, no driver
+  * bottleneck. Schema is explicit (the reference peeks 3 rows with
+  * pandas; we accept a supplied schema or Spark's inferSchema pass).
+  */
+object CsvPandas {
+
+  final case class ReadOptions(
+      sep: String = ",",
+      header: Boolean = true,
+      names: Seq[String] = Seq(),          // pandas `names=` (no header row)
+      schema: Option[StructType] = None,   // pandas `dtype=`
+      usecols: Seq[String] = Seq(),        // column projection
+      naValues: Seq[String] = Seq(),       // extra NA sentinels
+      trueValues: Seq[String] = Seq(),
+      falseValues: Seq[String] = Seq(),
+      parseDatesFmt: Option[String] = None, // timestampFormat
+      quotechar: String = "\"",
+      compression: Option[String] = None,  // gzip/bz2 inferred by extension
+      nrows: Option[Int] = None)
+
+  def read(spark: SparkSession, path: String, o: ReadOptions = ReadOptions()): DataFrame = {
+    var r = spark.read
+      .option("sep", o.sep)
+      .option("header", o.header.toString)
+      .option("quote", o.quotechar)
+    o.naValues.headOption.foreach(v => r = r.option("nullValue", v))
+    o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
+    o.schema match {
+      case Some(s) => r = r.schema(s)
+      case None => r = r.option("inferSchema", "true")
+    }
+    var df = r.csv(path)
+    if (o.names.nonEmpty) df = df.toDF(o.names: _*)
+    if (o.usecols.nonEmpty) df = df.select(o.usecols.map(org.apache.spark.sql.functions.col): _*)
+    o.nrows.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** to_csv (reference `frontend/frame.py:1009-1049`); singleFile ⇔ the
+    * reference's repartition-to-1 path (`core/table.py:1134-1182`).
+    */
+  def write(df: DataFrame, path: String, header: Boolean = true,
+            sep: String = ",", singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("header", header.toString).option("sep", sep)
+      .csv(path)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Images/audio/video ride through the engine as `BinaryType` columns
+  * with a metadata struct — the Spark-side contract (schema, batch
+  * shape, partition-parallel decode) is real; the actual media DECODE is
+  * a clearly-marked deterministic STUB (`fakeDecodeFeatures`) because no
+  * media libraries ship in this environment. A production deployment
+  * swaps the stub body for an image/audio decoder without touching any
+  * plan shape.
+  *
+  * Scale: payloads never shuffle unless an operator needs them;
+  * feature extraction is mapPartitions (executor-local, batch-at-a-time,
+  * the Scala analogue of `mapInPandas`), emitting small fixed-width
+  * vectors that downstream similarity/dedup operators consume.
+  */
+object Multimodal {
+
+  /** Attach payload (binary) + metadata struct to a text corpus — the
+    * ingest shape a real pipeline would read from raw files
+    * (`spark.read.format("binaryFile")`).
+    */
+  def asBinaryTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", col(textCol).cast("binary"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).as("n_bytes"),
+        lit("text/plain").as("format")))
+
+  /** Frame sampling stub: fixed-size byte windows of the payload (a video
+    * decoder would emit real frames with the same array<binary> shape).
+    */
+  def sampleFrames(payload: Column, frameBytes: Int = 256): Column =
+    transform(
+      sequence(lit(0), ((octet_length(payload) - 1) / frameBytes).cast("int")),
+      i => substring(payload, (i * frameBytes + 1).cast("int"), lit(frameBytes)))
+
+  /** STUB DECODE: deterministic 16-bin normalized byte histogram standing
+    * in for image/audio feature extraction. Partition-local, no shuffle.
+    */
+  def fakeDecodeFeatures(binTable: DataFrame): DataFrame = {
+    val spark = binTable.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      binTable.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+        val n = math.max(bytes.length, 1).toDouble
+        (id, hist.map(_ / n))
+      }
+    }.toDF("doc_id", "features")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has NO streaming capability (SURVEY §2.10) — this module
+  * is part of the beyond-parity surface: watermarked windowed
+  * aggregation and stateful dedup via Spark Structured Streaming.
+  *
+  * For deterministic verification, the static events parquet is replayed
+  * through a file-source stream into a memory sink; the same transforms
+  * run unchanged against a live source (kafka/files) at scale, where
+  * state lives in the checkpointed state store, partitioned by group key.
+  */
+object EventStreams {
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet → stream-read as long then
+    * convert (same convention as graft.Tables.events).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Copy the single events.parquet into a directory so the file source
+    * can watch it (repo-local tmp; no testdata mutation).
+    */
+  private def stageDir(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"target/tmp/stream_events_$safe")
+    Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst))
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation (complete mode → memory sink): per
+    * (hour, event_type) counts and value sums. With a live unbounded
+    * source this would run in append mode with the watermark bounding
+    * state; the transform is identical.
+    */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val name = "graft_stream_win"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
+        col("n"), graft.functions.Num.rnd(col("sv"), 2).as("sv"))
+  }
+
+  /** Stateful streaming dedup on event_id, then per-type counts —
+    * `dropDuplicates` backed by the state store (the streaming analogue
+    * of the reference's drop_duplicates, SURVEY §2.7).
+    */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val name = "graft_stream_dedup"
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
+    * one hash shuffle on user_id; integer-µs math so the oracle matches
+    * exactly.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+}
