@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.ScalarQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
-    graft.queries.IoQueries.defs
+    graft.queries.IoQueries.defs ++
+    graft.queries.ApiQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -1,0 +1,233 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.QueryCompiler
+import graft.functions.{Casts, NullOps, PandasArith}
+import graft.operators._
+
+/** pandas-flavored DataFrame wrapper — the user-facing surface of the
+  * engine, mirroring the reference frontend
+  * (reference `legate/pandas/frontend/dataframe.py`).
+  *
+  * Design (SURVEY §7.4): a thin immutable wrapper over a Spark
+  * `DataFrame` plus an explicit list of index columns. A RangeIndex is
+  * virtual (empty `index`) and only materialized by operations that
+  * observe positions — the same laziness trick as the reference's
+  * non-materialized RangeIndex (`core/index.py:189-216`). All operations
+  * delegate to the `graft.operators.*` modules, so every GFrame program
+  * lowers to a declarative Catalyst plan: Catalyst/Tungsten/AQE do the
+  * distribution work the Legion runtime does for the reference.
+  *
+  * Ordering contracts match the reference's documented relaxations
+  * (README.md:188-196): joins/groupbys/concat do not preserve row order.
+  */
+final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
+
+  private def dataCols: Seq[String] = df.columns.filterNot(index.contains).toSeq
+
+  // ---- projection / selection (§2.2) ----
+
+  /** df[cols] — column projection (metadata-only in the reference). */
+  def apply(cols: String*): GFrame =
+    GFrame(Projections.select(df, index ++ cols), index)
+
+  /** df[mask] — boolean-mask filter (COMPACT). */
+  def apply(mask: Column): GFrame = GFrame(df.filter(mask), index)
+
+  def drop(cols: String*): GFrame = GFrame(df.drop(cols: _*), index)
+
+  def rename(mapping: (String, String)*): GFrame =
+    GFrame(Projections.rename(df, mapping.toMap),
+      index.map(c => mapping.toMap.getOrElse(c, c)))
+
+  def addPrefix(p: String): GFrame =
+    GFrame(Projections.addPrefix(df, p), index.map(p + _))
+
+  def assign(name: String, value: Column): GFrame =
+    GFrame(df.withColumn(name, value), index)
+
+  /** df.query(expr) with @refs (§2.9). */
+  def query(expr: String, refs: Map[String, Any] = Map()): GFrame =
+    GFrame(QueryCompiler.query(df, expr, refs), index)
+
+  /** where/mask (§2.2). */
+  def where(cond: Column, other: Option[Column] = None): GFrame =
+    GFrame(Projections.where(df, dataCols, cond, other), index)
+
+  def mask(cond: Column, other: Option[Column] = None): GFrame =
+    where(!cond, other)
+
+  /** loc-style scatter assignment. */
+  def setWhere(colName: String, cond: Column, value: Column): GFrame =
+    GFrame(Projections.scatter(df, colName, cond, value), index)
+
+  // ---- index (§1.2) ----
+
+  def setIndex(cols: String*): GFrame = GFrame(df, cols)
+
+  def resetIndex(): GFrame = GFrame(df, Seq())
+
+  /** loc range slice on the (first) index column. */
+  def locRange(lo: Any, hi: Any): GFrame = {
+    require(index.nonEmpty, "locRange requires an index")
+    GFrame(df.filter(col(index.head).between(lit(lo), lit(hi))), index)
+  }
+
+  /** loc scalar lookup on the index. */
+  def loc(key: Any): GFrame = {
+    require(index.nonEmpty, "loc requires an index")
+    GFrame(df.filter(col(index.head) === lit(key)), index)
+  }
+
+  // ---- joins (§2.3) ----
+
+  def merge(right: GFrame, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y"),
+            broadcastRight: Boolean = false): GFrame =
+    GFrame(Joins.merge(df, right.df, on, how, suffixes, broadcastRight))
+
+  def mergeOn(right: GFrame, leftOn: Seq[String], rightOn: Seq[String],
+              how: String = "inner"): GFrame =
+    GFrame(Joins.mergeOn(df, right.df, leftOn, rightOn, how))
+
+  /** join on index columns (`frontend/dataframe.py:1167-1196`). */
+  def join(right: GFrame, how: String = "left"): GFrame = {
+    require(index.nonEmpty && right.index.nonEmpty, "join requires indexes")
+    GFrame(Joins.mergeOn(df, right.df, index, right.index, how), index)
+  }
+
+  // ---- groupby / reductions (§2.4) ----
+
+  def groupby(keys: String*): GGroupBy = GGroupBy(this, keys)
+
+  def sum(cols: String*): GFrame = reduce("sum", cols)
+  def mean(cols: String*): GFrame = reduce("mean", cols)
+  def min(cols: String*): GFrame = reduce("min", cols)
+  def max(cols: String*): GFrame = reduce("max", cols)
+  def count(cols: String*): GFrame = reduce("count", cols)
+
+  private def reduce(fn: String, cols: Seq[String]): GFrame = {
+    val cs = if (cols.nonEmpty) cols else dataCols
+    GFrame(GroupAgg.reduceAll(df, cs.map(_ -> fn)))
+  }
+
+  // ---- sorts / limits (§2.6, §2.2) ----
+
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Seq(),
+                 naLast: Boolean = true): GFrame =
+    GFrame(Sorts.sortValues(df, by, ascending, naLast), index)
+
+  def sortIndex(): GFrame = {
+    require(index.nonEmpty, "sort_index requires an index")
+    GFrame(Sorts.sortValues(df, index), index)
+  }
+
+  /** With an index: first n by index order (TakeOrderedAndProject).
+    * Without: positional limit — preserves a preceding sort (Spark keeps
+    * Sort ordering through Limit), matching pandas "first n rows".
+    */
+  def head(n: Int): GFrame =
+    if (index.nonEmpty) GFrame(Projections.headBy(df, index.map(col), n), index)
+    else GFrame(df.limit(n), index)
+
+  def tail(n: Int): GFrame = {
+    val order = if (index.nonEmpty) index.map(col) else Seq(monotonically_increasing_id())
+    GFrame(Projections.tailBy(df, order, n), index)
+  }
+
+  def nlargest(n: Int, by: String): GFrame =
+    GFrame(Sorts.topK(df, Seq(by), Seq(false), n), index)
+
+  // ---- missing data (§2.8) ----
+
+  def isna(): GFrame =
+    GFrame(df.select((index.map(col) ++
+      dataCols.map(c => PandasArith.isna(col(c)).as(c))): _*), index)
+
+  def fillna(value: Any, cols: Seq[String] = Seq()): GFrame = {
+    val cs = if (cols.nonEmpty) cols else dataCols
+    GFrame(NullOps.fillna(df, cs.map(_ -> lit(value)).toMap), index)
+  }
+
+  def dropna(how: String = "any", subset: Seq[String] = Seq()): GFrame = {
+    val cs = if (subset.nonEmpty) subset else dataCols
+    val out = how match {
+      case "any" => NullOps.dropnaAny(df, cs)
+      case "all" => NullOps.dropnaAll(df, cs)
+    }
+    GFrame(out, index)
+  }
+
+  def dropnaThresh(thresh: Int, subset: Seq[String] = Seq()): GFrame = {
+    val cs = if (subset.nonEmpty) subset else dataCols
+    GFrame(NullOps.dropna(df, cs, thresh), index)
+  }
+
+  // ---- dedup / concat (§2.7) ----
+
+  def dropDuplicates(subset: Seq[String] = Seq()): GFrame = {
+    val cs = if (subset.nonEmpty) subset else dataCols
+    GFrame(SetOps.dropDuplicates(df, cs), index)
+  }
+
+  def dropDuplicatesKeep(subset: Seq[String], keepFirst: Boolean): GFrame = {
+    require(index.nonEmpty, "keep=first/last needs an index for determinism")
+    GFrame(SetOps.dropDuplicatesKeep(df, subset, index, keepFirst), index)
+  }
+
+  // ---- dtypes (§2.8) ----
+
+  def astype(types: (String, String)*): GFrame =
+    GFrame(types.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, Casts.astype(col(c), t))
+    }, index)
+
+  // ---- cumulative (§2.5) ----
+
+  def cumsum(valueCol: String, outCol: String): GFrame = {
+    require(index.nonEmpty, "global scan needs an index order")
+    GFrame(Cumulative.globalScan(df, index, valueCol, outCol, Cumulative.SumOp), index)
+  }
+
+  // ---- IO (§2.1) ----
+
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
+  def toCsv(path: String, singleFile: Boolean = false): Unit =
+    graft.io.CsvPandas.write(df, path, singleFile = singleFile)
+
+  def cache(): GFrame = GFrame(df.cache(), index)
+}
+
+object GFrame {
+  def readParquet(spark: SparkSession, path: String): GFrame =
+    GFrame(spark.read.parquet(path))
+
+  def readCsv(spark: SparkSession, path: String,
+              opts: graft.io.CsvPandas.ReadOptions = graft.io.CsvPandas.ReadOptions()): GFrame =
+    GFrame(graft.io.CsvPandas.read(spark, path, opts))
+
+  /** concat(axis=0) — union semantics (README.md:194-196). */
+  def concat(frames: Seq[GFrame]): GFrame =
+    GFrame(SetOps.concatRows(frames.map(_.df)), frames.head.index)
+}
+
+/** Lazy groupby handle (`frontend/groupby.py:22-86`). */
+final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
+  def agg(spec: (String, Seq[String])*): GFrame =
+    GFrame(GroupAgg.agg(frame.df, keys, spec), keys)
+  def sum(cols: String*): GFrame = one("sum", cols)
+  def mean(cols: String*): GFrame = one("mean", cols)
+  def min(cols: String*): GFrame = one("min", cols)
+  def max(cols: String*): GFrame = one("max", cols)
+  def count(cols: String*): GFrame = one("count", cols)
+  def size(): GFrame =
+    GFrame(frame.df.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("size")), keys)
+  private def one(fn: String, cols: Seq[String]): GFrame = {
+    val cs = if (cols.nonEmpty) cols else
+      frame.df.columns.filterNot(keys.contains).toSeq
+    agg(cs.map(_ -> Seq(fn)): _*)
+  }
+}

@@ -47,7 +47,9 @@ object StringOps {
   def zfill(c: Column, width: Int): Column = {
     val sign = substring(c, 1, 1)
     val rest = c.substr(lit(2), length(c))
-    when(sign.isin("-", "+"), concat(sign, lpad(rest, width - 1, "0")))
+    // pandas zfill never truncates strings already >= width (lpad would).
+    when(length(c) >= width, c)
+      .when(sign.isin("-", "+"), concat(sign, lpad(rest, width - 1, "0")))
       .otherwise(lpad(c, width, "0"))
   }
 

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vector is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k returns k nearest, ranked") {
+    val e = Tables.embeddings(spark, sf)
+    val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, 3).collect()
+    assert(topk.length === 3)
+    assert(topk.map(_.getLong(3)).toSeq === Seq(1L, 2L, 3L))
+    val sims = topk.map(_.getDouble(2))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+    // verify against a driver-side exact computation
+    val vecs = e.filter(col("vec_id") <= 200).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val best = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q, v) }.maxBy(_._2)
+    // top-1 from the engine must at least match the best among first 200
+    assert(topk.head.getDouble(2) >= best._2 - 1e-6)
+  }
+
+  test("LSH buckets vectors deterministically and finds same-bucket hits") {
+    val planes = Similarity.planeLiterals(6, 64)
+    val e = Tables.embeddings(spark, sf)
+    val b1 = e.select(Similarity.signBits(col("embedding"), planes).as("b"))
+      .agg(sum(col("b"))).head().getLong(0)
+    val b2 = e.select(Similarity.signBits(col("embedding"), planes).as("b"))
+      .agg(sum(col("b"))).head().getLong(0)
+    assert(b1 === b2) // deterministic
+    val hits = Similarity.lshTopK(e.filter(col("vec_id") < 16), e, 3, planes)
+    assert(hits.count() > 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.StringOps
+import graft.text.{MinHash, Shingles, SimHash, TextStats}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zfill pads after sign like pandas") {
+    val df = Seq("5", "-5", "+12", "1234567").toDF("s")
+    val got = df.select(StringOps.zfill(col("s"), 5)).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("00005", "-0005", "+0012", "1234567"))
+  }
+
+  test("swapcase flips ASCII case") {
+    val df = Seq("AbC xY9").toDF("s")
+    assert(df.select(StringOps.swapcase(col("s"))).head().getString(0) === "aBc Xy9")
+  }
+
+  test("pad both centers like pandas") {
+    val df = Seq("ab").toDF("s")
+    assert(df.select(StringOps.pad(col("s"), 5, "both", "*")).head().getString(0) === "*ab**")
+  }
+
+  test("shingles produce distinct n-grams") {
+    val df = Seq("a b c a b c").toDF("t")
+    val sh = df.select(Shingles.shingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c a", "c a b"))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq(("x y z w v u t s", "x y z w v u t s", "q r p o n m l k"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      SimHash.simhash(TextStats.tokens(col("a"))).as("ha"),
+      SimHash.simhash(TextStats.tokens(col("b"))).as("hb"),
+      SimHash.simhash(TextStats.tokens(col("c"))).as("hc"))
+      .head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) !== r.getLong(2))
+  }
+
+  test("minhash LSH achieves full recall on planted near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val exact = {
+      val sh = docs.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .filter(Shingles.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = MinHash.nearDuplicates(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact === lsh)
+  }
+
+  test("langId falls back to en and detects CJK") {
+    val df = Seq("the quick fox and the dog of war", "位 置 大 小").toDF("t")
+    val got = df.select(TextStats.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "zh"))
+  }
+}
