@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — a time-series operator the reference
+  * lacks entirely (SURVEY §2.3: equi-joins only) and Spark lacks as a
+  * builtin. Composed from existing operators per the preference order
+  * (SURVEY §4.3(a)): union + partitioned window, no custom physical node
+  * needed.
+  *
+  * Semantics: for every left row, attach the right row with the largest
+  * `rightTime <= leftTime` within the same `key` (DuckDB/pandas
+  * `merge_asof` backward direction, inclusive).
+  *
+  * Algorithm (scalable): tag and union both inputs, hash-shuffle once on
+  * `key`, sort within partition by (time, tag) with right rows first at
+  * equal timestamps, then `last(col, ignoreNulls)` over the running
+  * window carries the most recent right values onto each left row. One
+  * shuffle total — the same cost as a regular equi-join on `key`; no
+  * range-explosion. Skewed keys: AQE-salted like any other window-by-key.
+  */
+object AsOfJoin {
+
+  /** @param left        left (probe) table
+    * @param right       right (reference) table
+    * @param key         equi-key column present in both
+    * @param leftTime    event-time column on the left (long/timestamp)
+    * @param rightTime   event-time column on the right
+    * @param payload     right columns to carry (must not collide with left)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    // Identical schemas: key, __t, __tag, left columns (null on right
+    // rows), payload (null on left rows). __tag=0 sorts right rows first
+    // at equal timestamps → inclusive (<=) asof semantics.
+    val leftOnly = left.columns.filterNot(_ == key).toSeq
+    val l = left.select(
+      (Seq(col(key), col(leftTime).cast("long").as("__t"), lit(1).as("__tag")) ++
+        leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
+    val r = right.select(
+      (Seq(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__tag")) ++
+        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r))((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__tag") === 1).drop("__t", "__tag")
+  }
+}

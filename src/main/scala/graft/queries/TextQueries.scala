@@ -88,17 +88,24 @@ object TextQueries {
     // the ground-truth oracle for the sketch-based methods below.
     "q54_ngram_jaccard" -> QueryDef(
       (s, d) => {
+        // |A∩B| = number of shared shingles = count of inverted-index
+        // join hits per pair (shingle sets are distinct) — one
+        // aggregation, no per-pair array intersection. |A∪B| from the
+        // per-doc set sizes. Exact, and ~10x cheaper than
+        // array_intersect per candidate at sf0.1.
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        val cand = inv.as("a").join(inv.as("b"),
+        val common = inv.as("a").join(inv.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-          .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-          .withColumn("jaccard", Num.rnd(Shingles.jaccard(col("sh1"), col("sh2")), 6))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+          .withColumn("jaccard", Num.rnd(
+            col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
           .filter(col("jaccard") >= 0.5)
           .select(col("id1"), col("id2"), col("jaccard"))
       },
@@ -106,15 +113,16 @@ object TextQueries {
                SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+             sizes AS (SELECT doc_id, len(s) AS n FROM sh),
              inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
              SELECT id1, id2, j AS jaccard FROM (
                SELECT id1, id2,
-                 round(len(list_intersect(s1.s, s2.s)) * 1.0 /
-                   (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))), 6) AS j
-               FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
-                         JOIN sh s2 ON cand.id2 = s2.doc_id)
+                 round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
+               FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
+                           JOIN sizes s2 ON common.id2 = s2.doc_id)
              WHERE j >= 0.5"""),
       headline = true),
 
