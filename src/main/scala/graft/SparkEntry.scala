@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.defs ++
     graft.queries.IoQueries.defs ++
     graft.queries.ApiQueries.defs ++
-    graft.queries.ExtraQueries.defs
+    graft.queries.ExtraQueries.defs ++
+    graft.queries.ScaleQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

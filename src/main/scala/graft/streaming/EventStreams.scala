@@ -83,6 +83,44 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Per-user session state for the streaming sessionizer. */
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** STREAMING sessionization via `flatMapGroupsWithState` — custom
+    * per-key state (SURVEY §2.10 beyond-parity surface). State is one
+    * tiny record per user in the state store; each microbatch folds its
+    * (locally sorted) events into it. With the bounded replay arriving
+    * in a single microbatch the output equals the batch
+    * [[sessionize]] — which is exactly what the oracle checks.
+    */
+  def sessionizeStreaming(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = readEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, t) =>
+            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapUs
+            st = SessionState(t, st.nSessions + (if (newSession) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator.single((user, st.nSessions, st.nEvents))
+      }
+    val name = "graft_stream_sessions"
+    val q = out.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed join plans with no shuffle exchange before the join") {
+    val d = sf
+    val ot = "graft_test_orders_b"
+    val ct = "graft_test_cust_b"
+    Tables.orders(spark, d).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+    Tables.customer(spark, d).withColumnRenamed("c_custkey", "o_custkey")
+      .write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable(ct)
+    val joined = spark.table(ot).join(spark.table(ct), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must consume bucketed scans directly —
+    // no ShuffleExchange between scan and join
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = graft.operators.Sorts
+      .topK(Tables.orders(spark, sf), Seq("o_totalprice"), Seq(false), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey")
+    val sup = Tables.supplier(spark, sf).withColumnRenamed("s_suppkey", "l_suppkey")
+    val salted = Skew.saltedJoin(li, sup, "l_suppkey", 4)
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.join(sup, "l_suppkey")
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val q = Tables.part(spark, sf).filter(col("p_size") >= 20)
+      .select("p_partkey", "p_size")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(p_size,20)"), scan)
+  }
+}
