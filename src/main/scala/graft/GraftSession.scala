@@ -22,7 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -28,7 +28,7 @@ object IoQueries {
     "q62_csv_roundtrip" -> QueryDef(
       (s, d) => {
         val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"target/tmp/csv_rt_$safe"
+        val path = s"/root/repo/target/tmp/csv_rt_$safe"
         val src = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
@@ -53,7 +53,7 @@ object IoQueries {
     "q63_parquet_roundtrip" -> QueryDef(
       (s, d) => {
         val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"target/tmp/pq_rt_$safe"
+        val path = s"/root/repo/target/tmp/pq_rt_$safe"
         Tables.lineitem(s, d)
           .filter(col("l_returnflag") === "N")
           .write.mode("overwrite").parquet(path)

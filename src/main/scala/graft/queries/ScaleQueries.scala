@@ -74,7 +74,19 @@ object ScaleQueries {
         val safe = d.replaceAll("[^A-Za-z0-9]", "_")
         val ot = s"graft_orders_b$safe"
         val ct = s"graft_cust_b$safe"
+        // A fresh session has an empty in-memory catalog but the
+        // warehouse dirs may survive from a previous run — clear them or
+        // saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        def rmrf(name: String): Unit = {
+          val p = java.nio.file.Paths.get(s"/root/repo/target/spark-warehouse/$name")
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          }
+        }
         if (!s.catalog.tableExists(ot)) {
+          rmrf(ot.toLowerCase); rmrf(ct.toLowerCase)
           Tables.orders(s, d).write.mode("overwrite")
             .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
           Tables.customer(s, d)

@@ -32,7 +32,7 @@ object EventStreams {
     */
   private def stageDir(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"target/tmp/stream_events_$safe")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_events_$safe")
     Files.createDirectories(dir)
     val dst = dir.resolve("events.parquet")
     if (!Files.exists(dst))

@@ -6,6 +6,8 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-target/verify_out}
 MAIN=${3:-graft.Verify}
+# wipe stale outputs so a failed query can't masquerade as a pass
+if [ "$MAIN" = "graft.Verify" ]; then rm -rf "$OUT"; fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
