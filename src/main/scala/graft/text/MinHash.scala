@@ -44,16 +44,12 @@ object MinHash {
     */
   def candidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
                      k: Int = 64, r: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val bands = k / r
-    def minhash(i: Int): Column =
-      array_min(transform(col(shingleCol), s => xxhash64(lit(i), s)))
-    val bandCols = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until r).map(j => minhash(b * r + j)): _*).as("h"))
-    }: _*)
+    // Single-pass custom expression: k minhashes + band fold evaluated
+    // once per row (see MinHashSig scaladoc for why the composed
+    // expression form pays a large constant factor).
     val buckets = docs
-      .select(col(idCol), explode(bandCols).as("bh"))
-      .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col(idCol),
+        posexplode(MinHashSig.bandHashes(col(shingleCol), k, r)).as(Seq("band", "h")))
     // Guard: drop degenerate buckets (boilerplate explosion).
     val bounded = buckets
       .withColumn("n", count(lit(1)).over(
