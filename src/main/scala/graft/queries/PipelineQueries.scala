@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, PandasArith}
+
+/** E2E ETL pipeline (the reference's mortgage-benchmark shape), vector
+  * aggregation, NaN semantics, full datetime parsing.
+  */
+object PipelineQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // mortgage-style E2E: fact⋈fact⋈dim joins + feature engineering +
+    // multi-agg + distinct count (reference
+    // benchmarks/mortgage/mortgage.py:448-510 pipeline shape).
+    "q87_etl_pipeline" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .groupBy("c_mktsegment", "ym")
+        .agg(Num.rnd(sum(col("rev")), 2).as("revenue"),
+          Num.rnd(avg(col("l_quantity")), 6).as("avg_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT c_mktsegment,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(avg(l_quantity), 6) AS avg_qty,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+             CAST(count(*) AS BIGINT) AS n_lines
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2"""),
+      headline = true),
+
+    // element-wise vector aggregation: per-label embedding centroid
+    // (long format: label, dim, mean) — posexplode + hash agg, the
+    // scalable shape for 10^9 vectors (shuffle carries (label, dim)
+    // partial sums, never whole vectors).
+    "q88_embed_centroid" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(Num.rnd(avg(col("v").cast("double")), 6).as("mean_v"))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("mean_v")),
+      Some("""SELECT label, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_v
+             FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+                   FROM embeddings)
+             GROUP BY 1, 2""")),
+
+    // NaN vs null (SURVEY §7.4): pandas' float sentinel is NaN; isna
+    // must catch both, fillna must repair both.
+    "q89_nan_semantics" -> QueryDef(
+      (s, d) => {
+        val withNan = Tables.lineitem(s, d)
+          .withColumn("x", when(col("l_returnflag") === "A", lit(Double.NaN))
+            .when(col("l_returnflag") === "R", lit(null))
+            .otherwise(col("l_quantity")))
+        withNan.select(
+          col("l_orderkey"), col("l_linenumber"),
+          PandasArith.isna(col("x")).as("is_missing"),
+          Num.rnd(when(PandasArith.isna(col("x")), lit(-1.0)).otherwise(col("x")), 2)
+            .as("filled"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             (x IS NULL OR isnan(x)) AS is_missing,
+             round(CASE WHEN x IS NULL OR isnan(x) THEN -1.0 ELSE x END, 2) AS filled
+             FROM (SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'A' THEN 'nan'::DOUBLE
+                        WHEN l_returnflag = 'R' THEN NULL
+                        ELSE l_quantity END AS x
+                   FROM lineitem)""")),
+
+    // to_datetime with full %H %M %S directives
+    // (src/string/tasks/to_datetime.cc supported set).
+    "q90_to_datetime_time" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .select(col("event_id"),
+          graft.functions.StringOps.toDatetime(col("str"), "%Y-%m-%d %H:%M:%S").as("parsed"))
+        .select(col("event_id"),
+          hour(col("parsed")).as("h"), minute(col("parsed")).as("mi"),
+          second(col("parsed")).as("sec"), col("parsed").cast("date").as("dt")),
+      Some("""SELECT event_id,
+             CAST(hour(p) AS INTEGER) AS h,
+             CAST(minute(p) AS INTEGER) AS mi,
+             CAST(EXTRACT(second FROM p) AS INTEGER) AS sec,
+             CAST(p AS DATE) AS dt
+             FROM (SELECT event_id,
+                   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS p
+                   FROM events)"""))
+  )
+}
