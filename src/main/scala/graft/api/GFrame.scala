@@ -176,6 +176,21 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(SetOps.dropDuplicatesKeep(df, subset, index, keepFirst), index)
   }
 
+  /** value_counts: per-value frequency, most frequent first (ties by
+    * value for determinism).
+    */
+  def valueCounts(c: String): GFrame =
+    GFrame(df.groupBy(c)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(c).asc))
+
+  /** nunique per column → single row. */
+  def nunique(cols: String*): GFrame = {
+    val cs = if (cols.nonEmpty) cols else dataCols
+    GFrame(df.agg(countDistinct(col(cs.head)).as(cs.head),
+      cs.tail.map(c => countDistinct(col(c)).as(c)): _*))
+  }
+
   // ---- dtypes (§2.8) ----
 
   def astype(types: (String, String)*): GFrame =

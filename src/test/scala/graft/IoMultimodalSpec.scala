@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.CsvPandas
+import graft.multimodal.Multimodal
+
+class IoMultimodalSpec extends SparkSpec {
+
+  test("CsvPandas: names/usecols/na_values/sep round-trip") {
+    val dir = "/root/repo/target/tmp/csv_spec"
+    val src = Tables.nation(spark, sf)
+    CsvPandas.write(src, dir, header = false, sep = "|", singleFile = true)
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      sep = "|", header = false,
+      names = Seq("nk", "name", "rk"),
+      schema = Some(StructType(Seq(
+        StructField("c0", IntegerType), StructField("c1", StringType),
+        StructField("c2", IntegerType)))),
+      usecols = Seq("nk", "name")))
+    assert(got.columns.toSeq === Seq("nk", "name"))
+    assert(got.count() === src.count())
+  }
+
+  test("CsvPandas: nullValue sentinel produces nulls") {
+    val dir = "/root/repo/target/tmp/csv_spec_na"
+    import spark.implicits._
+    CsvPandas.write(Seq(("a", "NA"), ("b", "x")).toDF("k", "v"), dir, singleFile = true)
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      naValues = Seq("NA"),
+      schema = Some(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType))))))
+    assert(got.filter(col("v").isNull).count() === 1)
+  }
+
+  test("multimodal: frame sampling covers the payload exactly") {
+    val bt = Multimodal.asBinaryTable(Tables.documents(spark, sf).limit(20), "text")
+    val r = bt.select(
+      col("meta.n_bytes").as("n"),
+      size(Multimodal.sampleFrames(col("payload"), 100)).as("frames"),
+      aggregate(transform(Multimodal.sampleFrames(col("payload"), 100),
+        f => octet_length(f)), lit(0), (a, v) => a + v).as("sumBytes"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getInt(1) === (row.getInt(0) - 1) / 100 + 1)
+      assert(row.getInt(2) === row.getInt(0)) // frames partition the bytes
+    }
+  }
+
+  test("multimodal: stub decode is deterministic and normalized") {
+    val bt = Multimodal.asBinaryTable(Tables.documents(spark, sf).limit(50), "text")
+    val f1 = Multimodal.fakeDecodeFeatures(bt).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f2 = Multimodal.fakeDecodeFeatures(bt).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 === f2)
+    f1.values.foreach(v => assert(math.abs(v.sum - 1.0) < 1e-9))
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.10) // HLL default rsd is 5%; allow 2x
+  }
+
+  test("GFrame valueCounts and nunique") {
+    val vc = graft.api.GFrame(Tables.orders(spark, sf)).valueCounts("o_orderstatus")
+    val rows = vc.df.collect()
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sortBy(-_).toSeq)
+    val nu = graft.api.GFrame(Tables.orders(spark, sf)).nunique("o_orderstatus", "o_custkey")
+    assert(nu.df.head().getLong(0) === rows.length.toLong)
+  }
+}

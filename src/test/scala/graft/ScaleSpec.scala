@@ -9,6 +9,15 @@ class ScaleSpec extends SparkSpec {
     val d = sf
     val ot = "graft_test_orders_b"
     val ct = "graft_test_cust_b"
+    Seq(ot, ct).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"/root/repo/target/spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.orders(spark, d).write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
     Tables.customer(spark, d).withColumnRenamed("c_custkey", "o_custkey")
