@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{IVF, Similarity}
+
+class IVFSpec extends SparkSpec {
+
+  test("IVF ANN recall@5 vs brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 20)
+    val model = IVF.fit(e, k = 8)
+    assert(model.k === 8)
+
+    val ivf = IVF.topK(queries, e, model, k = 5, nprobe = 4)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, e, 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(s"IVF recall@5 (k=8, nprobe=4): $recall")
+    assert(recall > 0.5, s"recall $recall too low")
+    // determinism: same seed → same cells
+    val m2 = IVF.fit(e, k = 8)
+    assert(model.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+  }
+}
