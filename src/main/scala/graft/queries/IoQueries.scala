@@ -80,6 +80,25 @@ object IoQueries {
              JOIN (VALUES (0,'t_low'),(1,'t_low'),(2,'t_mid'),(3,'t_mid'),(4,'t_high'))
                AS t(k, tier) ON r_regionkey = k""")),
 
+    // §2.1 partitioned parquet sink + partition-pruned read-back: at
+    // 100 TB the sink layout IS the first index — the read of one
+    // partition value scans 1/|values| of the data (PartitionFilters
+    // in the plan, no data filter at all).
+    "q92_partitioned_write" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/pq_part_$safe"
+        Tables.lineitem(s, d)
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+        s.read.parquet(path)
+          .filter(col("l_returnflag") === "R")
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), Num.rnd(sum(col("l_extendedprice")), 2).as("price"))
+      },
+      Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice), 2) AS price
+             FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""")),
+
     // multimodal: binary payload + metadata + frame-sampling stubs;
     // metadata and frame count are oracle-checked (byte-exact).
     "q65_multimodal_meta" -> QueryDef(
