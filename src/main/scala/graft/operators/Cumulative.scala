@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Cumulative scans: cumsum / cummin / cummax / cumprod
   * (reference `legate/pandas/frontend/frame.py:396-430`).
@@ -44,67 +42,65 @@ object Cumulative {
   case object MaxOp extends ScanOp { val zero = Double.NegativeInfinity; def apply(a: Double, b: Double): Double = math.max(a, b) }
 
   /** Distributed global cumulative scan of `valueCol` in `orderCols`
-    * order, appended as `outCol` (double). skipna: null values carry the
-    * running value forward and produce null output, like pandas skipna.
+    * order, appended as `outCol` (double). skipna: null/NaN values carry
+    * the running value forward and produce null output, like pandas.
+    *
+    * Fully Tungsten-resident: after the range shuffle, phase 1 is a
+    * `groupBy(partition_id)` aggregate (one double per partition to the
+    * driver), phase 2 a partition-local running window plus a carry-in
+    * looked up from a tiny map literal — no RDD row conversion, both
+    * passes whole-stage-codegen'd.
     */
   def globalScan(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  outCol: String, op: ScanOp): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val v0 = col(valueCol).cast("double")
+    val v = when(v0.isNotNull && !isnan(v0), v0) // skipna: null AND NaN
     val sorted = df
       .repartitionByRange(n, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
       .cache()
-    val valIdx = sorted.schema.fieldIndex(valueCol)
 
-    // Phase 1: per-partition totals (one double per partition).
-    val totals: Array[(Int, Double)] = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var acc = op.zero
-        var seen = false
-        it.foreach { r =>
-          if (!r.isNullAt(valIdx)) {
-            val v = r.get(valIdx) match {
-              case d: Double => d; case f: Float => f.toDouble
-              case l: Long => l.toDouble; case i: Int => i.toDouble
-              case s: Short => s.toDouble; case b: Byte => b.toDouble
-              case x => x.toString.toDouble
-            }
-            if (!v.isNaN) { acc = op(acc, v); seen = true }
-          }
-        }
-        Iterator.single((pid, if (seen) acc else op.zero))
-      }.collect()
-
-    // Exclusive prefix of totals → carry-in per partition (driver-side,
-    // O(numPartitions) — trivially small even with 10^5 partitions).
-    val byPid = totals.sortBy(_._1).map(_._2)
-    val carries = new Array[Double](byPid.length + 1)
-    carries(0) = op.zero
-    for (i <- byPid.indices) carries(i + 1) = op(carries(i), byPid(i))
-    val bc = spark.sparkContext.broadcast(carries)
-
-    // Phase 2: partition-local scan + carry-in.
-    val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, DoubleType, nullable = true))
-    val resRdd: RDD[Row] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
-      it.map { r =>
-        val vAny = if (r.isNullAt(valIdx)) null else r.get(valIdx)
-        val out: Any = vAny match {
-          case null => null
-          case x =>
-            val v = x match {
-              case d: Double => d; case f: Float => f.toDouble
-              case l: Long => l.toDouble; case i: Int => i.toDouble
-              case s: Short => s.toDouble; case b: Byte => b.toDouble
-              case y => y.toString.toDouble
-            }
-            if (v.isNaN) null else { acc = op(acc, v); acc }
-        }
-        Row.fromSeq(r.toSeq :+ out)
-      }
+    def winAgg(c: org.apache.spark.sql.Column,
+               w: org.apache.spark.sql.expressions.WindowSpec) = op match {
+      case SumOp  => sum(c).over(w)
+      case ProdOp => graft.functions.ProdAgg.prod(c).over(w)
+      case MinOp  => min(c).over(w)
+      case MaxOp  => max(c).over(w)
     }
-    spark.createDataFrame(resRdd, outSchema)
+    def fullAgg(c: org.apache.spark.sql.Column) = op match {
+      case SumOp  => sum(c)
+      case ProdOp => graft.functions.ProdAgg.prod(c)
+      case MinOp  => min(c)
+      case MaxOp  => max(c)
+    }
+
+    // Phase 1: per-partition totals → exclusive prefix on the driver
+    // (O(numPartitions) doubles).
+    val totals = sorted.groupBy(col("__pid")).agg(fullAgg(v).as("t"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) op.zero else r.getDouble(1)))
+      .sortBy(_._1)
+    val carries = scala.collection.mutable.Map[Int, Double]()
+    var acc = op.zero
+    totals.foreach { case (pid, t) => carries(pid) = acc; acc = op(acc, t) }
+
+    // Phase 2: partition-local running aggregate + carry-in.
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = coalesce(
+      element_at(typedlit(carries.toMap), col("__pid")), lit(op.zero))
+    val local = winAgg(v, w)
+    val combined = op match {
+      case SumOp  => carry + local
+      case ProdOp => carry * local
+      case MinOp  => least(carry, local)
+      case MaxOp  => greatest(carry, local)
+    }
+    sorted
+      .withColumn(outCol, when(v.isNull, lit(null)).otherwise(combined))
+      .drop("__pid")
   }
 
   /** Per-group cumulative via a partitioned window — one hash shuffle on
