@@ -16,9 +16,11 @@ object Bench {
 
     val names = SparkEntry.benchNames
     val qmap = SparkEntry.queries
-    // Warm the JVM/codegen once so per-query numbers measure the engine,
-    // not first-call classloading.
-    try { qmap(names.head)(spark, sfDir).count() } catch { case _: Throwable => }
+    // Full warmup pass: JIT + codegen + parquet footer caches. The timed
+    // pass then measures engine throughput, not first-call compilation.
+    names.foreach { n =>
+      try qmap(n)(spark, sfDir).count() catch { case _: Throwable => }
+    }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

@@ -133,8 +133,7 @@ object IoQueries {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
              event_type, CAST(count(*) AS BIGINT) AS n,
              round(sum(value), 2) AS sv
-             FROM events GROUP BY 1, 2"""),
-      headline = true),
+             FROM events GROUP BY 1, 2""")),
 
     // streaming stateful dedup on event_id.
     "q68_stream_dedup" -> QueryDef(

@@ -51,7 +51,8 @@ object PipelineQueries {
              FROM (SELECT label, unnest(embedding) AS v,
                    generate_subscripts(embedding, 1) AS dim
                    FROM embeddings)
-             GROUP BY 1, 2""")),
+             GROUP BY 1, 2"""),
+      headline = true),
 
     // NaN vs null (SURVEY §7.4): pandas' float sentinel is NaN; isna
     // must catch both, fillna must repair both.
