@@ -176,6 +176,25 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(SetOps.dropDuplicatesKeep(df, subset, index, keepFirst), index)
   }
 
+  /** describe(): count/mean/std/min/max per given numeric column, one
+    * row per statistic (pandas layout: a `summary` column + one column
+    * per input).
+    */
+  def describe(cols: String*): GFrame = {
+    val cs = if (cols.nonEmpty) cols.toSeq else dataCols
+    val fns: Seq[(String, Column => Column)] = Seq(
+      "count" -> (c => org.apache.spark.sql.functions.count(c).cast("double")),
+      "mean" -> (c => avg(c)), "std" -> (c => stddev_samp(c)),
+      "min" -> (c => org.apache.spark.sql.functions.min(c).cast("double")),
+      "max" -> (c => org.apache.spark.sql.functions.max(c).cast("double")))
+    val rows = fns.map { case (fn, f) =>
+      df.agg(f(col(cs.head)).as(cs.head), cs.tail.map(c => f(col(c)).as(c)): _*)
+        .withColumn("summary", lit(fn))
+        .select((col("summary") +: cs.map(col)): _*)
+    }
+    GFrame(rows.reduce(_.unionByName(_)))
+  }
+
   /** value_counts: per-value frequency, most frequent first (ties by
     * value for determinism).
     */
