@@ -17,6 +17,12 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Loader that routes through per-table special handling (events' ns
+    * timestamps) — use this when iterating over all tables.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+
+/** SQL-interface surface: the same ANSI SQL text runs verbatim on both
+  * Spark and DuckDB (dialect-common subset incl. the scale/round/unscale
+  * float formula), plus chained-merge coverage.
+  */
+object SqlQueries {
+
+  /** One SQL string, two engines — the oracle IS the query. */
+  private val identicalSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(count(*) AS BIGINT) AS n,
+      |round(sum(l_quantity) * 100) / 100 AS qty,
+      |round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS rev
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "q93_sql_interface" -> QueryDef(
+      (s, d) => {
+        Tables.names.foreach(t =>
+          Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql(identicalSql)
+      },
+      Some(identicalSql)),
+
+    // chained merges with mixed join types (reference df_merge chained
+    // variants, tests/pandas/df_merge*.py).
+    "q94_chained_merge" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Joins
+        val step1 = Joins.mergeOn(Tables.lineitem(s, d), Tables.orders(s, d),
+          Seq("l_orderkey"), Seq("o_orderkey"), "inner")
+        val step2 = Joins.mergeOn(step1,
+          Tables.customer(s, d).filter(col("c_acctbal") > 3000),
+          Seq("o_custkey"), Seq("c_custkey"), "left")
+        val step3 = Joins.mergeOn(step2, Tables.nation(s, d),
+          Seq("c_nationkey"), Seq("n_nationkey"), "left")
+        step3.groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            Num.rnd(sum(col("l_extendedprice")), 2).as("price"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice), 2) AS price
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 3000) c
+               ON o_custkey = c_custkey
+             LEFT JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name"""))
+  )
+}

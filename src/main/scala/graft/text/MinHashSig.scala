@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * (MinHashSigSpec pins the equivalence.)
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -26,8 +26,16 @@ case class MinHashSignature(child: Expression, k: Int)
   private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mhsig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
@@ -55,7 +63,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * once per row regardless of how many bands explode out of it.
   */
 case class MinHashBandHashes(child: Expression, k: Int, r: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_hashes"
@@ -63,8 +71,16 @@ case class MinHashBandHashes(child: Expression, k: Int, r: Int)
   private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mhband", this, classOf[MinHashBandHashes].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,13 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * round-trip, null-safe. Runs inside the scan stage at any scale.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Generated code stays inside whole-stage codegen: one call to
+    * [[compute]] per row, no interpreted-projection fallback.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -43,10 +53,10 @@ case class SimHash64(child: Expression)
       i += 1
     }
     var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
+    var b2 = 0
+    while (b2 < 64) {
+      if (counts(b2) > 0) out |= (1L << b2)
+      b2 += 1
     }
     out
   }
