@@ -48,31 +48,29 @@ object TextQueries {
                           / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3, 6) AS quality
              FROM documents""")),
 
-    // heuristic language ID (CJK script + marker votes) — identical
-    // decision procedure mirrored in the oracle.
+    // heuristic language ID (CJK script + char-n-gram profile votes) —
+    // the oracle SQL is GENERATED from the same profile table so the
+    // decision procedures can't drift.
     "q52_langid" -> QueryDef(
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"), TextStats.langId(col("text")).as("lang_guess")),
-      Some("""SELECT doc_id,
-             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-                  WHEN de > en AND de > fr AND de > es THEN 'de'
-                  WHEN fr > en AND fr > de AND fr > es THEN 'fr'
-                  WHEN es > en AND es > de AND es > fr THEN 'es'
-                  ELSE 'en' END AS lang_guess
-             FROM (SELECT doc_id, text,
-                   len(list_filter(string_split(text,' '), t -> t='the')) +
-                   len(list_filter(string_split(text,' '), t -> t='and')) +
-                   len(list_filter(string_split(text,' '), t -> t='of')) AS en,
-                   len(list_filter(string_split(text,' '), t -> t='der')) +
-                   len(list_filter(string_split(text,' '), t -> t='und')) +
-                   len(list_filter(string_split(text,' '), t -> t='die')) AS de,
-                   len(list_filter(string_split(text,' '), t -> t='le')) +
-                   len(list_filter(string_split(text,' '), t -> t='et')) +
-                   len(list_filter(string_split(text,' '), t -> t='les')) AS fr,
-                   len(list_filter(string_split(text,' '), t -> t='el')) +
-                   len(list_filter(string_split(text,' '), t -> t='y')) +
-                   len(list_filter(string_split(text,' '), t -> t='los')) AS es
-                   FROM documents)""")),
+      Some {
+        def score(grams: Seq[String]): String = grams.map { g =>
+          val q = g.replace("'", "''")
+          s"(length(p) - length(replace(p, '$q', ''))) / ${g.length}"
+        }.mkString(" + ")
+        val s = TextStats.langProfiles.toMap
+        s"""SELECT doc_id,
+           CASE WHEN regexp_matches(p, '[一-鿿]') THEN 'zh'
+                WHEN de > en AND de > fr AND de > es THEN 'de'
+                WHEN fr > en AND fr > de AND fr > es THEN 'fr'
+                WHEN es > en AND es > de AND es > fr THEN 'es'
+                ELSE 'en' END AS lang_guess
+           FROM (SELECT doc_id, p,
+                 ${score(s("en"))} AS en, ${score(s("de"))} AS de,
+                 ${score(s("fr"))} AS fr, ${score(s("es"))} AS es
+                 FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))"""
+      }),
 
     // exact dedup at scale: md5 fingerprint → hash-groupBy (16-byte
     // shuffle keys, not full documents).

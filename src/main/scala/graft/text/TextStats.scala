@@ -52,17 +52,34 @@ object TextStats {
       stopwordRatio(c) * 0.3 +
       least(avgTokenLen(c) / 8.0, lit(1.0)) * 0.3
 
-  /** Heuristic language ID: CJK script detection, then marker-token
-    * votes; ties resolved by fixed priority. (A real pipeline swaps in a
-    * fastText-style model via the same column-in/column-out shape.)
+  /** Character n-gram profiles per language — tiny embedded stand-ins
+    * for real trigram frequency tables (a production pipeline swaps in
+    * fastText via the same column-in/column-out shape). Marker TOKENS are
+    * included as word-boundary n-grams.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", "th", "ing"),
+    "de" -> Seq(" der ", " und ", " die ", "sch", "ei"),
+    "fr" -> Seq(" le ", " et ", " les ", "ou", "eau"),
+    "es" -> Seq(" el ", " y ", " los ", "ll", "ción"))
+
+  /** Occurrences of substring `g` in `c`:
+    * (len(c) - len(replace(c, g, ''))) / len(g) — identical formula in
+    * any SQL dialect, so the oracle can mirror it verbatim.
+    */
+  def ngramCount(c: Column, g: String): Column =
+    (length(c) - length(replace(c, lit(g), lit("")))) / g.length
+
+  /** Heuristic language ID: CJK script detection, then char-n-gram
+    * profile votes over the padded text; ties resolved by fixed
+    * priority en > de > fr > es.
     */
   def langId(c: Column): Column = {
-    def score(markers: Seq[String]): Column =
-      markers.map(m => size(filter(tokens(c), t => t === m))).reduce(_ + _)
-    val en = score(Seq("the", "and", "of"))
-    val de = score(Seq("der", "und", "die"))
-    val fr = score(Seq("le", "et", "les"))
-    val es = score(Seq("el", "y", "los"))
+    val padded = concat(lit(" "), c, lit(" "))
+    val scores = langProfiles.map { case (lang, grams) =>
+      lang -> grams.map(g => ngramCount(padded, g)).reduce(_ + _)
+    }.toMap
+    val (en, de, fr, es) = (scores("en"), scores("de"), scores("fr"), scores("es"))
     when(c.rlike("[一-鿿]"), "zh")
       .when(de > en && de > fr && de > es, "de")
       .when(fr > en && fr > de && fr > es, "fr")
