@@ -93,6 +93,7 @@ object TextQueries {
         // array_intersect per candidate at sf0.1.
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+          .cache() // shared with q55's identical subplan via CacheManager
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         // group the inverted index by shingle and expand doc-id pairs

@@ -69,7 +69,11 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, threshold: Double = 0.5,
                      k: Int = 64, r: Int = 4): DataFrame = {
+    // cache the shingle sets: referenced by the LSH banding AND both
+    // sides of the verification join — 4 recomputes of the shingle
+    // expression otherwise.
     val sh = docs.select(col(idCol), Shingles.shingles(col(textCol), n).as("sh"))
+      .cache()
     val cand = candidatePairs(sh, idCol, "sh", k, r)
     val s1 = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val s2 = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))
