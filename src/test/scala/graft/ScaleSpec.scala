@@ -23,13 +23,20 @@ class ScaleSpec extends SparkSpec {
     Tables.customer(spark, d).withColumnRenamed("c_custkey", "o_custkey")
       .write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable(ct)
-    val joined = spark.table(ot).join(spark.table(ct), "o_custkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    // the join itself must consume bucketed scans directly —
-    // no ShuffleExchange between scan and join
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"unexpected shuffle in bucketed join plan:\n$plan")
-    assert(joined.count() > 0)
+    // force the shuffle-join path — with broadcast enabled the small
+    // side broadcasts and the assertion would be vacuous
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(ot).join(spark.table(ct), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both scans are bucketed on the key → SortMergeJoin with NO
+      // shuffle exchange between scan and join
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
