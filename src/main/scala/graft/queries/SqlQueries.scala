@@ -51,6 +51,36 @@ object SqlQueries {
              LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 3000) c
                ON o_custkey = c_custkey
              LEFT JOIN nation ON c_nationkey = n_nationkey
-             GROUP BY n_name"""))
+             GROUP BY n_name""")),
+
+    // exact interpolated percentiles (beyond reference): Spark
+    // percentile() and DuckDB quantile_cont share the linear
+    // interpolation definition.
+    "q95_percentiles" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Num.rnd(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          Num.rnd(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          Num.rnd(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25")),
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5) * 1e6) / 1e6 AS p50,
+             round(quantile_cont(l_quantity, 0.9) * 1e6) / 1e6 AS p90,
+             round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS price_p25
+             FROM lineitem GROUP BY l_returnflag""")),
+
+    // regex extraction + split-index string ops (corpus feature
+    // extraction staples).
+    "q96_str_extract" -> QueryDef(
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        split(col("c_name"), "#").getItem(1).as("after_hash"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3")),
+      Some("""SELECT c_custkey,
+             regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             string_split(c_name, '#')[2] AS after_hash,
+             substr(c_mktsegment, 1, 3) AS seg3
+             FROM customer"""))
   )
 }
