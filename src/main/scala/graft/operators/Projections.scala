@@ -50,10 +50,10 @@ object Projections {
     mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
 
   def addPrefix(df: DataFrame, prefix: String): DataFrame =
-    df.toDF(df.columns.map(prefix + _): _*)
+    df.toDF(df.columns.toIndexedSeq.map(prefix + _): _*)
 
   def addSuffix(df: DataFrame, suffix: String): DataFrame =
-    df.toDF(df.columns.map(_ + suffix): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_ + suffix): _*)
 
   /** head(n) over an explicit order — deterministic analogue of the
     * reference's SLICE_BY_RANGE positional head

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys — the explicit-salting fallback for
@@ -23,7 +23,7 @@ object Skew {
                  saltBuckets: Int, how: String = "inner"): DataFrame = {
     val saltCols = left.columns.filterNot(_ == key).map(col)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(saltCols: _*), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(saltBuckets)).cast("int"))
     val salts = right.sparkSession.range(saltBuckets.toLong)
       .select(col("id").cast("int").as("__salt"))
     val rSalted = right.crossJoin(broadcast(salts))

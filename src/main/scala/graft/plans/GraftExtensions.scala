@@ -25,7 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
   private val simhashBuilder: Seq[Expression] => Expression =
