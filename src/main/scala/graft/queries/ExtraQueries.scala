@@ -141,6 +141,20 @@ object ExtraQueries {
              round(sum(o_totalprice), 2) AS total
              FROM orders GROUP BY 1""")),
 
+    // custom whole-operator (LogicalPlan+Strategy+SparkPlan): group-wise
+    // top-k via bounded heaps — no per-group sort (plans/GroupTopK).
+    "q97_group_topk" -> QueryDef(
+      (s, d) => graft.plans.GroupTopK.topKPerKey(
+          Tables.orders(s, d), Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Num.rnd(col("o_totalprice"), 2).as("price")),
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+             FROM orders
+             QUALIFY row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"""),
+      headline = true),
+
     // §2.7 equals — distributed cell-wise frame equality → single bool
     // (reference EQUALS task src/reduction/tasks/equals.cc:158).
     "q80_frame_equals" -> QueryDef(
