@@ -69,6 +69,42 @@ object SqlQueries {
              round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS price_p25
              FROM lineitem GROUP BY l_returnflag""")),
 
+    // TPC-H Q6 shape: date-range + predicate scan aggregation — the
+    // filters (incl. the timestamp range) all push into the parquet scan.
+    "q98_tpch_q6" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(Num.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+               AND l_shipdate < TIMESTAMP '1995-01-01'
+               AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")),
+
+    // TPC-H Q3 shape: selective join + group + top-10 by revenue.
+    "q99_tpch_q3" -> QueryDef(
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"), col("revenue")),
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, revenue FROM (
+             SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY l_orderkey, o_orderdate)
+             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
     // regex extraction + split-index string ops (corpus feature
     // extraction staples).
     "q96_str_extract" -> QueryDef(
