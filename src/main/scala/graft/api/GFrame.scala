@@ -139,6 +139,21 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def nlargest(n: Int, by: String): GFrame =
     GFrame(Sorts.topK(df, Seq(by), Seq(false), n), index)
 
+  /** groupby(...).head-of-each-group: top-k rows per group via the
+    * custom bounded-heap operator (plans/GroupTopK — no per-group sort).
+    */
+  def topKPerKey(groupCols: Seq[String], orderCols: Seq[(String, Boolean)],
+                 k: Int): GFrame =
+    GFrame(graft.plans.GroupTopK.topKPerKey(df, groupCols, orderCols, k), index)
+
+  /** at(indexKey, column): scalar cell lookup (reference READ_AT,
+    * `src/copy/tasks/read_at.cc:29`).
+    */
+  def at(key: Any, column: String): Option[Any] = {
+    require(index.nonEmpty, "at requires an index")
+    loc(key).df.select(column).collect().headOption.map(_.get(0))
+  }
+
   // ---- missing data (§2.8) ----
 
   def isna(): GFrame =

@@ -51,10 +51,12 @@ object CsvPandas {
     * reference's repartition-to-1 path (`core/table.py:1134-1182`).
     */
   def write(df: DataFrame, path: String, header: Boolean = true,
-            sep: String = ",", singleFile: Boolean = false): Unit = {
+            sep: String = ",", singleFile: Boolean = false,
+            compression: Option[String] = None): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite")
+    var w = out.write.mode("overwrite")
       .option("header", header.toString).option("sep", sep)
-      .csv(path)
+    compression.foreach(c => w = w.option("compression", c))
+    w.csv(path)
   }
 }

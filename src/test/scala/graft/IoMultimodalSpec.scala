@@ -33,6 +33,28 @@ class IoMultimodalSpec extends SparkSpec {
     assert(got.filter(col("v").isNull).count() === 1)
   }
 
+  test("CsvPandas: gzip-compressed write reads back transparently") {
+    val dir = "/root/repo/target/tmp/csv_spec_gz"
+    val src = Tables.region(spark, sf)
+    CsvPandas.write(src, dir, singleFile = true, compression = Some("gzip"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), files.mkString(","))
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      schema = Some(StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))))
+    assert(got.count() === src.count())
+  }
+
+  test("GFrame topKPerKey and at()") {
+    val g = graft.api.GFrame(Tables.orders(spark, sf))
+    val top2 = g.topKPerKey(Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+    assert(top2.df.groupBy("o_custkey").count()
+      .agg(max("count")).head().getLong(0) <= 2)
+    val byKey = g.setIndex("o_orderkey")
+    val k = Tables.orders(spark, sf).select("o_orderkey").head().getLong(0)
+    assert(byKey.at(k, "o_custkey").isDefined)
+  }
+
   test("multimodal: frame sampling covers the payload exactly") {
     val bt = Multimodal.asBinaryTable(Tables.documents(spark, sf).limit(20), "text")
     val r = bt.select(

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test: the query-string compiler agrees with an independent
+  * Scala evaluator over randomly generated expressions — the
+  * differential-testing idea of the reference's suite
+  * (reference `tests/utils.py`), applied to the grammar itself.
+  * Uses raw ScalaCheck generators with fixed seeds (deterministic).
+  */
+class QueryCompilerPropSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expr.QueryCompiler
+
+  private val rows: Seq[(Long, Double)] =
+    Seq((1L, 2.0), (-3L, 0.5), (7L, -1.5), (0L, 4.0), (12L, 8.25), (-9L, -3.5))
+  private lazy val df = rows.toDF("k", "v").cache()
+
+  // arithmetic term over k/v/constants → (expr string, scala evaluator)
+  private type Term = (String, (Long, Double) => Double)
+  private val leaf: Gen[Term] = Gen.oneOf[Term](
+    ("k", (k: Long, _: Double) => k.toDouble),
+    ("v", (_: Long, v: Double) => v),
+    ("2", (_: Long, _: Double) => 2.0),
+    ("3.5", (_: Long, _: Double) => 3.5))
+
+  private def binop(l: Term, r: Term, op: String): Term = {
+    val f: (Double, Double) => Double = op match {
+      case "+" => _ + _
+      case "-" => _ - _
+      case "*" => _ * _
+    }
+    (s"(${l._1} $op ${r._1})", (k, v) => f(l._2(k, v), r._2(k, v)))
+  }
+
+  private def term(depth: Int): Gen[Term] =
+    if (depth == 0) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      3 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- term(depth - 1); r <- term(depth - 1)
+      } yield binop(l, r, op)))
+
+  private val cmpGen: Gen[(String, (Long, Double) => Boolean)] = for {
+    l <- term(2); r <- term(2)
+    op <- Gen.oneOf("<", "<=", ">", ">=", "==", "!=")
+  } yield {
+    val f: (Double, Double) => Boolean = op match {
+      case "<" => _ < _; case "<=" => _ <= _
+      case ">" => _ > _; case ">=" => _ >= _
+      case "==" => _ == _; case "!=" => _ != _
+    }
+    (s"${l._1} $op ${r._1}", (k: Long, v: Double) => f(l._2(k, v), r._2(k, v)))
+  }
+
+  private val boolGen: Gen[(String, (Long, Double) => Boolean)] = for {
+    a <- cmpGen; b <- cmpGen
+    op <- Gen.oneOf("&", "|")
+  } yield (s"(${a._1}) $op (${b._1})",
+    (k: Long, v: Double) =>
+      if (op == "&") a._2(k, v) && b._2(k, v) else a._2(k, v) || b._2(k, v))
+
+  test("compiled filters match an independent evaluator (120 random exprs)") {
+    // evaluate many expressions in ONE Spark job: build all compiled
+    // predicates as columns, collect counts in a single pass
+    val cases = (1 to 120).flatMap { i =>
+      boolGen.apply(Gen.Parameters.default, Seed(42L + i))
+    }
+    assert(cases.size >= 100)
+    val sumCols = cases.zipWithIndex.map { case ((exprStr, _), i) =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          QueryCompiler.compile(exprStr), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val got = df.agg(sumCols.head, sumCols.tail: _*).head()
+    cases.zipWithIndex.foreach { case ((exprStr, eval), i) =>
+      val want = rows.count { case (k, v) => eval(k, v) }.toLong
+      assert(got.getLong(i) === want, s"expr: $exprStr")
+    }
+  }
+}
