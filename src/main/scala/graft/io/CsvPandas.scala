@@ -30,21 +30,67 @@ object CsvPandas {
       nrows: Option[Int] = None)
 
   def read(spark: SparkSession, path: String, o: ReadOptions = ReadOptions()): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // pandas true_values/false_values have no Spark CSV equivalent:
+    // read boolean target columns as string, map after
+    // (reference frontend/io.py true/false_values handling).
+    val boolCols: Seq[String] = o.schema match {
+      case Some(s) if o.trueValues.nonEmpty || o.falseValues.nonEmpty =>
+        s.fields.filter(_.dataType == org.apache.spark.sql.types.BooleanType)
+          .map(_.name).toSeq
+      case _ => Seq()
+    }
+    val readSchema = o.schema.map { s =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        if (boolCols.contains(f.name))
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
+    }
     var r = spark.read
       .option("sep", o.sep)
       .option("header", o.header.toString)
       .option("quote", o.quotechar)
     o.naValues.headOption.foreach(v => r = r.option("nullValue", v))
     o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
-    o.schema match {
+    readSchema match {
       case Some(s) => r = r.schema(s)
       case None => r = r.option("inferSchema", "true")
     }
     var df = r.csv(path)
+    boolCols.foreach { c =>
+      df = df.withColumn(c,
+        when(col(c).isin(o.trueValues: _*), true)
+          .when(col(c).isin(o.falseValues: _*), false)
+          .otherwise(col(c).try_cast("boolean")))
+    }
     if (o.names.nonEmpty) df = df.toDF(o.names: _*)
-    if (o.usecols.nonEmpty) df = df.select(o.usecols.map(org.apache.spark.sql.functions.col): _*)
+    if (o.usecols.nonEmpty) df = df.select(o.usecols.map(col): _*)
     o.nrows.foreach(n => df = df.limit(n))
     df
+  }
+
+  /** pandas skiprows/skipfooter (reference `frontend/io.py` options —
+    * no Spark CSV equivalent): read as text, drop the first/last lines
+    * by global position, then parse with from_csv. skipfooter requires
+    * a count (one extra pass), like pandas' python-engine fallback.
+    */
+  def readSkipRows(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   skiprows: Int, skipfooter: Int = 0,
+                   sep: String = ","): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.text(path)
+      .select(col("value"), monotonically_increasing_id().as("__mid"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__mid")
+    // global line numbers: text source preserves in-file order via the
+    // monotonic id ordering within a single file
+    val numbered = lines.withColumn("__ln", row_number().over(w) - 1)
+    val total = numbered.count()
+    numbered
+      .filter(col("__ln") >= skiprows && col("__ln") < total - skipfooter)
+      .select(from_csv(col("value"),
+        schema, Map("sep" -> sep)).as("r"))
+      .select(col("r.*"))
   }
 
   /** to_csv (reference `frontend/frame.py:1009-1049`); singleFile ⇔ the

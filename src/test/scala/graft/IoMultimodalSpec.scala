@@ -55,6 +55,32 @@ class IoMultimodalSpec extends SparkSpec {
     assert(byKey.at(k, "o_custkey").isDefined)
   }
 
+  test("CsvPandas: true_values/false_values map to booleans") {
+    val dir = "/root/repo/target/tmp/csv_spec_bool"
+    import spark.implicits._
+    CsvPandas.write(Seq(("a", "yes"), ("b", "no"), ("c", "true")).toDF("k", "flag"),
+      dir, singleFile = true)
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      trueValues = Seq("yes"), falseValues = Seq("no"),
+      schema = Some(StructType(Seq(
+        StructField("k", StringType), StructField("flag", BooleanType))))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("a" -> true, "b" -> false, "c" -> true))
+  }
+
+  test("CsvPandas: skiprows and skipfooter drop leading/trailing lines") {
+    val dir = "/root/repo/target/tmp/csv_spec_skip"
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("f.csv"),
+      "garbage header line\nmore garbage\n1,a\n2,b\n3,c\ntrailer\n")
+    val got = CsvPandas.readSkipRows(spark, s"$dir/f.csv",
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+      skiprows = 2, skipfooter = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("multimodal: frame sampling covers the payload exactly") {
     val bt = Multimodal.asBinaryTable(Tables.documents(spark, sf).limit(20), "text")
     val r = bt.select(
