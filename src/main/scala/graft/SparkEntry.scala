@@ -29,16 +29,18 @@ object SparkEntry {
     * (reference `benchmarks/mortgage/mortgage.py:448-510`).
     */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.api.GFrame
     val d = "/root/testdata/sf0.001"
-    val li = Tables.lineitem(spark, d)
-    val o = Tables.orders(spark, d)
-    li.filter(col("l_quantity") > lit(5))
-      .groupBy("l_orderkey")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_lines"))
-      .join(o, col("l_orderkey") === col("o_orderkey"), "inner")
-      .select(col("l_orderkey"), col("o_custkey"), col("revenue"), col("n_lines"))
-      .orderBy(col("revenue").desc)
+    GFrame(Tables.lineitem(spark, d))
+      .query("l_quantity > @qmin", Map("qmin" -> 5))
+      .assign("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupby("l_orderkey")
+      .agg("revenue" -> Seq("sum"), "l_quantity" -> Seq("count"))
+      .mergeOn(GFrame(Tables.orders(spark, d)),
+        Seq("l_orderkey"), Seq("o_orderkey"), "inner")
+      .sortValues(Seq("revenue_sum"), Seq(false))
+      .apply("l_orderkey", "o_custkey", "revenue_sum", "l_quantity_count")
+      .df
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

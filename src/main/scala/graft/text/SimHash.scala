@@ -71,10 +71,15 @@ object SimHash {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs by simhash: block on 8-bit chunks (pigeonhole — any
-    * pair with hamming ≤ 7 shares at least one of 8 exact chunks), then
-    * verify hamming ≤ `maxHamming` on candidates. Same
-    * shuffle-on-small-keys shape as MinHash LSH.
+  /** Near-dup pairs by simhash: block on 8-bit chunks, then verify
+    * hamming ≤ `maxHamming` on candidates. Same shuffle-on-small-keys
+    * shape as MinHash LSH.
+    *
+    * Recall guarantee (pigeonhole): any pair with hamming ≤ 7 shares at
+    * least one of the 8 exact chunks and is ALWAYS found. Pairs in
+    * (7, maxHamming] are found only when a chunk happens to match —
+    * sketch-typical partial recall; raise chunk count for a stronger
+    * guarantee at the cost of bigger candidate buckets.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 7): DataFrame = {
