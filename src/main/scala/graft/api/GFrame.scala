@@ -74,6 +74,15 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.filter(col(index.head).between(lit(lo), lit(hi))), index)
   }
 
+  /** drop(labels, axis=0) — drop rows by index label
+    * (reference `frontend/frame.py:613-708`: negated equality mask +
+    * compact).
+    */
+  def dropRows(labels: Any*): GFrame = {
+    require(index.nonEmpty, "dropRows requires an index")
+    GFrame(df.filter(!col(index.head).isin(labels: _*)), index)
+  }
+
   /** loc scalar lookup on the index. */
   def loc(key: Any): GFrame = {
     require(index.nonEmpty, "loc requires an index")

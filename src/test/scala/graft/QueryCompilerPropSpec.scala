@@ -62,6 +62,36 @@ class QueryCompilerPropSpec extends SparkSpec {
     (k: Long, v: Double) =>
       if (op == "&") a._2(k, v) && b._2(k, v) else a._2(k, v) || b._2(k, v))
 
+  test("pymod/floordiv satisfy the Python division identity (property)") {
+    import graft.functions.PandasArith
+    // a == b * (a // b) + (a % b), and a % b has the divisor's sign
+    val pairs = for {
+      i <- 1 to 100
+      seed = Seed(1000L + i)
+      a <- Gen.chooseNum(-1000L, 1000L).apply(Gen.Parameters.default, seed)
+      b <- Gen.chooseNum(-50L, 50L).suchThat(_ != 0L)
+        .apply(Gen.Parameters.default, seed.next)
+    } yield (a, b)
+    assert(pairs.size >= 80)
+    val pdf = pairs.toDF("a", "b")
+    val r = pdf.select(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"),
+      PandasArith.floordiv(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).cast("long").as("fd"),
+      PandasArith.pymod(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).cast("long").as("pm"))
+      .collect()
+    r.foreach { row =>
+      val (a, b, fd, pm) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(a === b * fd + pm, s"identity failed for a=$a b=$b")
+      assert(pm == 0 || (pm > 0) == (b > 0), s"sign rule failed for a=$a b=$b pm=$pm")
+      assert(math.abs(pm) < math.abs(b))
+    }
+  }
+
   test("compiled filters match an independent evaluator (120 random exprs)") {
     // evaluate many expressions in ONE Spark job: build all compiled
     // predicates as columns, collect counts in a single pass
