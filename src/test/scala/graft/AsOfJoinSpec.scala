@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    ("a", 10L, "e1"), ("a", 25L, "e2"), ("a", 5L, "e0"),
+    ("b", 30L, "e3")).toDF("key", "t", "ev")
+  private lazy val right = Seq(
+    ("a", 10L, 100L), ("a", 20L, 200L),
+    ("b", 40L, 400L)).toDF("key", "rt", "payload")
+
+  test("backward asof picks most recent right row at or before left time") {
+    val got = AsOfJoin.backward(left, right, "key", "t", "rt", Seq("payload"))
+      .select("ev", "payload").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got("e1") === 100L) // t=10 matches rt=10 (inclusive)
+    assert(got("e2") === 200L) // t=25 → latest rt<=25 is 20
+    assert(got("e0") === null) // t=5 precedes all right rows → null
+    assert(got("e3") === null) // b: t=30 precedes rt=40 → null
+  }
+
+  test("ties at identical timestamps take the right row (inclusive <=)") {
+    val l = Seq(("k", 10L, "x")).toDF("key", "t", "ev")
+    val r = Seq(("k", 10L, 1L)).toDF("key", "rt", "p")
+    val got = AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p")).head()
+    assert(got.getAs[Long]("p") === 1L)
+  }
+}
