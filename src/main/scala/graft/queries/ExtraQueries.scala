@@ -141,6 +141,44 @@ object ExtraQueries {
              round(sum(o_totalprice), 2) AS total
              FROM orders GROUP BY 1""")),
 
+    // §2.3 suffix handling on overlapping columns through the gate:
+    // same-customer order pairs via self-merge (suffixes _x/_y,
+    // core/merge.py:536-558).
+    "q100_merge_suffixes" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Joins
+        val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+        Joins.merge(o, o, Seq("o_custkey"), "inner")
+          .filter(col("o_orderkey_x") < col("o_orderkey_y"))
+          .select(col("o_custkey"), col("o_orderkey_x"), col("o_orderkey_y"),
+            Num.rnd(col("o_totalprice_x") + col("o_totalprice_y"), 2).as("combined"))
+      },
+      Some("""SELECT a.o_custkey, a.o_orderkey AS o_orderkey_x,
+             b.o_orderkey AS o_orderkey_y,
+             round(a.o_totalprice + b.o_totalprice, 2) AS combined
+             FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+             WHERE a.o_orderkey < b.o_orderkey""")),
+
+    // semi-structured extraction: JSON props column (get_json_object +
+    // typed from_json) — a training-data staple.
+    "q101_json_extract" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))
+        ev.select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+            from_json(col("props"), schema).getField("k").as("k_typed"))
+          .groupBy("k_path")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("k_path") === col("k_typed"), 1L).otherwise(0L)).as("n_agree"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_agree
+             FROM events GROUP BY 1""")),
+
     // custom whole-operator (LogicalPlan+Strategy+SparkPlan): group-wise
     // top-k via bounded heaps — no per-group sort (plans/GroupTopK).
     "q97_group_topk" -> QueryDef(
