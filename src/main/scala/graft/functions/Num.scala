@@ -23,4 +23,35 @@ object Num {
     val p = math.pow(10, digits)
     round(c * lit(p)) / lit(p)
   }
+
+  /** Money columns in the corpus are exactly 2-decimal doubles; casting
+    * to DECIMAL(12,2) is unambiguous (the true value is representable,
+    * the double is within 1e-13 of it).
+    */
+  def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** ORDER-INDEPENDENT money sum: decimal addition is associative, so
+    * Spark's partial-aggregate tree and DuckDB's sequential fold produce
+    * the IDENTICAL exact value at any scale — unlike double sums, whose
+    * last-ulp drift flips `rnd` at round boundaries once group sums grow
+    * (bit us at sf0.1: a 6.8e7 revenue group rounded .85 vs .84).
+    */
+  def sumMoney(c: Column): Column =
+    round(sum(dec2(c)), 2).cast("double")
+
+  /** Exact-sum-based mean of a money/2-dec column (skips nulls like
+    * pandas): exact decimal sum → identical double → identical divide.
+    */
+  def avgMoney(c: Column, digits: Int = 6): Column =
+    rnd(sum(dec2(c)).cast("double") / count(c), digits)
+
+  /** Revenue-style product sum: price × (1 − discount) in exact decimal
+    * (scale 2 × scale 2 → scale 4), summed exactly.
+    */
+  def sumRevenue(price: Column, discount: Column): Column =
+    round(sum(dec2(price) * (lit(1) - dec2(discount))), 2).cast("double")
+
+  /** price × discount variant (TPC-H Q6). */
+  def sumPriceTimes(price: Column, factor: Column): Column =
+    round(sum(dec2(price) * dec2(factor)), 2).cast("double")
 }

@@ -18,16 +18,14 @@ object CoreQueries {
     // §2.4 groupby sum/count — the reference's flagship agg shape
     // (frontend/groupby.py:88-140).
     "q01_agg_sum" -> QueryDef(
-      (s, d) => GroupAgg.agg(Tables.lineitem(s, d),
-          Seq("l_returnflag", "l_linestatus"),
-          Seq("l_quantity" -> Seq("sum"), "l_extendedprice" -> Seq("sum"), "l_orderkey" -> Seq("size")))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          Num.rnd(col("l_quantity_sum"), 2).as("sum_qty"),
-          Num.rnd(col("l_extendedprice_sum"), 2).as("sum_price"),
-          col("l_orderkey_size").as("n")),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"),
+          Num.sumMoney(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
              CAST(count(*) AS BIGINT) AS n
              FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       headline = true),
@@ -74,14 +72,12 @@ object CoreQueries {
 
     // §2.4 global reduction → one row (frontend/frame.py:340-594).
     "q05_global_reduce" -> QueryDef(
-      (s, d) => GroupAgg.reduceAll(Tables.lineitem(s, d),
-          Seq("l_quantity" -> "sum", "l_extendedprice" -> "max",
-              "l_orderkey" -> "count", "l_discount" -> "min"))
-        .select(Num.rnd(col("l_quantity_sum"), 2).as("sum_qty"),
-          Num.rnd(col("l_extendedprice_max"), 2).as("max_price"),
-          col("l_orderkey_count").as("n"),
-          col("l_discount_min").as("min_disc")),
-      Some("""SELECT round(sum(l_quantity), 2) AS sum_qty,
+      (s, d) => Tables.lineitem(s, d)
+        .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"),
+          Num.rnd(max(col("l_extendedprice")), 2).as("max_price"),
+          count(col("l_orderkey")).as("n"),
+          min(col("l_discount")).as("min_disc")),
+      Some("""SELECT CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
              round(max(l_extendedprice), 2) AS max_price,
              CAST(count(l_orderkey) AS BIGINT) AS n,
              min(l_discount) AS min_disc
@@ -162,10 +158,10 @@ object CoreQueries {
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n")),
       Some("""SELECT r_name, n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
              CAST(count(*) AS BIGINT) AS n
              FROM lineitem
              JOIN supplier ON l_suppkey = s_suppkey

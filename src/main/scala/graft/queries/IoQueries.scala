@@ -42,11 +42,11 @@ object IoQueries {
             header = true, schema = Some(schema),
             parseDatesFmt = Some("yyyy-MM-dd HH:mm:ss")))
           .groupBy(year(col("o_orderdate")).as("y"))
-          .agg(count(lit(1)).as("n"), Num.rnd(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total"))
       },
       Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(o_totalprice), 2) AS total
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
              FROM orders GROUP BY 1""")),
 
     // §2.1 to_parquet → read_parquet round-trip.
@@ -59,10 +59,10 @@ object IoQueries {
           .write.mode("overwrite").parquet(path)
         s.read.parquet(path)
           .groupBy("l_linestatus")
-          .agg(count(lit(1)).as("n"), Num.rnd(sum(col("l_quantity")), 2).as("qty"))
+          .agg(count(lit(1)).as("n"), Num.sumMoney(col("l_quantity")).as("qty"))
       },
       Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
-             round(sum(l_quantity), 2) AS qty
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
              FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1""")),
 
     // §2.1 in-memory import (createDataFrame ⇔ DataFrame(dict)) joined
@@ -93,10 +93,10 @@ object IoQueries {
         s.read.parquet(path)
           .filter(col("l_returnflag") === "R")
           .groupBy("l_linestatus")
-          .agg(count(lit(1)).as("n"), Num.rnd(sum(col("l_extendedprice")), 2).as("price"))
+          .agg(count(lit(1)).as("n"), Num.sumMoney(col("l_extendedprice")).as("price"))
       },
       Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
-             round(sum(l_extendedprice), 2) AS price
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price
              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""")),
 
     // multimodal: binary payload + metadata + frame-sampling stubs;

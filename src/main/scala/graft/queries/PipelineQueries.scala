@@ -18,17 +18,16 @@ object PipelineQueries {
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
         .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .groupBy("c_mktsegment", "ym")
-        .agg(Num.rnd(sum(col("rev")), 2).as("revenue"),
-          Num.rnd(avg(col("l_quantity")), 6).as("avg_qty"),
+        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          Num.avgMoney(col("l_quantity")).as("avg_qty"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines")),
       Some("""SELECT c_mktsegment,
              CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-             round(avg(l_quantity), 6) AS avg_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) * 1e6) / 1e6 AS avg_qty,
              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
              CAST(count(*) AS BIGINT) AS n_lines
              FROM lineitem

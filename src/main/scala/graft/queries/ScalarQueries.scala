@@ -169,11 +169,15 @@ object ScalarQueries {
         Casts.astype(col("l_quantity"), "int32").as("qty_int"),
         Casts.astype(col("l_orderkey"), "string").as("ok_str"),
         Casts.astype(col("l_linenumber"), "float64").as("ln_dbl"),
+        Casts.astype(Casts.astype(col("l_orderkey"), "string"), "float64").as("parsed_back"),
+        Casts.astype(col("l_linenumber"), "int16").as("ln_i16"),
         col("l_shipdate").cast("date").as("ship_date")),
       Some("""SELECT l_orderkey, l_linenumber,
              CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
              CAST(l_orderkey AS VARCHAR) AS ok_str,
              CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+             CAST(CAST(l_orderkey AS VARCHAR) AS DOUBLE) AS parsed_back,
+             CAST(l_linenumber AS SMALLINT) AS ln_i16,
              CAST(l_shipdate AS DATE) AS ship_date
              FROM lineitem""")),
 
@@ -254,14 +258,21 @@ object ScalarQueries {
     // (Cumulative.globalScan), NOT a single-partition window.
     "q46_cumsum_global" -> QueryDef(
       (s, d) => Cumulative.globalScan(
-          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            // integer cents: quantity sums stay EXACT in the double
+            // accumulator (integers < 2^53), so the running values are
+            // order-independent at any scale
+            round(col("l_quantity") * 100).cast("long").as("qc"),
+            col("l_quantity")),
           // (l_orderkey, l_linenumber) is NOT unique in the corpus; add the
           // value itself as tiebreak so the scan's multiset is deterministic.
-          Seq("l_orderkey", "l_linenumber", "l_quantity"), "l_quantity", "cum", Cumulative.SumOp)
-        .select(col("l_orderkey"), col("l_linenumber"), Num.rnd(col("cum"), 2).as("cum_qty")),
+          Seq("l_orderkey", "l_linenumber", "l_quantity"), "qc", "cum", Cumulative.SumOp)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Num.rnd(col("cum") / 100.0, 2).as("cum_qty")),
       Some("""SELECT l_orderkey, l_linenumber,
-             round(sum(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber, l_quantity
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
+             round((sum(CAST(round(l_quantity * 100) AS BIGINT))
+               OVER (ORDER BY l_orderkey, l_linenumber, l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0, 2) AS cum_qty
              FROM lineitem"""),
       headline = true),
 

@@ -96,10 +96,10 @@ object ScaleQueries {
         }
         s.table(ot).join(s.table(ct), "o_custkey")
           .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"), Num.rnd(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total"))
       },
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-             round(sum(o_totalprice), 2) AS total
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
              FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY 1""")),
 

@@ -14,8 +14,8 @@ object SqlQueries {
   private val identicalSql: String =
     """SELECT l_returnflag, l_linestatus,
       |CAST(count(*) AS BIGINT) AS n,
-      |round(sum(l_quantity) * 100) / 100 AS qty,
-      |round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS rev
+      |CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty,
+      |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS rev
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -76,9 +76,9 @@ object SqlQueries {
         .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
-        .agg(Num.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(Num.sumPriceTimes(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
              CAST(count(*) AS BIGINT) AS n
              FROM lineitem
              WHERE l_shipdate >= TIMESTAMP '1994-01-01'
