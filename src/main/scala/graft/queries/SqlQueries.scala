@@ -42,10 +42,10 @@ object SqlQueries {
           Seq("c_nationkey"), Seq("n_nationkey"), "left")
         step3.groupBy("n_name")
           .agg(count(lit(1)).as("n"),
-            Num.rnd(sum(col("l_extendedprice")), 2).as("price"))
+            Num.sumMoney(col("l_extendedprice")).as("price"))
       },
       Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n,
-             round(sum(l_extendedprice), 2) AS price
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price
              FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
              LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 3000) c
