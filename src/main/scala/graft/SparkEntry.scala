@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.ExtraQueries.defs ++
     graft.queries.ScaleQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.SqlQueries.defs
+    graft.queries.SqlQueries.defs ++
+    graft.queries.CurationQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
