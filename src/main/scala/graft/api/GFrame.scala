@@ -127,9 +127,16 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
                  naLast: Boolean = true): GFrame =
     GFrame(Sorts.sortValues(df, by, ascending, naLast), index)
 
-  def sortIndex(): GFrame = {
+  /** sort_index(level, sort_remaining): with a level, that index column
+    * leads; remaining levels follow when sortRemaining (pandas default).
+    */
+  def sortIndex(level: Int = -1, sortRemaining: Boolean = true): GFrame = {
     require(index.nonEmpty, "sort_index requires an index")
-    GFrame(Sorts.sortValues(df, index), index)
+    val by =
+      if (level < 0) index
+      else if (sortRemaining) index(level) +: index.patch(level, Nil, 1)
+      else Seq(index(level))
+    GFrame(Sorts.sortValues(df, by), index)
   }
 
   /** With an index: first n by index order (TakeOrderedAndProject).

@@ -50,4 +50,27 @@ object AsOfJoin {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
     carried.filter(col("__tag") === 1).drop("__t", "__tag")
   }
+
+  /** Forward direction: smallest `rightTime >= leftTime` within the key
+    * (pandas merge_asof direction="forward"). Same single-shuffle shape,
+    * window reversed: right rows sort first at equal timestamps via the
+    * tag so the match is inclusive.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(_ == key).toSeq
+    val l = left.select(
+      (Seq(col(key), col(leftTime).cast("long").as("__t"), lit(0).as("__tag")) ++
+        leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
+    val r = right.select(
+      (Seq(col(key), col(rightTime).cast("long").as("__t"), lit(1).as("__tag")) ++
+        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r))((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__tag") === 0).drop("__t", "__tag")
+  }
 }

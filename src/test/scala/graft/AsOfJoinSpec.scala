@@ -23,6 +23,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("e3") === null) // b: t=30 precedes rt=40 → null
   }
 
+  test("forward asof picks earliest right row at or after left time") {
+    val got = AsOfJoin.forward(left, right, "key", "t", "rt", Seq("payload"))
+      .select("ev", "payload").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got("e0") === 100L) // t=5 → earliest rt>=5 is 10
+    assert(got("e1") === 100L) // inclusive at t=10
+    assert(got("e2") === null) // t=25 has no later right row for 'a'... rt=20<25 → null
+    assert(got("e3") === 400L) // b: t=30 → rt=40
+  }
+
   test("ties at identical timestamps take the right row (inclusive <=)") {
     val l = Seq(("k", 10L, "x")).toDF("key", "t", "ev")
     val r = Seq(("k", 10L, 1L)).toDF("key", "rt", "p")
