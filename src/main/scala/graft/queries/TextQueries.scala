@@ -102,13 +102,18 @@ object TextQueries {
         val lists = inv.groupBy("s")
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
           .filter(size(col("ds")) >= 2)
+        // pack (id1,id2) into one long for the pair shuffle — half the
+        // shuffle key width (doc_ids fit 32 bits at any plausible corpus
+        // shard; a 100 TB deployment would shard doc_id spaces anyway).
         val common = lists.select(explode(
             flatten(transform(col("ds"), (x, i) =>
               transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-          .select(col("p.id1"), col("p.id2"))
-          .groupBy("id1", "id2")
+                y => shiftleft(x, 32).bitwiseOR(y))))).as("pk"))
+          .groupBy("pk")
           .agg(count(lit(1)).as("common"))
+          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
+            col("common"))
         common
           .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
           .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
