@@ -21,15 +21,28 @@ object Bench {
       try qmap(n)(spark, sfDir).count() catch { case _: Throwable => }
     }
 
+    // (time, succeeded) per query — a query that throws must NOT be
+    // reported as a normal timing (its time-to-failure looks like a fast
+    // success); failures are emitted explicitly and the exit code is
+    // nonzero.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qmap(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            Console.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -57,6 +57,21 @@ object CsvPandas {
       case None => r = r.option("inferSchema", "true")
     }
     var df = r.csv(path)
+    // pandas honors EVERY na_values sentinel; Spark's nullValue option takes
+    // only one. The first sentinel went through the option (so typed columns
+    // parse cleanly); the rest are nulled here on string-typed columns.
+    // Non-string columns can't hold a leftover sentinel: under PERMISSIVE
+    // parsing an unparseable cell is already null.
+    if (o.naValues.size > 1) {
+      val rest = o.naValues.tail
+      df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name).filterNot(boolCols.contains)
+        .foreach { c =>
+          df = df.withColumn(c,
+            when(col(c).isin(rest: _*), lit(null)).otherwise(col(c)))
+        }
+    }
     boolCols.foreach { c =>
       df = df.withColumn(c,
         when(col(c).isin(o.trueValues: _*), true)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Ordering key for the asof sort. cast("long") on a timestamp truncates
+    * to whole seconds and destroys sub-second ordering (a right row up to
+    * 999ms after the left event would collapse to an equal key and wrongly
+    * match); unix_micros preserves Spark's full timestamp precision, like
+    * pandas merge_asof's ns ordering.
+    */
+  private def ordKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+
   /** @param left        left (probe) table
     * @param right       right (reference) table
     * @param key         equi-key column present in both
@@ -38,10 +52,10 @@ object AsOfJoin {
     // at equal timestamps → inclusive (<=) asof semantics.
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
-      (Seq(col(key), col(leftTime).cast("long").as("__t"), lit(1).as("__tag")) ++
+      (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(1).as("__tag")) ++
         leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
     val r = right.select(
-      (Seq(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__tag")) ++
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
         leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__tag"))
@@ -61,10 +75,10 @@ object AsOfJoin {
               payload: Seq[String]): DataFrame = {
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
-      (Seq(col(key), col(leftTime).cast("long").as("__t"), lit(0).as("__tag")) ++
+      (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(0).as("__tag")) ++
         leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
     val r = right.select(
-      (Seq(col(key), col(rightTime).cast("long").as("__t"), lit(1).as("__tag")) ++
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(1).as("__tag")) ++
         leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").desc, col("__tag").desc)

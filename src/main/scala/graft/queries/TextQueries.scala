@@ -125,7 +125,8 @@ object TextQueries {
       Some("""WITH sh AS (
                SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                     FROM documents)),
              sizes AS (SELECT doc_id, len(s) AS n FROM sh),
              inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
              common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c

@@ -13,15 +13,26 @@ import org.apache.spark.sql.functions._
 object Shingles {
 
   def shingles(text: Column, n: Int): Column = {
-    val t = TextStats.tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    // Empty tokens (runs of whitespace) are not shingle material — a
+    // whitespace-only doc must yield the empty set, not shingles of "".
+    val t = filter(TextStats.tokens(text), x => x =!= "")
+    // Documents with < n tokens have no n-gram window at all. Without the
+    // guard, sequence(0, size-n) with size<n produces a DESCENDING sequence
+    // (Spark defaults step to -1 when stop < start) and slice() then throws
+    // INVALID_PARAMETER_VALUE.START on the negative index.
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
+  /** Exact Jaccard similarity of two shingle-set columns. Two empty sets
+    * are defined as similarity 0 (never a near-duplicate pair), avoiding
+    * the 0/0 null.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 }

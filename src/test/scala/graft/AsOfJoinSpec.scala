@@ -33,6 +33,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("e3") === 400L) // b: t=30 → rt=40
   }
 
+  test("sub-second timestamp ordering is preserved (no whole-second truncation)") {
+    // right row at 10.5s is AFTER the left event at 10.2s; a cast-to-long
+    // ordering key would truncate both to 10 and wrongly match it.
+    val l = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:10.200"), "e"))
+      .toDF("key", "t", "ev")
+    val r = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:09.900"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:10.500"), 2L))
+      .toDF("key", "rt", "p")
+    val back = AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p")).head()
+    assert(back.getAs[Long]("p") === 1L) // most recent <= 10.2s is 9.9s
+    val fwd = AsOfJoin.forward(l, r, "key", "t", "rt", Seq("p")).head()
+    assert(fwd.getAs[Long]("p") === 2L) // earliest >= 10.2s is 10.5s
+  }
+
   test("ties at identical timestamps take the right row (inclusive <=)") {
     val l = Seq(("k", 10L, "x")).toDF("key", "t", "ev")
     val r = Seq(("k", 10L, 1L)).toDF("key", "rt", "p")

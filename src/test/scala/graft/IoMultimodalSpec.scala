@@ -33,6 +33,23 @@ class IoMultimodalSpec extends SparkSpec {
     assert(got.filter(col("v").isNull).count() === 1)
   }
 
+  test("CsvPandas: every na_values sentinel is honored, not just the first") {
+    val dir = "/root/repo/target/tmp/csv_spec_multi_na"
+    import spark.implicits._
+    CsvPandas.write(
+      Seq(("a", "NA", "1"), ("b", "n/a", "n/a"), ("c", "x", "3"), ("d", "-", "4"))
+        .toDF("k", "v", "n"), dir, singleFile = true)
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      naValues = Seq("NA", "n/a", "-"),
+      schema = Some(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType),
+        StructField("n", IntegerType))))))
+    assert(got.filter(col("v").isNull).count() === 3)   // NA, n/a, -
+    // int column: "n/a" can't parse → null under PERMISSIVE
+    assert(got.filter(col("n").isNull).count() === 1)
+    assert(got.filter(col("v") === "x").count() === 1)
+  }
+
   test("CsvPandas: gzip-compressed write reads back transparently") {
     val dir = "/root/repo/target/tmp/csv_spec_gz"
     val src = Tables.region(spark, sf)

@@ -29,6 +29,24 @@ class TextSpec extends SparkSpec {
     assert(sh.toSet === Set("a b c", "b c a", "c a b"))
   }
 
+  test("shingles on short and empty documents yield empty sets, no crash") {
+    val df = Seq("a b", "a", "", "   ", "a b c").toDF("t")
+    val got = df.select(Shingles.shingles(col("t"), 3).as("sh")).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(got(0) === Set())         // 2 tokens < n=3
+    assert(got(1) === Set())         // 1 token
+    assert(got(2) === Set())         // empty doc
+    assert(got(3) === Set())         // whitespace only
+    assert(got(4) === Set("a b c"))  // exactly n tokens → one shingle
+  }
+
+  test("jaccard of two empty shingle sets is 0, not null") {
+    val df = Seq(("", "")).toDF("a", "b")
+    val r = df.select(Shingles.jaccard(
+      Shingles.shingles(col("a"), 3), Shingles.shingles(col("b"), 3)).as("j")).head()
+    assert(!r.isNullAt(0) && r.getDouble(0) === 0.0)
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val df = Seq(("x y z w v u t s", "x y z w v u t s", "q r p o n m l k"))
       .toDF("a", "b", "c")
