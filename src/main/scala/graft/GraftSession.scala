@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true): a small-byte but
+      // CPU-heavy shuffle (e.g. counting 1M+ distinct pair keys in ~10MB)
+      // must keep all cores busy; coalescing it to one partition by size
+      // alone serializes the aggregation. On a real cluster the same
+      // default keeps reduce stages at executor parallelism.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -56,10 +56,13 @@ object CurationQueries {
           TextStats.fingerprint(col("text")).as("fp"),
           Num.rnd(TextStats.qualityScore(col("text")), 6).as("quality"),
           TextStats.langId(col("text")).as("lang_guess"))
-        // exact dedup: keep the min doc_id per fingerprint
+        // exact dedup: keep the min doc_id per fingerprint. A window min
+        // over fp instead of groupBy+self-join: one shuffle, one scan of
+        // the scored docs (the self-join form scans and scores twice).
         val keepers = scored
-          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-          .join(scored, Seq("fp", "doc_id"))
+          .withColumn("__keep", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("__keep")).drop("__keep")
         // per-language top-5 by quality via the custom bounded-heap op
         GroupTopK.topKPerKey(
             keepers.select("doc_id", "quality", "lang_guess"),

@@ -105,10 +105,12 @@ object TextQueries {
         // pack (id1,id2) into one long for the pair shuffle — half the
         // shuffle key width (doc_ids fit 32 bits at any plausible corpus
         // shard; a 100 TB deployment would shard doc_id spaces anyway).
+        // PackedPairs = native pair expansion (the composed
+        // transform/flatten chain evaluates interpreted per element).
         val common = lists.select(explode(
-            flatten(transform(col("ds"), (x, i) =>
-              transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => shiftleft(x, 32).bitwiseOR(y))))).as("pk"))
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.text.PackedPairs(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
           .groupBy("pk")
           .agg(count(lit(1)).as("common"))
           .select(shiftrightunsigned(col("pk"), 32).as("id1"),

@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-order dot product in double (matches any engine that
-    * left-folds the element products).
+    * left-folds the element products). Native expression
+    * ([[DotProduct]]); [[dotComposed]] is its interpreted
+    * differential-test twin.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Composed array-lambda formulation of [[dot]] (interpreted). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -54,11 +63,18 @@ object Similarity {
     * ordering is reproducible across engines; ties break on corpus id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+    // Norms are per-vector — compute them ONCE per side before the
+    // pair join instead of inside cosine() per pair (3 dot products per
+    // pair → 1). Bit-identical: dot/(qn*cn) is the same double
+    // arithmetic whether the norms were computed inside or outside.
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val sims = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("sim", graft.functions.Num.rnd(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", graft.functions.Num.rnd(
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -72,12 +88,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Array[Array[Double]]): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"),
       signBits(col("embedding"), planes).as("bucket"))
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"),
       signBits(col("embedding"), planes).as("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("sim", graft.functions.Num.rnd(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", graft.functions.Num.rnd(
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -89,10 +108,13 @@ object Similarity {
     * join above.
     */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      norm(col("embedding")).as("n1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      norm(col("embedding")).as("n2"))
     a.crossJoin(b).filter(col("id1") < col("id2"))
-      .withColumn("sim", graft.functions.Num.rnd(cosine(col("v1"), col("v2")), 6))
+      .withColumn("sim", graft.functions.Num.rnd(
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }

@@ -44,23 +44,27 @@ object MinHash {
     */
   def candidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
                      k: Int = 64, r: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // Single-pass custom expression: k minhashes + band fold evaluated
     // once per row (see MinHashSig scaladoc for why the composed
     // expression form pays a large constant factor).
     val buckets = docs
       .select(col(idCol),
         posexplode(MinHashSig.bandHashes(col(shingleCol), k, r)).as(Seq("band", "h")))
-    // Guard: drop degenerate buckets (boilerplate explosion).
-    val bounded = buckets
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
-      .filter(col("n") <= maxBucket).drop("n")
-    val a = bounded.select(col(idCol).as("id1"), col("band"), col("h"))
-    val b = bounded.select(col(idCol).as("id2"), col("band"), col("h"))
-    a.join(b, Seq("band", "h"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+    // One groupBy replaces the window-count + self-join + row-distinct
+    // form: collect each bucket's id list, expand pairs map-side
+    // (PackedPairs), dedup on the packed long. Buckets above `maxBucket`
+    // are dropped whole — the standard guard against quadratic blowup on
+    // giant clusters of identical docs (boilerplate).
+    val lists = buckets.groupBy("band", "h")
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
+    lists
+      .select(explode(ColumnBridge.column(
+        PackedPairs(ColumnBridge.expression(col("ds"))))).as("pk"))
       .distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("id1"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"))
   }
 
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard

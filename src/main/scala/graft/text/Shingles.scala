@@ -12,7 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
+  /** Native one-pass expression ([[ShingleSet]]); the composed
+    * array-lambda form below documents the exact semantics and pins them
+    * in TextSpec.
+    */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), n))
+  }
+
+  /** Reference formulation of [[shingles]] out of composed array
+    * expressions — interpreted (higher-order functions don't codegen),
+    * kept as the differential-testing twin of the native expression.
+    */
+  def shinglesComposed(text: Column, n: Int): Column = {
     // Empty tokens (runs of whitespace) are not shingle material — a
     // whitespace-only doc must yield the empty set, not shingles of "".
     val t = filter(TextStats.tokens(text), x => x =!= "")

@@ -1,9 +1,9 @@
 package graft.tools
 import graft.{GraftSession, SparkEntry, Tables}
-import graft.text.Shingles
 import graft.functions.Num
+import graft.text.TextStats
 import org.apache.spark.sql.functions._
-/** Dev scratch: compare q54 formulations at a given SF. */
+/** Dev scratch: per-stage timing of the heavy bench queries. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
@@ -12,29 +12,26 @@ object BenchOne {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
-    // current: inverted-index self-join
-    time("join-based") { SparkEntry.queries("q54_ngram_jaccard")(spark, d).count() }
-    // variant: collect per-shingle doc lists, expand pairs map-side
-    time("expand-based") {
-      val sh = Tables.documents(spark, d)
-        .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val lists = inv.groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      val pairs = lists.select(explode(
-        flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            y => struct(x.as("id1"), y.as("id2"))) ))).as("p"))
-        .select(col("p.id1"), col("p.id2"))
-      val common = pairs.groupBy("id1", "id2").agg(count(lit(1)).as("common"))
-      val out = common
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-        .withColumn("jaccard", Num.rnd(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
-        .filter(col("jaccard") >= 0.5)
-      out.count()
-    }
+    time("q102 warm1") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
+    time("q102 warm2") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
+    val docs = Tables.documents(spark, d)
+    time("scan") { docs.count() }
+    time("fingerprint") { docs.select(TextStats.fingerprint(col("text")).as("fp")).filter(col("fp").isNotNull).count() }
+    time("quality") { docs.select(Num.rnd(TextStats.qualityScore(col("text")), 6).as("q")).filter(col("q") > -1).count() }
+    time("langid") { docs.select(TextStats.langId(col("text")).as("l")).filter(col("l").isNotNull).count() }
+    val scored = docs.select(col("doc_id"),
+      TextStats.fingerprint(col("text")).as("fp"),
+      Num.rnd(TextStats.qualityScore(col("text")), 6).as("quality"),
+      TextStats.langId(col("text")).as("lang_guess"))
+    time("scored-all") { scored.count() }
+    val keepers = scored.withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+    time("keepers") { keepers.count() }
+    time("topk") { graft.plans.GroupTopK.topKPerKey(
+      keepers.select("doc_id", "quality", "lang_guess"),
+      Seq("lang_guess"), Seq(("quality", true), ("doc_id", false)), 5).count() }
+    time("q102 again") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
     spark.stop()
   }
 }

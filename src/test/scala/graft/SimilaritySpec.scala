@@ -16,6 +16,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("native DotProduct matches the composed zip_with/aggregate form bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(500)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j")).limit(2000)
+    val diff = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("nat"),
+      Similarity.dotComposed(col("a"), col("b")).as("comp"))
+      .filter(not(col("nat") === col("comp"))) // bitwise: no tolerance
+    assert(diff.count() === 0)
+    // null and length-mismatch contracts
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val got = edge.select(Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.dotComposed(col("a"), col("b")).as("c")).collect()
+    assert(got(0).getDouble(0) === 11.0 && got(0).getDouble(1) === 11.0)
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+  }
+
   test("brute-force top-k returns k nearest, ranked") {
     val e = Tables.embeddings(spark, sf)
     val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, 3).collect()

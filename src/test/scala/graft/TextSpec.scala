@@ -40,6 +40,20 @@ class TextSpec extends SparkSpec {
     assert(got(4) === Set("a b c"))  // exactly n tokens → one shingle
   }
 
+  test("native ShingleSet expression matches the composed array-lambda form") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val both = docs.select(
+      Shingles.shingles(col("text"), 3).as("nat"),
+      Shingles.shinglesComposed(col("text"), 3).as("comp"))
+    assert(both.filter(not(col("nat") === col("comp"))).count() === 0)
+    // degenerate docs too
+    val edge = Seq("a b", "", "   ", "x y z", null).toDF("t")
+    val e = edge.select(Shingles.shingles(col("t"), 3).as("nat"),
+      Shingles.shinglesComposed(col("t"), 3).as("comp")).collect()
+    e.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) === r.getSeq[String](1)) }
+  }
+
   test("jaccard of two empty shingle sets is 0, not null") {
     val df = Seq(("", "")).toDF("a", "b")
     val r = df.select(Shingles.jaccard(
