@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.ScaleQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.SqlQueries.defs ++
-    graft.queries.CurationQueries.defs
+    graft.queries.CurationQueries.defs ++
+    graft.queries.Round2Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -89,7 +89,93 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.filter(col(index.head) === lit(key)), index)
   }
 
+  /** droplevel(level): remove one level of a MultiIndex (the column
+    * leaves the frame, like pandas droplevel on the index).
+    */
+  def droplevel(level: Int): GFrame = {
+    require(index.size > 1, "droplevel requires a MultiIndex")
+    GFrame(df.drop(index(level)), index.patch(level, Nil, 1))
+  }
+
+  /** swaplevel(i, j) on a MultiIndex. */
+  def swaplevel(i: Int = 0, j: Int = 1): GFrame =
+    GFrame(df, index.updated(i, index(j)).updated(j, index(i)))
+
+  /** Deterministic fractional sample: keep rows whose md5(seed ++ key)
+    * falls below frac of the 32-bit hex space. Reproducible across
+    * engines and cluster sizes (pandas' RNG sample is not; a 100 TB
+    * pipeline needs restart-stable sampling), and the lexicographic
+    * hex compare mirrors verbatim into SQL oracles.
+    */
+  def sample(frac: Double, on: String, seed: Int = 0): GFrame = {
+    val threshold = f"${(frac * 4294967296L).toLong}%08x"
+    GFrame(df.filter(
+      substring(md5(concat(lit(seed.toString), col(on).cast("string"))), 1, 8)
+        < lit(threshold)), index)
+  }
+
+  /** iat(rowPos, column): positional scalar lookup in index order
+    * (reference READ_AT by position; requires an index to define the
+    * global order).
+    */
+  def iat(rowPos: Int, column: String): Option[Any] = {
+    require(index.nonEmpty, "iat requires an index for a defined order")
+    val rows = df.orderBy(index.map(col): _*).select(column)
+      .limit(rowPos + 1).collect()
+    // pandas raises IndexError out of bounds; we return None
+    if (rows.length == rowPos + 1) Some(rows.last.get(0)) else None
+  }
+
   // ---- joins (§2.3) ----
+
+  /** Frame⊕frame arithmetic with index alignment — pandas
+    * `df.add(other, fill_value=)` (the reference accepts the kwarg but
+    * raises on unaligned frames, `frontend/dataframe.py:678-721`; we
+    * implement full pandas alignment semantics). Rows align on the
+    * index (union); common data columns combine element-wise; a side
+    * missing the row (or null) takes `fillValue` when given, except
+    * where BOTH sides are missing — that stays null. One shuffle: the
+    * outer join on index keys.
+    */
+  def addFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.add, fillValue)
+
+  def subFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.sub, fillValue)
+
+  def mulFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.mul, fillValue)
+
+  def divFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.truediv, fillValue)
+
+  private def alignedOp(other: GFrame, op: (Column, Column) => Column,
+                        fillValue: Option[Double]): GFrame = {
+    require(index.nonEmpty && other.index.nonEmpty,
+      "aligned frame arithmetic requires indexes on both frames")
+    require(index.size == other.index.size, "index level counts must match")
+    // Rename everything apart BEFORE the join — the two frames may share
+    // lineage (self-join), where unqualified references are ambiguous.
+    val l = df.select((index.map(col) ++ dataCols.map(c => col(c).as(s"__l_$c"))): _*)
+    val r = other.df.select((other.index.zipWithIndex.map { case (b, i) =>
+      col(b).as(s"__ri_$i") } ++
+      other.dataCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val cond = index.zipWithIndex
+      .map { case (a, i) => col(a) === col(s"__ri_$i") }.reduce(_ && _)
+    val joined = l.join(r, cond, "full_outer")
+    val outIndex = index.zipWithIndex
+      .map { case (a, i) => coalesce(col(a), col(s"__ri_$i")).as(a) }
+    val cols = (dataCols ++ other.dataCols).distinct.map { c =>
+      val lc = if (dataCols.contains(c)) col(s"__l_$c") else lit(null)
+      val rc = if (other.dataCols.contains(c)) col(s"__r_$c") else lit(null)
+      (fillValue match {
+        case Some(f) => when(lc.isNull && rc.isNull, lit(null))
+          .otherwise(op(coalesce(lc, lit(f)), coalesce(rc, lit(f))))
+        case None => op(lc, rc)
+      }).as(c)
+    }
+    GFrame(joined.select((outIndex ++ cols): _*), index)
+  }
 
   def merge(right: GFrame, on: Seq[String], how: String = "inner",
             suffixes: (String, String) = ("_x", "_y"),
@@ -109,6 +195,15 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   // ---- groupby / reductions (§2.4) ----
 
   def groupby(keys: String*): GGroupBy = GGroupBy(this, keys)
+
+  /** groupby(level=…) — group by index level(s)
+    * (reference `frontend/groupby.py:40-86`: by-level supported,
+    * by-arbitrary-series not).
+    */
+  def groupbyLevel(levels: Int*): GGroupBy = {
+    require(index.nonEmpty, "groupby(level=) requires an index")
+    GGroupBy(this, levels.map(index(_)))
+  }
 
   def sum(cols: String*): GFrame = reduce("sum", cols)
   def mean(cols: String*): GFrame = reduce("mean", cols)

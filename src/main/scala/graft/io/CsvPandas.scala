@@ -113,11 +113,25 @@ object CsvPandas {
     */
   def write(df: DataFrame, path: String, header: Boolean = true,
             sep: String = ",", singleFile: Boolean = false,
-            compression: Option[String] = None): Unit = {
+            compression: Option[String] = None,
+            naRep: String = "", lineTerminator: Option[String] = None): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     var w = out.write.mode("overwrite")
       .option("header", header.toString).option("sep", sep)
+    // pandas na_rep / line_terminator (reference frontend/frame.py:1009-1049)
+    if (naRep.nonEmpty) w = w.option("nullValue", naRep)
+    lineTerminator.foreach(t => w = w.option("lineSep", t))
     compression.foreach(c => w = w.option("compression", c))
     w.csv(path)
+  }
+
+  /** Multi-file read (pandas read_csv over a list / glob — the
+    * reference reads file lists too, `frontend/io.py:124-443`). Spark
+    * byte-range-splits every file in the list across executors.
+    */
+  def readPaths(spark: SparkSession, paths: Seq[String],
+                o: ReadOptions = ReadOptions()): DataFrame = {
+    require(paths.nonEmpty, "readPaths requires at least one path")
+    paths.map(p => read(spark, p, o)).reduce(_.unionByName(_))
   }
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.api.GFrame
+import graft.functions.Num
+import graft.io.CsvPandas
+
+/** Round-2 surface: index-aligned frame arithmetic, deterministic
+  * sampling, groupby(level=), MultiIndex metadata ops, CSV na_rep and
+  * multi-file reads.
+  */
+object Round2Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // pandas df.add(other, fill_value=0) — full index alignment via one
+    // outer shuffle join (reference accepts the kwarg but raises on
+    // unaligned inputs; we implement the pandas contract).
+    "q103_aligned_add" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val a = GFrame(cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_acctbal")), Seq("c_custkey"))
+        val b = GFrame(cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_acctbal")), Seq("c_custkey"))
+        val sum = a.addFrame(b, fillValue = Some(0.0))
+        sum.df.select(col("c_custkey"), Num.rnd(col("c_acctbal"), 2).as("bal2"))
+      },
+      Some("""SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+             round(CASE WHEN a.c_acctbal IS NULL AND b.c_acctbal IS NULL THEN NULL
+                   ELSE COALESCE(a.c_acctbal, 0) + COALESCE(b.c_acctbal, 0) END, 2) AS bal2
+             FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0) a
+             FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) b
+             ON a.c_custkey = b.c_custkey"""),
+      headline = false),
+
+    // deterministic hash sample — restart-stable and engine-portable
+    // (lexicographic compare of the md5 hex prefix ≡ uniform 32-bit
+    // threshold; pandas' RNG sample can't be reproduced across engines).
+    "q104_sample" -> QueryDef(
+      (s, d) => GFrame(Tables.orders(s, d), Seq())
+        .sample(0.25, on = "o_orderkey", seed = 7)
+        .df.select(col("o_orderkey"), col("o_custkey")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             WHERE substr(md5('7' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '40000000'""")),
+
+    // groupby(level=0) on a 2-level MultiIndex.
+    "q105_groupby_level" -> QueryDef(
+      (s, d) => GFrame(Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+          Seq("c_nationkey", "c_mktsegment"))
+        .groupbyLevel(0)
+        .agg("c_acctbal" -> Seq("min", "max", "count")).df
+        .select(col("c_nationkey"),
+          Num.rnd(col("c_acctbal_min"), 2).as("c_acctbal_min"),
+          Num.rnd(col("c_acctbal_max"), 2).as("c_acctbal_max"),
+          col("c_acctbal_count")),
+      Some("""SELECT c_nationkey, round(min(c_acctbal), 2) AS c_acctbal_min,
+             round(max(c_acctbal), 2) AS c_acctbal_max,
+             CAST(count(c_acctbal) AS BIGINT) AS c_acctbal_count
+             FROM customer GROUP BY 1""")),
+
+    // to_csv(na_rep) → read_csv(na_values) round-trip: nulls survive a
+    // text sink; the oracle recomputes from the original table.
+    "q106_csv_narep" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/csv_narep_$safe"
+        val src = Tables.customer(s, d).select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_custkey") % 100)
+            .as("bucket"))
+        CsvPandas.write(src, path, naRep = "__NA__")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType)))
+        CsvPandas.read(s, path, CsvPandas.ReadOptions(
+            naValues = Seq("__NA__"), schema = Some(schema)))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bucket").isNull.cast("long")).as("n_null"),
+            sum(col("bucket")).as("bucket_sum"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(sum(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey % 100 END) AS BIGINT) AS bucket_sum
+             FROM customer"""))
+  )
+}

@@ -69,6 +69,59 @@ class GFrameSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("addFrame aligns on index: union rows, fill_value, both-missing stays null") {
+    val a = GFrame(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
+    val b = GFrame(Seq((2L, 5.0), (3L, 7.0)).toDF("k", "v"), Seq("k"))
+    // no fill: non-overlap -> null
+    val plain = a.addFrame(b).df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(plain === Map(1L -> null, 2L -> 25.0, 3L -> null))
+    // fill 0: non-overlap takes the present side
+    val filled = a.addFrame(b, Some(0.0)).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(filled === Map(1L -> 10.0, 2L -> 25.0, 3L -> 7.0))
+    // column present on one side only, with fill
+    val c = GFrame(Seq((1L, 1.0)).toDF("k", "w"), Seq("k"))
+    val mixed = a.addFrame(c, Some(0.0)).df
+    assert(mixed.columns.toSet === Set("k", "v", "w"))
+    val row1 = mixed.filter(col("k") === 1).head()
+    assert(row1.getDouble(row1.fieldIndex("v")) === 10.0) // v: only left
+    assert(row1.getDouble(row1.fieldIndex("w")) === 1.0)  // w: only right
+    // null + null with fill stays null (pandas: NaN)
+    val n1 = GFrame(Seq((1L, Option.empty[java.lang.Double])).toDF("k", "v"), Seq("k"))
+    val n2 = GFrame(Seq((1L, Option.empty[java.lang.Double])).toDF("k", "v"), Seq("k"))
+    assert(n1.addFrame(n2, Some(0.0)).df.head().isNullAt(1))
+  }
+
+  test("sample is deterministic and near the requested fraction") {
+    val s1 = orders.sample(0.25, on = "o_orderkey", seed = 7).df.count()
+    val s2 = orders.sample(0.25, on = "o_orderkey", seed = 7).df.count()
+    assert(s1 === s2)
+    val frac = s1.toDouble / orders.df.count()
+    assert(frac > 0.18 && frac < 0.32, s"frac=$frac")
+    val other = orders.sample(0.25, on = "o_orderkey", seed = 8).df.count()
+    assert(other !== s1) // different seed -> different subset (w.h.p.)
+  }
+
+  test("MultiIndex: droplevel, swaplevel, groupbyLevel") {
+    val g = GFrame(Tables.customer(spark, sf))
+      .setIndex("c_nationkey", "c_mktsegment")
+    assert(g.swaplevel().index === Seq("c_mktsegment", "c_nationkey"))
+    val dropped = g.droplevel(1)
+    assert(dropped.index === Seq("c_nationkey"))
+    assert(!dropped.df.columns.contains("c_mktsegment"))
+    val byLevel = g.groupbyLevel(1).count("c_custkey")
+    assert(byLevel.df.columns.contains("c_mktsegment"))
+    assert(byLevel.df.count() === 5) // 5 market segments
+  }
+
+  test("iat returns the positional cell in index order") {
+    val g = GFrame(Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(g.iat(0, "v") === Some("a"))
+    assert(g.iat(2, "v") === Some("c"))
+    assert(g.iat(5, "v") === None) // out of bounds (pandas: IndexError)
+  }
+
   test("dropDuplicatesKeep with index determinism") {
     val d = orders.setIndex("o_orderkey")
       .dropDuplicatesKeep(Seq("o_custkey"), keepFirst = true)

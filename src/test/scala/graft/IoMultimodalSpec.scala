@@ -50,6 +50,35 @@ class IoMultimodalSpec extends SparkSpec {
     assert(got.filter(col("v") === "x").count() === 1)
   }
 
+  test("CsvPandas: multi-file read unions all paths") {
+    val d1 = "/root/repo/target/tmp/csv_multi_1"
+    val d2 = "/root/repo/target/tmp/csv_multi_2"
+    import spark.implicits._
+    CsvPandas.write(Seq(("a", 1), ("b", 2)).toDF("k", "v"), d1, singleFile = true)
+    CsvPandas.write(Seq(("c", 3)).toDF("k", "v"), d2, singleFile = true)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    val got = CsvPandas.readPaths(spark, Seq(d1, d2),
+      CsvPandas.ReadOptions(schema = Some(schema)))
+    assert(got.count() === 3)
+    assert(got.agg(sum(col("v"))).head().getLong(0) === 6L)
+  }
+
+  test("CsvPandas: na_rep write round-trips nulls through the text sink") {
+    val dir = "/root/repo/target/tmp/csv_narep_spec"
+    import spark.implicits._
+    val src = Seq(("a", Some(1)), ("b", None), ("c", Some(3)))
+      .toDF("k", "v")
+    CsvPandas.write(src, dir, singleFile = true, naRep = "__NA__")
+    val raw = spark.read.text(dir).collect().map(_.getString(0)).mkString("\n")
+    assert(raw.contains("__NA__"))
+    val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
+      naValues = Seq("__NA__"),
+      schema = Some(StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))))))
+    assert(got.filter(col("v").isNull).count() === 1)
+  }
+
   test("CsvPandas: gzip-compressed write reads back transparently") {
     val dir = "/root/repo/target/tmp/csv_spec_gz"
     val src = Tables.region(spark, sf)
