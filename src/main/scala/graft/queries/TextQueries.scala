@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Num
-import graft.text.{MinHash, Shingles, SimHash, TextStats}
+import graft.text.{ExactNearDup, MinHash, Shingles, SimHash, TextStats}
 
 /** Text-analysis + deduplication surface over the documents table —
   * the LLM-pipeline operators (SURVEY §7.3 step 10).
@@ -82,31 +82,27 @@ object TextQueries {
              min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
              FROM documents GROUP BY 1""")),
 
-    // exact n-gram-Jaccard near-dup pairs via inverted shingle index —
-    // the ground-truth oracle for the sketch-based methods below.
+    // exact n-gram-Jaccard near-dup pairs via inverted-index pair
+    // COUNTING: |A∩B| = count of shared shingles per packed pair — the
+    // shuffle carries only longs, never shingle arrays. At threshold
+    // 0.5 this beats prefix filtering (text/ExactNearDup.scala — the
+    // prefix is ~half of every set at t=0.5, so candidates barely
+    // shrink while the verify join must move the sets themselves;
+    // measured 2.1s vs 10s at sf0.1. ExactNearDup is the right tool at
+    // t >= 0.8, where prefixes are tiny).
     "q54_ngram_jaccard" -> QueryDef(
       (s, d) => {
-        // |A∩B| = number of shared shingles = count of inverted-index
-        // join hits per pair (shingle sets are distinct) — one
-        // aggregation, no per-pair array intersection. |A∪B| from the
-        // per-doc set sizes. Exact, and ~10x cheaper than
-        // array_intersect per candidate at sf0.1.
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
           .cache() // shared with q55's identical subplan via CacheManager
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         // group the inverted index by shingle and expand doc-id pairs
-        // map-side — drops the sort-merge self-join (2.2x at sf0.1);
-        // singleton shingles contribute no pairs and are filtered free.
+        // map-side (native PackedPairs); singleton shingles contribute
+        // no pairs and are filtered free.
         val lists = inv.groupBy("s")
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
           .filter(size(col("ds")) >= 2)
-        // pack (id1,id2) into one long for the pair shuffle — half the
-        // shuffle key width (doc_ids fit 32 bits at any plausible corpus
-        // shard; a 100 TB deployment would shard doc_id spaces anyway).
-        // PackedPairs = native pair expansion (the composed
-        // transform/flatten chain evaluates interpreted per element).
         val common = lists.select(explode(
             org.apache.spark.sql.graftbridge.ColumnBridge.column(
               graft.text.PackedPairs(

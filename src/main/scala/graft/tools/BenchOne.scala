@@ -1,9 +1,9 @@
 package graft.tools
-import graft.{GraftSession, SparkEntry, Tables}
-import graft.functions.Num
-import graft.text.TextStats
+import graft.{GraftSession, Tables}
+import graft.text.{ExactNearDup, Shingles, PackedPairs}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-/** Dev scratch: per-stage timing of the heavy bench queries. */
+import org.apache.spark.sql.graftbridge.ColumnBridge
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
@@ -12,26 +12,26 @@ object BenchOne {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
-    time("q102 warm1") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
-    time("q102 warm2") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
-    val docs = Tables.documents(spark, d)
-    time("scan") { docs.count() }
-    time("fingerprint") { docs.select(TextStats.fingerprint(col("text")).as("fp")).filter(col("fp").isNotNull).count() }
-    time("quality") { docs.select(Num.rnd(TextStats.qualityScore(col("text")), 6).as("q")).filter(col("q") > -1).count() }
-    time("langid") { docs.select(TextStats.langId(col("text")).as("l")).filter(col("l").isNotNull).count() }
-    val scored = docs.select(col("doc_id"),
-      TextStats.fingerprint(col("text")).as("fp"),
-      Num.rnd(TextStats.qualityScore(col("text")), 6).as("quality"),
-      TextStats.langId(col("text")).as("lang_guess"))
-    time("scored-all") { scored.count() }
-    val keepers = scored.withColumn("__keep", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("__keep")).drop("__keep")
-    time("keepers") { keepers.count() }
-    time("topk") { graft.plans.GroupTopK.topKPerKey(
-      keepers.select("doc_id", "quality", "lang_guess"),
-      Seq("lang_guess"), Seq(("quality", true), ("doc_id", false)), 5).count() }
-    time("q102 again") { SparkEntry.queries("q102_curation_pipeline")(spark, d).count() }
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh")).cache()
+    sh.count()
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = inv.join(dfreq, "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+    time("ranked") { ranked.count() }
+    val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(0.499999) * col("n")) + 1)
+    time("prefix") { prefix.count() }
+    val lists = prefix.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    time("lists") { lists.count() }
+    val cand = lists.select(explode(ColumnBridge.column(
+        PackedPairs(ColumnBridge.expression(col("ds"))))).as("pk")).distinct()
+    time("cand") { cand.count() }
+    time("full q54 prefix impl") { ExactNearDup.pairs(Tables.documents(spark, d), "doc_id", "text", 3, 0.5).count() }
     spark.stop()
   }
 }

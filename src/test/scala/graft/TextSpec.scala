@@ -61,6 +61,25 @@ class TextSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getDouble(0) === 0.0)
   }
 
+  test("prefix-filtered exact near-dup equals brute-force all-pairs jaccard") {
+    import graft.text.ExactNearDup
+    import graft.functions.Num
+    val docs = Tables.documents(spark, sf)
+    val got = ExactNearDup.pairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every pair, exact jaccard, same round-then-filter
+    val sh = docs.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+    val brute = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      .crossJoin(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard", Num.rnd(Shingles.jaccard(col("sh1"), col("sh2")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty) // corpus has planted near-dups
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val df = Seq(("x y z w v u t s", "x y z w v u t s", "q r p o n m l k"))
       .toDF("a", "b", "c")
