@@ -322,12 +322,53 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   }
 
   /** value_counts: per-value frequency, most frequent first (ties by
-    * value for determinism).
+    * value for determinism). normalize=true divides by the total
+    * (pandas value_counts(normalize=True)) via a window sum — no
+    * second scan.
     */
-  def valueCounts(c: String): GFrame =
-    GFrame(df.groupBy(c)
+  def valueCounts(c: String, normalize: Boolean = false): GFrame = {
+    val counts = df.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-      .orderBy(col("count").desc, col(c).asc))
+    val out =
+      if (!normalize) counts
+      else counts.withColumn("proportion",
+          col("count") / org.apache.spark.sql.functions.sum(col("count"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .drop("count")
+    GFrame(out.orderBy(
+      col(if (normalize) "proportion" else "count").desc, col(c).asc))
+  }
+
+  /** clip(lower, upper) — element-wise bound; null/NaN pass through
+    * like pandas (Spark's greatest/least IGNORE nulls, which would
+    * resurrect a bound from a null — guard explicitly).
+    */
+  def clip(lower: Double, upper: Double, cols: Seq[String] = Seq()): GFrame = {
+    val cs = if (cols.nonEmpty) cols else dataCols
+    GFrame(cs.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c).isNull || isnan(col(c)), col(c))
+        .otherwise(least(greatest(col(c), lit(lower)), lit(upper))))), index)
+  }
+
+  /** pandas df.explode(column): one row per array element;
+    * empty/null arrays keep the row with a null element
+    * (explode_outer, matching pandas' NaN row).
+    */
+  def explodeCol(c: String): GFrame =
+    GFrame(df.withColumn(c, explode_outer(col(c))), index)
+
+  /** get_dummies over an explicit category list (one-hot 0/1 columns
+    * named col_value, pandas naming). The no-list overload discovers
+    * the categories with a distinct scan (a driver action, like
+    * pandas' own value discovery).
+    */
+  def getDummies(c: String, values: Seq[String]): GFrame =
+    GFrame(values.foldLeft(df)((d, v) =>
+      d.withColumn(s"${c}_$v", (col(c) === v).cast("int"))).drop(c), index)
+
+  def getDummies(c: String): GFrame =
+    getDummies(c, df.select(c).distinct().collect()
+      .map(_.get(0).toString).sorted.toSeq)
 
   /** nunique per column → single row. */
   def nunique(cols: String*): GFrame = {
@@ -389,5 +430,37 @@ final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
     val cs = if (cols.nonEmpty) cols else
       frame.df.columns.filterNot(keys.contains).toSeq
     agg(cs.map(_ -> Seq(fn)): _*)
+  }
+
+  private def w(orderBy: Seq[String]) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(orderBy.map(col): _*)
+
+  /** groupby(...).shift(periods) — previous value within the group in
+    * `orderBy` order (scalable: hash-partitioned window, never a global
+    * sort; include a unique tiebreak column for determinism).
+    */
+  def shift(valueCol: String, orderBy: Seq[String], periods: Int = 1,
+            outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_shift"
+    GFrame(frame.df.withColumn(out,
+      lag(col(valueCol), periods).over(w(orderBy))), frame.index)
+  }
+
+  /** groupby(...).diff(): value minus the previous value in the group. */
+  def diff(valueCol: String, orderBy: Seq[String], periods: Int = 1,
+           outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_diff"
+    GFrame(frame.df.withColumn(out,
+      col(valueCol) - lag(col(valueCol), periods).over(w(orderBy))), frame.index)
+  }
+
+  /** groupby(...).pct_change(): relative change vs the previous value. */
+  def pctChange(valueCol: String, orderBy: Seq[String],
+                outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_pct"
+    val prev = lag(col(valueCol), 1).over(w(orderBy))
+    GFrame(frame.df.withColumn(out,
+      (col(valueCol) - prev) / prev), frame.index)
   }
 }

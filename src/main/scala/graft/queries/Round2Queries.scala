@@ -61,6 +61,87 @@ object Round2Queries {
              CAST(count(c_acctbal) AS BIGINT) AS c_acctbal_count
              FROM customer GROUP BY 1""")),
 
+    // grouped shift/diff/pct_change — per-entity lag features, the
+    // bread-and-butter of feature pipelines (hash-partitioned window,
+    // never a global sort; event_id tiebreaks equal timestamps).
+    "q107_group_shift" -> QueryDef(
+      (s, d) => {
+        val g = GFrame(Tables.events(s, d).filter(col("user_id") < 50))
+        g.groupby("user_id").shift("value", Seq("ts", "event_id"))
+          .groupby("user_id").diff("value", Seq("ts", "event_id"))
+          .df.select(col("event_id"), col("user_id"),
+            Num.rnd(col("value"), 6).as("v"),
+            Num.rnd(col("value_shift"), 6).as("v_prev"),
+            Num.rnd(col("value_diff"), 6).as("v_diff"))
+      },
+      Some("""SELECT event_id, user_id, round(value, 6) AS v,
+             round(lag(value) OVER w, 6) AS v_prev,
+             round(value - lag(value) OVER w, 6) AS v_diff
+             FROM events WHERE user_id < 50
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // clip with null/NaN passthrough (Spark's greatest/least ignore
+    // nulls — a naive translation resurrects the bound from a null).
+    "q108_clip" -> QueryDef(
+      (s, d) => GFrame(Tables.lineitem(s, d))
+        .clip(5.0, 40.0, Seq("l_quantity"))
+        .df.select(col("l_orderkey"), col("l_linenumber"),
+          Num.rnd(col("l_quantity"), 2).as("q_clipped")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(least(greatest(l_quantity, 5.0), 40.0), 2) AS q_clipped
+             FROM lineitem""")),
+
+    // pandas df.explode(): tokens to rows, empty docs keep a null row.
+    "q109_explode" -> QueryDef(
+      (s, d) => GFrame(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tok")))
+        .explodeCol("tok")
+        .df.groupBy("tok").agg(count(lit(1)).as("n")),
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents) GROUP BY 1""")),
+
+    // get_dummies one-hot over a known category list.
+    "q110_get_dummies" -> QueryDef(
+      (s, d) => GFrame(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        .getDummies("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .df,
+      Some("""SELECT c_custkey,
+             CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS c_mktsegment_AUTOMOBILE,
+             CAST(c_mktsegment = 'BUILDING' AS INTEGER) AS c_mktsegment_BUILDING,
+             CAST(c_mktsegment = 'FURNITURE' AS INTEGER) AS c_mktsegment_FURNITURE,
+             CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER) AS c_mktsegment_HOUSEHOLD,
+             CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS c_mktsegment_MACHINERY
+             FROM customer""")),
+
+    // value_counts(normalize=True): proportions via one window sum.
+    "q111_value_counts_norm" -> QueryDef(
+      (s, d) => GFrame(Tables.orders(s, d))
+        .valueCounts("o_orderstatus", normalize = true)
+        .df.select(col("o_orderstatus"), Num.rnd(col("proportion"), 6).as("p")),
+      Some("""SELECT o_orderstatus,
+             round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS p
+             FROM orders GROUP BY 1""")),
+
+    // crosstab (nation x segment counts, wide) — pivot on a fixed
+    // category list, count aggregate.
+    "q112_crosstab" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT c_nationkey,
+             CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+             CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+             CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+             CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+             CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+             FROM customer GROUP BY 1""")),
+
     // to_csv(na_rep) → read_csv(na_values) round-trip: nulls survive a
     // text sink; the oracle recomputes from the original table.
     "q106_csv_narep" -> QueryDef(

@@ -122,6 +122,39 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(5, "v") === None) // out of bounds (pandas: IndexError)
   }
 
+  test("clip passes null and NaN through instead of resurrecting a bound") {
+    val g = GFrame(Seq(Some(1.0), Some(50.0), None, Some(Double.NaN))
+      .toDF("v"))
+    val got = g.clip(5.0, 40.0, Seq("v")).df.collect().map(r =>
+      if (r.isNullAt(0)) "null" else r.getDouble(0).toString)
+    assert(got.toSet === Set("5.0", "40.0", "null", "NaN"))
+  }
+
+  test("explodeCol keeps empty-array rows as null (pandas explode)") {
+    val g = GFrame(Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("k", "xs"))
+    val got = g.explodeCol("xs").df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSet === Set(1L -> "a", 1L -> "b", 2L -> null))
+  }
+
+  test("getDummies discovers categories when not given") {
+    val g = GFrame(Seq("x", "y", "x").toDF("c"))
+    val got = g.getDummies("c")
+    assert(got.df.columns.toSet === Set("c_x", "c_y"))
+    assert(got.df.agg(sum("c_x"), sum("c_y")).head().toSeq === Seq(2L, 1L))
+  }
+
+  test("grouped pct_change is (v - prev)/prev within the group") {
+    val g = GFrame(Seq((1L, 1L, 10.0), (1L, 2L, 15.0), (2L, 1L, 4.0))
+      .toDF("u", "t", "v"))
+    val got = g.groupby("u").pctChange("v", Seq("t")).df
+      .filter(col("u") === 1 && col("t") === 2).head()
+    assert(math.abs(got.getAs[Double]("v_pct") - 0.5) < 1e-12)
+    assert(g.groupby("u").pctChange("v", Seq("t")).df
+      .filter(col("t") === 1).collect().forall(_.isNullAt(3)))
+  }
+
   test("dropDuplicatesKeep with index determinism") {
     val d = orders.setIndex("o_orderkey")
       .dropDuplicatesKeep(Seq("o_custkey"), keepFirst = true)
