@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Time each headline query's oracle SQL in DuckDB (single process) at a
+given SF dir — the absolute yardstick BENCH_r{N}.json is compared to.
+
+Usage: python3 tools/bench_duckdb.py [sfDir] [oracle_sql.json]
+(oracle_sql.json comes from a graft.Verify run: target/verify_out/.)
+"""
+import json, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# headline set — keep in sync with SparkEntry.benchNames
+HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
+            "q46_cumsum_global", "q50_text_stats", "q54_ngram_jaccard",
+            "q55_minhash_lsh", "q58_ann_brute", "q70_gframe_pipeline",
+            "q97_group_topk", "q87_etl_pipeline", "q88_embed_centroid",
+            "q102_curation_pipeline"]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out/oracle_sql.json"
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    results, total = {}, 0.0
+    for name in HEADLINE:
+        sql = oracle.get(name)
+        if sql is None:
+            results[name] = None  # not SQL-expressible (e.g. xxhash sketches)
+            continue
+        con.execute(sql).fetchall()          # warm (buffer pool, casts)
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        total += dt
+    print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
+                      "unit": "sec", "queries": results, "sf": sf}))
+
+if __name__ == "__main__":
+    main()
