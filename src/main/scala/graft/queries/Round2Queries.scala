@@ -142,6 +142,17 @@ object Round2Queries {
              CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
              FROM customer GROUP BY 1""")),
 
+    // stream-stream interval join (purchases ⋈ same-user clicks within
+    // 30 min) — watermarks on both sides bound the state store; the
+    // oracle is the equivalent batch interval join.
+    "q113_stream_join" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.streamStreamJoin(s, d),
+      Some("""SELECT a.event_id AS p_id, b.event_id AS c_id, a.user_id
+             FROM events a JOIN events b
+             ON a.user_id = b.user_id
+             AND a.event_type = 'purchase' AND b.event_type = 'click'
+             AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts""")),
+
     // to_csv(na_rep) → read_csv(na_values) round-trip: nulls survive a
     // text sink; the oracle recomputes from the original table.
     "q106_csv_narep" -> QueryDef(

@@ -83,6 +83,36 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** STREAM-STREAM inner interval join: each purchase matched with the
+    * same user's clicks from the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so state for either side is evicted once the watermark passes its
+    * join window — the unbounded-source-safe formulation (append mode).
+    * One hash shuffle per side on user_id, exactly like a batch join.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = readEventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = readEventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"))
+    val name = "graft_stream_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Per-user session state for the streaming sessionizer. */
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
 
