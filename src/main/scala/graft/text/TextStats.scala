@@ -45,9 +45,17 @@ object TextStats {
 
   /** Composite quality score in [0,1]-ish: rewards mid-length tokens and
     * presence of stopwords, penalizes very short docs. Deterministic,
-    * SQL-expressible (mirrored in the oracle).
+    * SQL-expressible (mirrored in the oracle). Native one-pass
+    * expression ([[QualityScoreExpr]]); [[qualityScoreComposed]] is the
+    * differential twin.
     */
-  def qualityScore(c: Column): Column =
+  def qualityScore(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(QualityScoreExpr(ColumnBridge.expression(c)))
+  }
+
+  /** Composed-expression twin of [[qualityScore]]. */
+  def qualityScoreComposed(c: Column): Column =
     least(nTokens(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
       stopwordRatio(c) * 0.3 +
       least(avgTokenLen(c) / 8.0, lit(1.0)) * 0.3
@@ -75,6 +83,12 @@ object TextStats {
     * priority en > de > fr > es.
     */
   def langId(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c)))
+  }
+
+  /** Composed-expression twin of [[langId]] (differential-tested). */
+  def langIdComposed(c: Column): Column = {
     val padded = concat(lit(" "), c, lit(" "))
     val scores = langProfiles.map { case (lang, grams) =>
       lang -> grams.map(g => ngramCount(padded, g)).reduce(_ + _)
@@ -91,6 +105,13 @@ object TextStats {
     * text — the exact-dedup key at corpus scale (hash-groupBy, one
     * shuffle of 16-byte keys instead of full documents).
     */
-  def fingerprint(c: Column): Column =
+  def fingerprint(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    md5(ColumnBridge.column(NormalizeWs(
+      ColumnBridge.expression(trim(lower(c))))))
+  }
+
+  /** Composed twin of [[fingerprint]] (regex normalization). */
+  def fingerprintComposed(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
 }

@@ -61,6 +61,26 @@ class TextSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getDouble(0) === 0.0)
   }
 
+  test("native langId/qualityScore/fingerprint match their composed twins") {
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    val edge = Seq("", " ", "   ", "a", "the and of", "sch ei der und die",
+      "中文 text here", "le et les eau ou", "x  y", "\t\nmulti\r\nws")
+      .toDF("text")
+    Seq(docs, edge).foreach { d =>
+      val diff = d.select(
+        TextStats.langId(col("text")).as("ln"),
+        TextStats.langIdComposed(col("text")).as("lc"),
+        TextStats.qualityScore(col("text")).as("qn"),
+        TextStats.qualityScoreComposed(col("text")).as("qc"),
+        TextStats.fingerprint(col("text")).as("fn"),
+        TextStats.fingerprintComposed(col("text")).as("fc"))
+        .filter(not(col("ln") === col("lc")) ||
+          not(col("qn") === col("qc")) ||   // bitwise double equality
+          not(col("fn") === col("fc")))
+      assert(diff.count() === 0)
+    }
+  }
+
   test("prefix-filtered exact near-dup equals brute-force all-pairs jaccard") {
     import graft.text.ExactNearDup
     import graft.functions.Num
