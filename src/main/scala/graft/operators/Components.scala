@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step of near-duplicate deduplication: docs linked by any near-dup
+  * pair form one cluster, and the cluster keeps min(doc_id) as its
+  * representative (every other member is the duplicate set).
+  *
+  * Algorithm: minimum-label propagation. Each node starts labeled with
+  * itself; every round each node takes the min label among itself and
+  * its neighbors; stop when no label changes. Rounds are bounded by the
+  * component diameter (near-dup clusters are small and dense, so
+  * a handful of rounds) and each round is one hash-shuffle join on node
+  * id — the GraphX-free, pure-DataFrame formulation. `localCheckpoint`
+  * truncates the loop's lineage so plans don't grow with iterations.
+  *
+  * The reference has no graph surface at all; this is beyond-parity for
+  * the curation pipeline (dedup keeps one representative per cluster).
+  */
+object Components {
+
+  /** @param edges two-column DataFrame (srcCol, dstCol), undirected
+    * @return (id, rep): every node that appears in an edge, with the
+    *         min node id of its component
+    */
+  def connected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // min neighbor label per node
+      val nbr = sym
+        .join(labels.select(col("id").as("a"), col("rep").as("na")), "a")
+        .groupBy(col("b").as("id"))
+        .agg(min(col("na")).as("nrep"))
+      val next = labels
+        .join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.select(col("id"), col("rep").as("r2"))
+        .join(labels, "id")
+        .filter(col("r2") =!= col("rep")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+}

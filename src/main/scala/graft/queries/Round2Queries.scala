@@ -142,6 +142,24 @@ object Round2Queries {
              CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
              FROM customer GROUP BY 1""")),
 
+    // near-dup CLUSTERING: connected components over the exact near-dup
+    // pairs — min-label propagation (log-diameter rounds, one keyed
+    // shuffle each); each doc maps to its cluster representative
+    // min(doc_id). Oracle = recursive CTE over the same pair SQL.
+    "q114_dedup_clusters" -> QueryDef(
+      (s, d) => graft.operators.Components
+        .connected(TextQueries.exactPairs(s, d), "id1", "id2")
+        .select(col("id").as("doc_id"), col("rep")),
+      Some(s"""WITH RECURSIVE ${TextQueries.pairsOracleCtes},
+             edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+             reach(id, r) AS (
+               SELECT DISTINCT a, a FROM edges
+               UNION
+               SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+             SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
+             FROM reach GROUP BY 1""")),
+
     // stream-stream interval join (purchases ⋈ same-user clicks within
     // 30 min) — watermarks on both sides bound the state store; the
     // oracle is the equivalent batch interval join.

@@ -10,6 +10,61 @@ import graft.text.{ExactNearDup, MinHash, Shingles, SimHash, TextStats}
   */
 object TextQueries {
 
+  /** q54's exact near-dup pairs — also the edge list for the cluster
+    * step (q114). Shared so the cached shingle subplan is reused.
+    */
+  def exactPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+      .cache() // shared with q55's identical subplan via CacheManager
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // group the inverted index by shingle and expand doc-id pairs
+    // map-side (native PackedPairs); singleton shingles contribute
+    // no pairs and are filtered free.
+    val lists = inv.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val common = lists.select(explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.text.PackedPairs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("common"))
+      .select(shiftrightunsigned(col("pk"), 32).as("id1"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
+        col("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard", Num.rnd(
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Oracle CTE chain ending in `pairs(id1, id2, jaccard)` — the naive
+    * inverted-index algorithm; shared by q54 and q114's recursive
+    * clustering oracle.
+    */
+  val pairsOracleCtes: String =
+    """sh AS (
+       SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents)),
+     sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+     inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+     common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+     pairs AS (SELECT id1, id2, j AS jaccard FROM (
+                 SELECT id1, id2,
+                   round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
+                 FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
+                             JOIN sizes s2 ON common.id2 = s2.doc_id)
+               WHERE j >= 0.5)"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // token counting + quality metrics — single codegen'd scan pass.
@@ -91,51 +146,8 @@ object TextQueries {
     // measured 2.1s vs 10s at sf0.1. ExactNearDup is the right tool at
     // t >= 0.8, where prefixes are tiny).
     "q54_ngram_jaccard" -> QueryDef(
-      (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
-          .cache() // shared with q55's identical subplan via CacheManager
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-        val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        // group the inverted index by shingle and expand doc-id pairs
-        // map-side (native PackedPairs); singleton shingles contribute
-        // no pairs and are filtered free.
-        val lists = inv.groupBy("s")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-        val common = lists.select(explode(
-            org.apache.spark.sql.graftbridge.ColumnBridge.column(
-              graft.text.PackedPairs(
-                org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
-          .groupBy("pk")
-          .agg(count(lit(1)).as("common"))
-          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
-            col("common"))
-        common
-          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-          .withColumn("jaccard", Num.rnd(
-            col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id1"), col("id2"), col("jaccard"))
-      },
-      Some("""WITH sh AS (
-               SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-                     FROM documents)),
-             sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-             inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-                        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                        GROUP BY 1, 2)
-             SELECT id1, id2, j AS jaccard FROM (
-               SELECT id1, id2,
-                 round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
-               FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
-                           JOIN sizes s2 ON common.id2 = s2.doc_id)
-             WHERE j >= 0.5"""),
+      (s, d) => exactPairs(s, d),
+      Some(s"WITH $pairsOracleCtes SELECT id1, id2, jaccard FROM pairs"),
       headline = true),
 
     // MinHash+LSH near-dup (shingle→minhash→band→bucket-join) — the

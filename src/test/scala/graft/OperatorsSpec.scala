@@ -6,6 +6,18 @@ import graft.functions.{PandasArith, ProdAgg}
 import graft.operators._
 
 class OperatorsSpec extends SparkSpec {
+
+  test("connected components: chain, triangle, isolated pair") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 (+ closing edge), pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("id1", "id2")
+    val got = graft.operators.Components.connected(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
   import spark.implicits._
 
   test("pymod matches Python sign-of-divisor semantics") {
