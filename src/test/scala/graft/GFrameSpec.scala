@@ -122,6 +122,27 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(5, "v") === None) // out of bounds (pandas: IndexError)
   }
 
+  test("operators behave on empty frames (no crash, empty results)") {
+    val empty = li.apply(col("l_quantity") < -1) // impossible predicate
+    assert(empty.df.count() === 0)
+    assert(empty.groupby("l_returnflag").sum("l_quantity").df.count() === 0)
+    assert(empty.sortValues(Seq("l_quantity")).head(5).df.count() === 0)
+    assert(empty.dropDuplicates(Seq("l_orderkey")).df.count() === 0)
+    assert(empty.merge(orders.rename("o_orderkey" -> "l_orderkey"),
+      Seq("l_orderkey")).df.count() === 0)
+    assert(empty.describe("l_quantity").df
+      .filter(col("summary") === "count").head().getDouble(1) === 0.0)
+    // global reduction on empty: sum -> null (pandas: 0/NaN depending on
+    // min_count; Spark null — document divergence), count -> 0
+    val red = empty.df.agg(sum("l_quantity"), count(lit(1))).head()
+    assert(red.isNullAt(0) && red.getLong(1) === 0L)
+    // empty near-dup edge list -> empty components
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(graft.operators.Components.connected(noEdges, "id1", "id2")
+      .count() === 0)
+  }
+
   test("clip passes null and NaN through instead of resurrecting a bound") {
     val g = GFrame(Seq(Some(1.0), Some(50.0), None, Some(Double.NaN))
       .toDF("v"))
