@@ -43,26 +43,39 @@ object AsOfJoin {
     * @param leftTime    event-time column on the left (long/timestamp)
     * @param rightTime   event-time column on the right
     * @param payload     right columns to carry (must not collide with left)
+    * @param tolerance   max allowed `leftTime - rightTime` distance (in
+    *                    the ordering-key unit: µs for timestamps, raw
+    *                    units for longs) — pandas merge_asof(tolerance=);
+    *                    a match farther back yields null payloads
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     // Identical schemas: key, __t, __tag, left columns (null on right
     // rows), payload (null on left rows). __tag=0 sorts right rows first
-    // at equal timestamps → inclusive (<=) asof semantics.
+    // at equal timestamps → inclusive (<=) asof semantics. __rt carries
+    // the matched right row's time for the tolerance check.
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
       (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(1).as("__tag")) ++
-        leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
+        leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
+        lit(null).cast("long").as("__rt")): _*)
     val r = right.select(
       (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
-        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
+        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
+        ordKey(right, rightTime).as("__rt")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r))((d, c) =>
+    val carried = (payload :+ "__rt").foldLeft(l.unionByName(r))((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__tag") === 1).drop("__t", "__tag")
+    val bounded = tolerance.fold(carried) { tol =>
+      payload.foldLeft(carried)((d, c) =>
+        d.withColumn(c,
+          when(col("__t") - col("__rt") > tol, lit(null)).otherwise(col(c))))
+    }
+    bounded.filter(col("__tag") === 1).drop("__t", "__tag", "__rt")
   }
 
   /** Forward direction: smallest `rightTime >= leftTime` within the key
@@ -72,19 +85,27 @@ object AsOfJoin {
     */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              payload: Seq[String]): DataFrame = {
+              payload: Seq[String],
+              tolerance: Option[Long] = None): DataFrame = {
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
       (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(0).as("__tag")) ++
-        leftOnly.map(col) ++ payload.map(p => lit(null).as(p))): _*)
+        leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
+        lit(null).cast("long").as("__rt")): _*)
     val r = right.select(
       (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(1).as("__tag")) ++
-        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col)): _*)
+        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
+        ordKey(right, rightTime).as("__rt")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").desc, col("__tag").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r))((d, c) =>
+    val carried = (payload :+ "__rt").foldLeft(l.unionByName(r))((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__tag") === 0).drop("__t", "__tag")
+    val bounded = tolerance.fold(carried) { tol =>
+      payload.foldLeft(carried)((d, c) =>
+        d.withColumn(c,
+          when(col("__rt") - col("__t") > tol, lit(null)).otherwise(col(c))))
+    }
+    bounded.filter(col("__tag") === 0).drop("__t", "__tag", "__rt")
   }
 }

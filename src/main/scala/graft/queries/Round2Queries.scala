@@ -142,6 +142,68 @@ object Round2Queries {
              CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
              FROM customer GROUP BY 1""")),
 
+    // rank / dense_rank / percent_rank within groups (pandas
+    // Series.rank variants) — hash-partitioned windows.
+    "q115_rank" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d).filter(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            Num.rnd(percent_rank().over(w), 6).as("prnk"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk
+             FROM orders WHERE o_custkey < 200
+             WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC)""")),
+
+    // qcut: quantile binning via ntile (equal-count buckets in the
+    // given order; ties broken by key for determinism).
+    "q116_qcut" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), ntile(4).over(w).as("bal_quartile"))
+      },
+      Some("""SELECT c_custkey,
+             CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER)
+               AS bal_quartile
+             FROM customer""")),
+
+    // merge_asof(tolerance=): most recent same-user click value within
+    // 10 minutes before each purchase; older matches null out.
+    "q117_asof_tolerance" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        // right side deduped per (user, time) so the matched row is
+        // well-defined under timestamp collisions
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("ctus"))
+          .agg(max(col("value")).as("click_value"))
+        graft.operators.AsOfJoin.backward(purchases, clicks, "user_id",
+            "tus", "ctus", Seq("click_value"), tolerance = Some(600000000L))
+          .select(col("event_id"), col("user_id"),
+            Num.rnd(col("click_value"), 6).as("click_value"))
+      },
+      Some("""WITH clicks AS (
+               SELECT user_id, epoch_us(ts) AS ctus, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             SELECT p.event_id, p.user_id,
+               round((SELECT c.click_value FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND c.ctus <= epoch_us(p.ts)
+                        AND c.ctus >= epoch_us(p.ts) - 600000000
+                      ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
+             FROM events p WHERE p.event_type = 'purchase'""")),
+
     // near-dup CLUSTERING: connected components over the exact near-dup
     // pairs — min-label propagation (log-diameter rounds, one keyed
     // shuffle each); each doc maps to its cluster representative

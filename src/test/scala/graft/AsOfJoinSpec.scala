@@ -48,6 +48,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd.getAs[Long]("p") === 2L) // earliest >= 10.2s is 10.5s
   }
 
+  test("tolerance nulls matches farther back than the bound") {
+    val l = Seq(("k", 100L, "e1"), ("k", 200L, "e2")).toDF("key", "t", "ev")
+    val r = Seq(("k", 95L, 1L), ("k", 120L, 2L)).toDF("key", "rt", "p")
+    val got = AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p"),
+        tolerance = Some(10L))
+      .collect().map(row => row.getAs[String]("ev") ->
+        (if (row.isNullAt(row.fieldIndex("p"))) null else row.getAs[Long]("p"))).toMap
+    assert(got("e1") === 1L)   // t=100, match rt=95 → distance 5 <= 10
+    assert(got("e2") === null) // t=200, nearest rt=120 → distance 80 > 10
+    val fwd = AsOfJoin.forward(l, r, "key", "t", "rt", Seq("p"),
+        tolerance = Some(25L))
+      .collect().map(row => row.getAs[String]("ev") ->
+        (if (row.isNullAt(row.fieldIndex("p"))) null else row.getAs[Long]("p"))).toMap
+    assert(fwd("e1") === 2L)   // t=100 → rt=120, distance 20 <= 25
+    assert(fwd("e2") === null) // no rt >= 200
+  }
+
   test("ties at identical timestamps take the right row (inclusive <=)") {
     val l = Seq(("k", 10L, "x")).toDF("key", "t", "ev")
     val r = Seq(("k", 10L, 1L)).toDF("key", "rt", "p")
