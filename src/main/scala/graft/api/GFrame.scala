@@ -391,6 +391,30 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(Cumulative.globalScan(df, index, valueCol, outCol, Cumulative.SumOp), index)
   }
 
+  /** qcut(k): quantile binning into k equal-count buckets in
+    * (orderCol, tiebreak) order — SQL ntile semantics (the first
+    * n mod k buckets take one extra row), but computed with the
+    * distributed global row number instead of a single-partition
+    * window: one range shuffle + a count action, scale-safe.
+    */
+  def qcut(orderCol: String, k: Int, outCol: String,
+           tiebreak: Seq[String] = Seq()): GFrame = {
+    val n = df.count()
+    val q = n / k
+    val r = n % k
+    val numbered = Cumulative.globalRowNumber(df,
+      orderCol +: tiebreak, "__rn")
+    // ntile: rank <= r*(q+1) → bucket (rank-1)/(q+1)+1, else
+    // r + (rank - r*(q+1) - 1)/q + 1   (integer division)
+    val rn = col("__rn")
+    val bucket =
+      if (q == 0) rn // more buckets than rows: ntile gives one row each
+      else when(rn <= r * (q + 1),
+          (rn - 1) / (q + 1) + 1)
+        .otherwise(lit(r) + (rn - lit(r * (q + 1)) - 1) / q + 1)
+    GFrame(numbered.withColumn(outCol, bucket.cast("int")).drop("__rn"), index)
+  }
+
   // ---- IO (§2.1) ----
 
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)

@@ -103,6 +103,32 @@ object Cumulative {
       .drop("__pid")
   }
 
+  /** Distributed GLOBAL row number in `orderCols` order — the same
+    * two-phase shape as [[globalScan]] (range shuffle, per-partition
+    * counts to the driver, partition-local row_number + offset). The
+    * naive `row_number().over(Window.orderBy(...))` funnels everything
+    * through one partition; this never does.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      outCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    sorted
+      .withColumn(outCol, row_number().over(w).cast("long") +
+        coalesce(element_at(typedlit(offsets.toMap), col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
+
   /** Per-group cumulative via a partitioned window — one hash shuffle on
     * the group keys; safe at scale when groups are small relative to a
     * partition.

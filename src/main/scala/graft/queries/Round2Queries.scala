@@ -162,15 +162,13 @@ object Round2Queries {
              WINDOW w AS (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC)""")),
 
-    // qcut: quantile binning via ntile (equal-count buckets in the
-    // given order; ties broken by key for determinism).
+    // qcut: quantile binning, ntile semantics — computed via the
+    // distributed global row number (range shuffle + partition offsets),
+    // NOT a single-partition ntile window; the oracle is plain ntile.
     "q116_qcut" -> QueryDef(
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-        Tables.customer(s, d)
-          .select(col("c_custkey"), ntile(4).over(w).as("bal_quartile"))
-      },
+      (s, d) => GFrame(Tables.customer(s, d))
+        .qcut("c_acctbal", 4, "bal_quartile", tiebreak = Seq("c_custkey"))
+        .df.select(col("c_custkey"), col("bal_quartile")),
       Some("""SELECT c_custkey,
              CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER)
                AS bal_quartile

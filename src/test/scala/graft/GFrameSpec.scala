@@ -122,6 +122,18 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(5, "v") === None) // out of bounds (pandas: IndexError)
   }
 
+  test("distributed qcut equals the single-partition ntile window") {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val viaWindow = orders.df
+      .select(col("o_orderkey"), ntile(7).over(w).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaQcut = orders.qcut("o_totalprice", 7, "b", Seq("o_orderkey"))
+      .df.select("o_orderkey", "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaQcut === viaWindow)
+  }
+
   test("operators behave on empty frames (no crash, empty results)") {
     val empty = li.apply(col("l_quantity") < -1) // impossible predicate
     assert(empty.df.count() === 0)
