@@ -220,6 +220,41 @@ object Round2Queries {
              SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
              FROM reach GROUP BY 1""")),
 
+    // TF-IDF top terms per document — tf × (N/df) rational variant (no
+    // log, so the doubles match any engine bit-for-bit), ranked with the
+    // custom bounded-heap GroupTopK. The inverted index shuffles (term,
+    // doc, tf) longs; idf joins on the term dimension.
+    "q118_tfidf" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(df_, "term")
+          .withColumn("score", Num.rnd(
+            col("tf") * (lit(n.toDouble) / col("df")), 6))
+        graft.plans.GroupTopK.topKPerKey(
+            scored.select("doc_id", "term", "score"),
+            Seq("doc_id"), Seq(("score", true), ("term", false)), 3)
+          .select("doc_id", "term", "score")
+      },
+      Some("""WITH terms AS (
+               SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+             n AS (SELECT count(*) AS n FROM documents)
+             SELECT doc_id, term,
+               round(tf * ((SELECT n FROM n) * 1.0 / df), 6) AS score
+             FROM tf JOIN df USING (term)
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) <= 3"""),
+      headline = false),
+
     // stream-stream interval join (purchases ⋈ same-user clicks within
     // 30 min) — watermarks on both sides bound the state store; the
     // oracle is the equivalent batch interval join.

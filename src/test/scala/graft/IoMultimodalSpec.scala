@@ -50,6 +50,24 @@ class IoMultimodalSpec extends SparkSpec {
     assert(got.filter(col("v") === "x").count() === 1)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    val dir = "/root/repo/target/tmp/dyn_overwrite_spec"
+    val li = Tables.lineitem(spark, sf)
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val nA = before.filter(col("l_returnflag") === "A").count()
+    val nR = before.filter(col("l_returnflag") === "R").count()
+    assert(nA > 0 && nR > 0)
+    // overwrite ONLY the R partition with its first 10 rows
+    val replacement = li.filter(col("l_returnflag") === "R").limit(10)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("l_returnflag") === "A").count() === nA) // untouched
+    assert(after.filter(col("l_returnflag") === "R").count() === 10) // replaced
+  }
+
   test("CsvPandas: multi-file read unions all paths") {
     val d1 = "/root/repo/target/tmp/csv_multi_1"
     val d2 = "/root/repo/target/tmp/csv_multi_2"
