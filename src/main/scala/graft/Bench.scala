@@ -15,10 +15,14 @@ object Bench {
 
     val names = SparkEntry.benchNames
     val qmap = SparkEntry.queries
-    // Full warmup pass: JIT + codegen + parquet footer caches. The timed
-    // pass then measures engine throughput, not first-call compilation.
-    names.foreach { n =>
-      try qmap(n)(spark, sfDir).count() catch { case _: Throwable => }
+    // Two full warmup passes: the first pays codegen compilation and
+    // parquet footer reads, the second lets C2 finish JITing the
+    // generated code. The timed pass then measures steady-state engine
+    // throughput, not compilation.
+    (1 to 2).foreach { _ =>
+      names.foreach { n =>
+        try qmap(n)(spark, sfDir).count() catch { case _: Throwable => }
+      }
     }
 
     // (time, succeeded) per query — a query that throws must NOT be

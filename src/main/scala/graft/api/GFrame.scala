@@ -47,6 +47,33 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def assign(name: String, value: Column): GFrame =
     GFrame(df.withColumn(name, value), index)
 
+  def addSuffix(s: String): GFrame =
+    GFrame(Projections.addSuffix(df, s), index.map(_ + s))
+
+  /** set_axis(labels, axis=1): rename every column positionally
+    * (reference `frontend/frame.py:864-872`).
+    */
+  def setAxis(names: Seq[String]): GFrame = {
+    require(names.size == df.columns.length,
+      s"set_axis needs ${df.columns.length} names")
+    val mapping = df.columns.zip(names).toMap
+    GFrame(df.toDF(names: _*), index.map(mapping))
+  }
+
+  /** copy(): metadata-only in the reference (copy-on-write regions);
+    * DataFrames are immutable so this is the identity — kept for API
+    * parity.
+    */
+  def copy(): GFrame = this
+
+  /** squeeze(): a single-data-column frame exposed as that column's
+    * values (index + the column); multi-column frames are unchanged,
+    * like pandas.
+    */
+  def squeeze(): GFrame =
+    if (dataCols.size == 1) GFrame(df.select((index ++ dataCols).map(col): _*), index)
+    else this
+
   /** df.query(expr) with @refs (§2.9). */
   def query(expr: String, refs: Map[String, Any] = Map()): GFrame =
     GFrame(QueryCompiler.query(df, expr, refs), index)

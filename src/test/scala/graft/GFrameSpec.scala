@@ -122,6 +122,18 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(5, "v") === None) // out of bounds (pandas: IndexError)
   }
 
+  test("setAxis/addSuffix/squeeze/copy metadata ops") {
+    val g = GFrame(Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    assert(g.setAxis(Seq("key", "value")).df.columns.toSeq === Seq("key", "value"))
+    assert(g.setAxis(Seq("key", "value")).index === Seq("key"))
+    assert(g.addSuffix("_s").df.columns.toSeq === Seq("k_s", "v_s"))
+    assert(g.addSuffix("_s").index === Seq("k_s"))
+    assert(g.copy().df.columns.toSeq === g.df.columns.toSeq)
+    assert(g.squeeze().df.columns.toSeq === Seq("k", "v")) // 1 data col: index + values
+    val multi = GFrame(Seq((1L, "a", "b")).toDF("k", "v", "w"), Seq("k"))
+    assert(multi.squeeze().df.columns.toSeq === Seq("k", "v", "w")) // unchanged
+  }
+
   test("distributed qcut equals the single-partition ntile window") {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
