@@ -506,6 +506,30 @@ final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
       col(valueCol) - lag(col(valueCol), periods).over(w(orderBy))), frame.index)
   }
 
+  /** groupby(...).rolling(window).agg — trailing-row window per group
+    * with pandas min_periods semantics (rows before a full window yield
+    * null, unlike SQL's partial-frame aggregates).
+    */
+  def rolling(valueCol: String, orderBy: Seq[String], window: Int,
+              fn: String = "mean", minPeriods: Int = -1,
+              outCol: String = ""): GFrame = {
+    val mp = if (minPeriods > 0) minPeriods else window
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_roll_$fn"
+    val fr = w(orderBy).rowsBetween(-(window - 1), 0)
+    val c = col(valueCol)
+    import org.apache.spark.sql.{functions => F}
+    val aggd = fn match {
+      case "mean" => F.avg(c).over(fr)
+      case "sum"  => F.sum(c).over(fr)
+      case "min"  => F.min(c).over(fr)
+      case "max"  => F.max(c).over(fr)
+      case other  => throw new IllegalArgumentException(other)
+    }
+    val n = F.count(c).over(fr)
+    GFrame(frame.df.withColumn(out,
+      when(n < mp, lit(null)).otherwise(aggd)), frame.index)
+  }
+
   /** groupby(...).pct_change(): relative change vs the previous value. */
   def pctChange(valueCol: String, orderBy: Seq[String],
                 outCol: String = ""): GFrame = {

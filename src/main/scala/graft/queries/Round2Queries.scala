@@ -220,6 +220,35 @@ object Round2Queries {
              SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
              FROM reach GROUP BY 1""")),
 
+    // resample('1H'): event-time bucketing to hourly stats (batch twin
+    // of the streaming windowed agg q67).
+    "q120_resample" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Num.rnd(min(col("value")), 6).as("v_min"),
+          Num.rnd(max(col("value")), 6).as("v_max")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(min(value), 6) AS v_min,
+             round(max(value), 6) AS v_max
+             FROM events GROUP BY 1, 2""")),
+
+    // rolling(3).mean per user with pandas min_periods (leading rows
+    // null until the window fills — SQL's partial frames don't).
+    "q121_rolling" -> QueryDef(
+      (s, d) => GFrame(Tables.events(s, d).filter(col("user_id") < 50))
+        .groupby("user_id")
+        .rolling("value", Seq("ts", "event_id"), window = 3)
+        .df.select(col("event_id"), col("user_id"),
+          Num.rnd(col("value_roll_mean"), 6).as("roll_mean")),
+      Some("""SELECT event_id, user_id,
+             round(CASE WHEN count(value) OVER w < 3 THEN NULL
+                   ELSE avg(value) OVER w END, 6) AS roll_mean
+             FROM events WHERE user_id < 50
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")),
+
     // TF-IDF top terms per document — tf × (N/df) rational variant (no
     // log, so the doubles match any engine bit-for-bit), ranked with the
     // custom bounded-heap GroupTopK. The inverted index shuffles (term,
