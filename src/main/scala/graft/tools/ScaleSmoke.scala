@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x scale-up smoke: derive a ~sf1 dataset from sf0.1 (union with
+  * shifted keys — target/tmp only, never touching the oracle testdata),
+  * then time the heavy headline queries on it. Proves the plans scale
+  * with data volume, not just pass at gate SF.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(master = "local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/tmp/sf1ish"
+    val mult = 10
+
+    def replicate(name: String, df: DataFrame, idCols: Seq[String], shift: Long): Unit = {
+      val p = s"$out/$name.parquet"
+      if (!new java.io.File(p).exists()) {
+        val copies = (0 until mult).map { k =>
+          idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * shift)))
+        }
+        copies.reduce(_.unionByName(_)).write.mode(SaveMode.Overwrite).parquet(p)
+      }
+    }
+    // documents: doc_ids shifted per copy so near-dup pairs stay intra-copy
+    replicate("documents", Tables.documents(spark, src), Seq("doc_id"), 1000000L)
+    replicate("embeddings", Tables.embeddings(spark, src), Seq("vec_id"), 1000000L)
+    replicate("lineitem", Tables.lineitem(spark, src), Seq("l_orderkey"), 100000000L)
+    replicate("orders", Tables.orders(spark, src), Seq("o_orderkey"), 100000000L)
+    // customer unchanged (dim): copy once
+    val custP = s"$out/customer.parquet"
+    if (!new java.io.File(custP).exists())
+      Tables.customer(spark, src).write.mode(SaveMode.Overwrite).parquet(custP)
+    // events is TIMESTAMP(NANOS) parquet (needs Tables.events' special
+    // read path) and no smoke query uses it — copy the plain dims only.
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      val p = s"$out/$t.parquet"
+      if (!new java.io.File(p).exists())
+        spark.read.parquet(s"$src/$t.parquet").write.mode(SaveMode.Overwrite).parquet(p)
+    }
+
+    val names = Seq("q54_ngram_jaccard", "q55_minhash_lsh", "q102_curation_pipeline",
+      "q87_etl_pipeline", "q46_cumsum_global", "q97_group_topk", "q88_embed_centroid",
+      "q58_ann_brute", "q114_dedup_clusters")
+    val qmap = SparkEntry.queries
+    names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      val rows = try qmap(n)(spark, out).count() catch { case e: Throwable =>
+        println(s"FAILED $n: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$n: $dt%.2fs rows=$rows")
+      n -> dt
+    }
+    println(f"TOTAL: ${results.map(_._2).sum}%.2fs")
+    spark.stop()
+  }
+}
