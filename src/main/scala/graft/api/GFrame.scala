@@ -277,6 +277,25 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def nlargest(n: Int, by: String): GFrame =
     GFrame(Sorts.topK(df, Seq(by), Seq(false), n), index)
 
+  def nsmallest(n: Int, by: String): GFrame =
+    GFrame(Sorts.topK(df, Seq(by), Seq(true), n), index)
+
+  /** pandas replace(dict) on one column — exact-value substitution. */
+  def replaceValues(c: String, mapping: Map[Any, Any]): GFrame =
+    GFrame(df.withColumn(c, mapping.foldLeft(when(lit(false), col(c))) {
+      case (acc, (from, to)) => acc.when(col(c) === lit(from), lit(to))
+    }.otherwise(col(c))), index)
+
+  /** duplicated(subset, keep='first'): boolean column marking every row
+    * after the first occurrence (in index order) of its key.
+    */
+  def duplicated(subset: Seq[String], outCol: String = "duplicated"): GFrame = {
+    require(index.nonEmpty, "duplicated requires an index for 'first' order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(subset.map(col): _*).orderBy(index.map(col): _*)
+    GFrame(df.withColumn(outCol, row_number().over(w) > 1), index)
+  }
+
   /** groupby(...).head-of-each-group: top-k rows per group via the
     * custom bounded-heap operator (plans/GroupTopK — no per-group sort).
     */

@@ -220,6 +220,35 @@ object Round2Queries {
              SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
              FROM reach GROUP BY 1""")),
 
+    // pandas replace(dict) + duplicated(keep='first') + nsmallest.
+    "q122_replace_dup" -> QueryDef(
+      (s, d) => GFrame(Tables.orders(s, d), Seq("o_orderkey"))
+        .replaceValues("o_orderstatus",
+          Map("O" -> "OPEN", "F" -> "FILLED", "P" -> "PARTIAL"))
+        .duplicated(Seq("o_custkey"), "dup")
+        .df.select(col("o_orderkey"), col("o_orderstatus"), col("dup")),
+      Some("""SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+                  WHEN 'P' THEN 'PARTIAL' ELSE o_orderstatus END AS o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1 AS dup
+             FROM orders""")),
+
+    // idxmax per group: the orderkey holding each customer's max price
+    // (Spark max_by ≡ DuckDB arg_max; o_orderkey tiebreak via struct
+    // ordering is avoided by the unique price... prices can tie, so take
+    // max over (price, orderkey) pairs — deterministic in both engines).
+    "q124_idxmax" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
+          Num.rnd(col("m.o_totalprice"), 2).as("best_price")),
+      Some("""SELECT o_custkey, o_orderkey AS best_order,
+             round(o_totalprice, 2) AS best_price
+             FROM orders
+             QUALIFY row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) = 1""")),
+
     // resample('1H'): event-time bucketing to hourly stats (batch twin
     // of the streaming windowed agg q67).
     "q120_resample" -> QueryDef(
