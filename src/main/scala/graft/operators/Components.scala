@@ -40,10 +40,17 @@ object Components {
         .join(labels.select(col("id").as("a"), col("rep").as("na")), "a")
         .groupBy(col("b").as("id"))
         .agg(min(col("na")).as("nrep"))
-      val next = labels
+      val prop = labels
         .join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // pointer jumping: also adopt the label OF my label — collapses a
+      // diameter-d chain in O(log d) rounds instead of O(d)
+      val next = prop
+        .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
+          Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint(true)
       changed = next.select(col("id"), col("rep").as("r2"))
         .join(labels, "id")

@@ -18,6 +18,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("connected components converges on a long chain (pointer jumping)") {
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = graft.operators.Components.connected(chain, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 61)
+    assert(got.forall(_._2 === 0L)) // one component rooted at 0
+  }
   import spark.implicits._
 
   test("pymod matches Python sign-of-divisor semantics") {
