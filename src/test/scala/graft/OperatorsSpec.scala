@@ -19,6 +19,19 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("percentile_approx tracks exact percentiles within accuracy bound") {
+    // the scale path for quantiles: a fixed-size sketch per partition
+    // merged once — exact percentile (q95) needs a full sort. accuracy
+    // 10000 → rank error <= n/10000.
+    val df = Tables.lineitem(spark, sf)
+    val got = df.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50e")).head()
+    val (approx, exact) = (got.getDouble(0), got.getDouble(1))
+    // with accuracy 10000 and ~6k rows the sketch is effectively exact
+    assert(math.abs(approx - exact) / exact < 0.01, s"$approx vs $exact")
+  }
+
   test("connected components converges on a long chain (pointer jumping)") {
     import spark.implicits._
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
