@@ -469,6 +469,15 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     graft.io.CsvPandas.write(df, path, singleFile = singleFile)
 
   def cache(): GFrame = GFrame(df.cache(), index)
+
+  /** The reference's explicit pre-partition hint `df._shuffle(keys)`
+    * (`core/table.py:1004-1028`, used by its mortgage benchmark to
+    * co-locate later joins/groupbys): hash-repartition on the keys.
+    * Catalyst's EnsureRequirements then elides the exchanges of every
+    * downstream operator clustered on the same keys.
+    */
+  def shuffle(keys: String*): GFrame =
+    GFrame(df.repartition(keys.map(col): _*), index)
 }
 
 object GFrame {

@@ -202,6 +202,13 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // stream-static join: per-microbatch broadcast dimension enrichment.
+    "q125_stream_static" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.streamStaticJoin(s, d),
+      Some("""SELECT CAST(CASE WHEN user_id < 1000 THEN user_id % 5 END AS INTEGER) AS cohort,
+             CAST(count(*) AS BIGINT) AS n
+             FROM events WHERE event_type = 'purchase' GROUP BY 1""")),
+
     // near-dup CLUSTERING: connected components over the exact near-dup
     // pairs — min-label propagation (log-diameter rounds, one keyed
     // shuffle each); each doc maps to its cluster representative

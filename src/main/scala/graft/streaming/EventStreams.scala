@@ -113,6 +113,29 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-static join: enrich the event stream with a static
+    * dimension (broadcast per microbatch — the standard streaming
+    * dimension-lookup; the static side can be swapped for a slowly
+    * changing table without touching the stream).
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("user_id"),
+        (col("id") % 5).cast("int").as("cohort"))
+    val joined = readEventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_stream_static"
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Per-user session state for the streaming sessionizer. */
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
 
