@@ -47,6 +47,22 @@ object Joins {
     * dropped from the output like pandas does for equal-valued keys on
     * inner/left; for outer the keys are coalesced.
     */
+  /** pandas merge treats null keys as EQUAL (NaN joins NaN) — SQL
+    * equality drops them. Null-safe variant via `<=>`, matching the
+    * reference's merge-with-nulls tests (tests/pandas/df_merge*nulls).
+    */
+  def mergeNullSafe(left: DataFrame, right: DataFrame,
+                    leftOn: Seq[String], rightOn: Seq[String],
+                    how: String): DataFrame = {
+    require(leftOn.size == rightOn.size, "left_on/right_on length mismatch")
+    val rightRenamed = rightOn.zip(leftOn).foldLeft(right) {
+      case (d, (rk, lk)) => d.withColumnRenamed(rk, s"__rk_$lk")
+    }
+    val cond = leftOn.map(k => left(k) <=> rightRenamed(s"__rk_$k")).reduce(_ && _)
+    val joined = left.join(rightRenamed, cond, if (how == "outer") "full_outer" else how)
+    leftOn.foldLeft(joined)((d, k) => d.drop(s"__rk_$k"))
+  }
+
   def mergeOn(left: DataFrame, right: DataFrame,
               leftOn: Seq[String], rightOn: Seq[String], how: String): DataFrame = {
     require(leftOn.size == rightOn.size, "left_on/right_on length mismatch")

@@ -202,6 +202,43 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // dt accessor extras: dayofyear / quarter / ISO week.
+    "q126_dt_extras" -> QueryDef(
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        dayofyear(col("ts")).as("doy"),
+        quarter(col("ts")).as("q"),
+        weekofyear(col("ts")).as("iso_week")),
+      Some("""SELECT event_id,
+             CAST(dayofyear(ts) AS INTEGER) AS doy,
+             CAST(quarter(ts) AS INTEGER) AS q,
+             CAST(weekofyear(ts) AS INTEGER) AS iso_week
+             FROM events""")),
+
+    // null-safe merge: pandas joins NaN keys to NaN keys; SQL equality
+    // silently drops them (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM).
+    "q127_null_safe_join" -> QueryDef(
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val l = orders.select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("k"))
+        val r = orders.select(col("o_orderkey").as("r_orderkey"),
+          when(col("o_orderkey") % 20 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("rk"))
+          .filter(col("r_orderkey") < 1000)
+        graft.operators.Joins.mergeNullSafe(l, r, Seq("k"), Seq("rk"), "inner")
+          .groupBy("k").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS k
+               FROM orders),
+             r AS (SELECT o_orderkey AS r_orderkey,
+                 CASE WHEN o_orderkey % 20 = 0 THEN NULL ELSE o_custkey END AS rk
+               FROM orders WHERE o_orderkey < 1000)
+             SELECT k, CAST(count(*) AS BIGINT) AS n
+             FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
+             GROUP BY 1""")),
+
     // stream-static join: per-microbatch broadcast dimension enrichment.
     "q125_stream_static" -> QueryDef(
       (s, d) => graft.streaming.EventStreams.streamStaticJoin(s, d),
