@@ -38,6 +38,31 @@ object Multimodal {
       sequence(lit(0), ((octet_length(payload) - 1) / frameBytes).cast("int")),
       i => substring(payload, (i * frameBytes + 1).cast("int"), lit(frameBytes)))
 
+  /** Stage each document as its own binary file (executor-parallel
+    * writes) — produces the raw-file layout a real multimodal corpus
+    * arrives in, so [[readBinaryDir]] exercises Spark's actual
+    * binaryFile ingest path rather than a cast.
+    */
+  def stageBinaryDir(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.select(col(idCol), col(textCol)).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { row =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${row.getLong(0)}.bin"),
+            row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+  }
+
+  /** The real multimodal source: one row per file with (path, length,
+    * content binary) — schema/partitioning identical at 100 TB, where
+    * the same reader fans file splits across executors.
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
   /** STUB DECODE: deterministic 16-bin normalized byte histogram standing
     * in for image/audio feature extraction. Partition-local, no shuffle.
     */

@@ -202,6 +202,30 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // real binaryFile ingest: stage every document as its own file,
+    // read through Spark's binaryFile source, verify byte-for-byte
+    // against the table (md5 of content vs md5 of the encoded text).
+    "q128_binary_ingest" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/root/repo/target/tmp/binfiles_$safe"
+        val docs = Tables.documents(s, d)
+        graft.multimodal.Multimodal.stageBinaryDir(docs, "doc_id", "text", dir)
+        val files = graft.multimodal.Multimodal.readBinaryDir(s, dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+            col("length"), col("content"))
+        files.join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("length")).as("total_bytes"),
+            sum(when(md5(col("content")) === md5(col("text").cast("binary")), 1L)
+              .otherwise(0L)).as("n_match"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(count(*) AS BIGINT) AS n_match
+             FROM documents""")),
+
     // dt accessor extras: dayofyear / quarter / ISO week.
     "q126_dt_extras" -> QueryDef(
       (s, d) => Tables.events(s, d).select(col("event_id"),
