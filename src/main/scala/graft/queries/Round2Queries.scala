@@ -202,6 +202,19 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // grouped exponentially weighted mean — sequential recurrence per
+    // user, one hash shuffle + partition-local pass. Not expressible in
+    // SQL without overflowing weight sums → rows-only gate; EwmSpec
+    // pins it against a driver-side fold.
+    "q129_ewm" -> QueryDef(
+      (s, d) => graft.operators.Ewm.ewmMean(
+        Tables.events(s, d).filter(col("user_id") < 100)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.3, "ewm")
+        .select(col("event_id"), col("user_id"),
+          Num.rnd(col("ewm"), 6).as("ewm")),
+      None),
+
     // real binaryFile ingest: stage every document as its own file,
     // read through Spark's binaryFile source, verify byte-for-byte
     // against the table (md5 of content vs md5 of the encoded text).
