@@ -437,6 +437,21 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(Cumulative.globalScan(df, index, valueCol, outCol, Cumulative.SumOp), index)
   }
 
+  /** cut(breaks): fixed-width binning — bin i covers
+    * (breaks(i), breaks(i+1)], right-closed like pandas cut; values
+    * outside the break range get null. Pure when-chain, stays in the
+    * scan stage.
+    */
+  def cut(c: String, breaks: Seq[Double], outCol: String): GFrame = {
+    require(breaks.size >= 2, "cut needs at least 2 break points")
+    val v = col(c)
+    val binned = breaks.sliding(2).zipWithIndex.foldLeft(
+      when(lit(false), lit(null))) { case (acc, (Seq(lo, hi), i)) =>
+        acc.when(v > lo && v <= hi, lit(i + 1))
+      }.otherwise(lit(null))
+    GFrame(df.withColumn(outCol, binned.cast("int")), index)
+  }
+
   /** qcut(k): quantile binning into k equal-count buckets in
     * (orderCol, tiebreak) order — SQL ntile semantics (the first
     * n mod k buckets take one extra row), but computed with the

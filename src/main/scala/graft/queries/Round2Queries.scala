@@ -202,6 +202,40 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // cut(): fixed-width binning, right-closed intervals like pandas.
+    "q130_cut" -> QueryDef(
+      (s, d) => GFrame(Tables.lineitem(s, d))
+        .cut("l_quantity", Seq(0.0, 10.0, 25.0, 40.0, 50.0), "q_bin")
+        .df.select(col("l_orderkey"), col("l_linenumber"), col("q_bin")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 1
+                  WHEN l_quantity > 10 AND l_quantity <= 25 THEN 2
+                  WHEN l_quantity > 25 AND l_quantity <= 40 THEN 3
+                  WHEN l_quantity > 40 AND l_quantity <= 50 THEN 4
+                  END AS q_bin
+             FROM lineitem""")),
+
+    // groupby().transform('mean'): the group statistic broadcast back
+    // onto every row — a window aggregate, no join; mean through exact
+    // decimal sums so both engines divide identical doubles.
+    "q131_group_transform" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          Num.rnd(sum(col("l_quantity").cast("decimal(12,2)")).over(w).cast("double")
+            / count(col("l_quantity")).over(w), 6).as("flag_mean"),
+          Num.rnd(col("l_quantity") - sum(col("l_quantity").cast("decimal(12,2)")).over(w)
+            .cast("double") / count(col("l_quantity")).over(w), 6).as("demeaned"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   / count(l_quantity) OVER w, 6) AS flag_mean,
+             round(l_quantity - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   / count(l_quantity) OVER w, 6) AS demeaned
+             FROM lineitem
+             WINDOW w AS (PARTITION BY l_returnflag)""")),
+
     // grouped exponentially weighted mean — sequential recurrence per
     // user, one hash shuffle + partition-local pass. Not expressible in
     // SQL without overflowing weight sums → rows-only gate; EwmSpec
