@@ -64,4 +64,20 @@ object StringOps {
 
   /** to_datetime with strptime format (`src/string/tasks/to_datetime.cc:314`). */
   def toDatetime(c: Column, fmt: String): Column = Casts.toDatetime(c, fmt)
+
+  // pandas str accessor breadth (each a direct builtin mapping)
+  def startswith(c: Column, p: String): Column = c.startsWith(p)
+  def endswith(c: Column, p: String): Column = c.endsWith(p)
+  def len(c: Column): Column = length(c)
+  /** str.slice(start, stop) — 0-based half-open like Python. */
+  def slice(c: Column, start: Int, stop: Int): Column =
+    substring(c, start + 1, stop - start)
+  def repeat(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.repeat(c, n)
+  def reverse(c: Column): Column = org.apache.spark.sql.functions.reverse(c)
+  /** str.find: 0-based index of first occurrence, -1 if absent. */
+  def find(c: Column, sub: String): Column = instr(c, sub) - 1
+  /** str.count(pat): non-overlapping literal occurrences. */
+  def countMatches(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length).cast("int")
 }

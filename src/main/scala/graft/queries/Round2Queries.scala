@@ -202,6 +202,53 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // str accessor breadth: startswith/endswith/len/slice/repeat/
+    // reverse/find/count — each mirrored 1:1 in the oracle.
+    "q132_str_accessors" -> QueryDef(
+      (s, d) => {
+        import graft.functions.StringOps
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          StringOps.startswith(col("c_name"), "Customer#0000001").as("sw"),
+          StringOps.endswith(col("c_name"), "5").as("ew"),
+          StringOps.len(col("c_name")).as("ln"),
+          StringOps.slice(col("c_name"), 9, 13).as("sl"),
+          StringOps.repeat(col("c_mktsegment"), 2).as("rep"),
+          StringOps.reverse(col("c_mktsegment")).as("rev"),
+          StringOps.find(col("c_name"), "9").as("f9"),
+          StringOps.countMatches(col("c_name"), "0").as("n0"))
+      },
+      Some("""SELECT c_custkey,
+             starts_with(c_name, 'Customer#0000001') AS sw,
+             c_name LIKE '%5' AS ew,
+             CAST(length(c_name) AS INTEGER) AS ln,
+             substr(c_name, 10, 4) AS sl,
+             repeat(c_mktsegment, 2) AS rep,
+             reverse(c_mktsegment) AS rev,
+             CAST(strpos(c_name, '9') - 1 AS INTEGER) AS f9,
+             CAST((length(c_name) - length(replace(c_name, '0', ''))) AS INTEGER) AS n0
+             FROM customer""")),
+
+    // mode per group with a deterministic tiebreak (most frequent, then
+    // smallest value) — engine mode() functions break ties arbitrarily,
+    // so compute it as row_number over the per-value counts.
+    "q133_mode" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy("o_custkey", "o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("n").desc, col("o_orderstatus").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderstatus").as("mode_status"))
+      },
+      Some("""SELECT o_custkey, o_orderstatus AS mode_status FROM (
+               SELECT o_custkey, o_orderstatus, count(*) AS n
+               FROM orders GROUP BY 1, 2)
+             QUALIFY row_number() OVER (PARTITION BY o_custkey
+               ORDER BY n DESC, o_orderstatus ASC) = 1""")),
+
     // cut(): fixed-width binning, right-closed intervals like pandas.
     "q130_cut" -> QueryDef(
       (s, d) => GFrame(Tables.lineitem(s, d))
