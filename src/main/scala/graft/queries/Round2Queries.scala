@@ -202,6 +202,39 @@ object Round2Queries {
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'""")),
 
+    // conversion funnel: first view → first click at-or-after it →
+    // first purchase at-or-after that, per user; one row of stage
+    // counts. Three keyed aggregations + broadcast-size joins — the
+    // canonical event-analytics shape.
+    "q134_funnel" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tus")).as("v_t"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tus") >= col("v_t"))
+          .groupBy("user_id").agg(min(col("tus")).as("c_t"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tus") >= col("c_t"))
+          .groupBy("user_id").agg(min(col("tus")).as("p_t"))
+        v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click")).crossJoin(
+            p.agg(count(lit(1)).as("n_purchase"))))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             v AS (SELECT user_id, min(tus) AS v_t FROM ev
+                   WHERE event_type = 'view' GROUP BY 1),
+             c AS (SELECT ev.user_id, min(tus) AS c_t FROM ev
+                   JOIN v ON ev.user_id = v.user_id AND tus >= v_t
+                   WHERE event_type = 'click' GROUP BY 1),
+             p AS (SELECT ev.user_id, min(tus) AS p_t FROM ev
+                   JOIN c ON ev.user_id = c.user_id AND tus >= c_t
+                   WHERE event_type = 'purchase' GROUP BY 1)
+             SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+                    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+                    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""")),
+
     // str accessor breadth: startswith/endswith/len/slice/repeat/
     // reverse/find/count — each mirrored 1:1 in the oracle.
     "q132_str_accessors" -> QueryDef(
