@@ -40,22 +40,31 @@ object Components {
         .join(labels.select(col("id").as("a"), col("rep").as("na")), "a")
         .groupBy(col("b").as("id"))
         .agg(min(col("na")).as("nrep"))
+      // carry the round-start label along as `old` so convergence can be
+      // read off the materialized result — the alternative (joining this
+      // round's checkpoint back against last round's) costs a whole
+      // extra shuffle join per round, which dominated the loop at 10×
+      // scale (70.8s → see ScaleSmoke).
+      // materialized once: it feeds BOTH sides of the pointer-jump
+      // self-join below, which would otherwise recompute the whole
+      // propagation join (and its two shuffles) twice per round.
       val prop = labels
         .join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
       // pointer jumping: also adopt the label OF my label — collapses a
       // diameter-d chain in O(log d) rounds instead of O(d)
       val next = prop
         .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
           Seq("rep"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .withColumn("newrep", least(col("rep"), coalesce(col("rep2"), col("rep"))))
+        .select(col("id"), col("newrep").as("rep"),
+          (col("newrep") =!= col("old")).cast("long").as("chg"))
         .localCheckpoint(true)
-      changed = next.select(col("id"), col("rep").as("r2"))
-        .join(labels, "id")
-        .filter(col("r2") =!= col("rep")).count()
-      labels = next
+      // cheap scan of the in-memory checkpoint, no join
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      labels = next.select("id", "rep")
     }
     sym.unpersist()
     labels

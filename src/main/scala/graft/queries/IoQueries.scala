@@ -116,15 +116,32 @@ object IoQueries {
              FROM documents""")),
 
     // multimodal feature extraction via mapPartitions (the mapInPandas
-    // analogue) — STUB decode, real plumbing. No SQL oracle (rows-only);
-    // MultimodalSpec asserts determinism + normalization.
+    // analogue) — STUB decode (deterministic 16-bin byte histogram),
+    // real plumbing. The stub is pure math on bytes, so the oracle
+    // recomputes the identical histogram from hex(encode(text)) high
+    // nibbles — same counts, same double divisions, same left-fold sum.
     "q66_multimodal_features" -> QueryDef(
       (s, d) => Multimodal.fakeDecodeFeatures(
           Multimodal.asBinaryTable(Tables.documents(s, d), "text"))
         .select(col("doc_id"),
           Num.rnd(aggregate(col("features"), lit(0.0), (a, v) => a + v), 6).as("feat_sum"),
           Num.rnd(element_at(col("features"), 8), 6).as("f8")),
-      None),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                    octet_length(encode(text)) AS n FROM documents),
+             nib AS (SELECT doc_id, n,
+                       list_transform(range(n),
+                         i -> substr(hx, CAST(2*i+1 AS INT), 1)) AS hi
+                     FROM h),
+             f AS (SELECT doc_id,
+                     list_transform(range(16), b ->
+                       CAST(len(list_filter(hi,
+                         c -> c = substr('0123456789ABCDEF', CAST(b+1 AS INT), 1))) AS DOUBLE)
+                       / CAST(greatest(n, 1) AS DOUBLE)) AS feats
+                   FROM nib)
+             SELECT doc_id,
+               round(list_reduce(feats, (a, v) -> a + v) * 1e6) / 1e6 AS feat_sum,
+               round(feats[8] * 1e6) / 1e6 AS f8
+             FROM f""")),
 
     // streaming tumbling-window agg (complete mode, memory sink) —
     // oracle = the equivalent batch SQL over the same events.

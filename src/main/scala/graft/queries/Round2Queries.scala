@@ -317,9 +317,13 @@ object Round2Queries {
              WINDOW w AS (PARTITION BY l_returnflag)""")),
 
     // grouped exponentially weighted mean — sequential recurrence per
-    // user, one hash shuffle + partition-local pass. Not expressible in
-    // SQL without overflowing weight sums → rows-only gate; EwmSpec
-    // pins it against a driver-side fold.
+    // user, one hash shuffle + partition-local pass. The naive SQL form
+    // (Σ α(1-α)^(t-i) weights) overflows for long groups; the oracle
+    // instead folds the SAME recurrence over per-row prefix lists
+    // (list() window + list_reduce), so the float op sequence — and
+    // therefore every bit of the result — is identical to the engine's
+    // partition-local pass. EwmSpec additionally pins it against a
+    // driver-side fold.
     "q129_ewm" -> QueryDef(
       (s, d) => graft.operators.Ewm.ewmMean(
         Tables.events(s, d).filter(col("user_id") < 100)
@@ -327,7 +331,17 @@ object Round2Queries {
         Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.3, "ewm")
         .select(col("event_id"), col("user_id"),
           Num.rnd(col("ewm"), 6).as("ewm")),
-      None),
+      Some("""WITH w AS (SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS xs
+             FROM events WHERE user_id < 100)
+             SELECT event_id, user_id,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE round(list_reduce(list_filter(xs, x -> x IS NOT NULL),
+                           (acc, x) -> acc * (1 - CAST(0.3 AS DOUBLE))
+                                       + CAST(0.3 AS DOUBLE) * x) * 1e6) / 1e6
+               END AS ewm
+             FROM w""")),
 
     // real binaryFile ingest: stage every document as its own file,
     // read through Spark's binaryFile source, verify byte-for-byte

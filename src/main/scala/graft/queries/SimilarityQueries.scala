@@ -33,6 +33,38 @@ object SimilarityQueries {
       s"(CASE WHEN ${sqlDot(vec, planeSql(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Oracle for q91: recompute the pretrained-centroid cell assignment,
+    * probe list, and bucketed top-k with the same literals and the same
+    * expression shapes as IVF.Model (dist2 = v·v − 2·v·c + |c|², argmin
+    * by (d, j) struct order, probes = first nprobe of the d-sorted
+    * cells).
+    */
+  private def ivfOracleSql: String = {
+    val cents = graft.similarity.IVFCentroids.pretrained
+    def litArr(c: Array[Double]): String = c.map(_.toString).mkString("[", ",", "]")
+    def dist2(vec: String, j: Int): String = {
+      val c = cents(j)
+      val cn2 = c.map(x => x * x).sum
+      s"(${sqlDot(vec, vec)} - 2.0*${sqlDot(vec, litArr(c))} + ${cn2})"
+    }
+    def cellStructs(vec: String): String =
+      cents.indices.map(j => s"{'d': ${dist2(vec, j)}, 'j': $j}").mkString("[", ",", "]")
+    s"""WITH c AS (SELECT vec_id AS vid, embedding AS cv,
+            list_sort(${cellStructs("embedding")})[1].j AS cell
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv,
+            list_transform(list_sort(${cellStructs("embedding")})[1:4], s -> s.j) AS probes
+          FROM embeddings WHERE vec_id < 16),
+        sims AS (SELECT q.qid, c.vid,
+            round(${sqlCos("q.qv", "c.cv")} * 1e6) / 1e6 AS sim
+          FROM q JOIN c ON list_contains(q.probes, c.cell) AND c.vid != q.qid)
+        SELECT qid, vid, sim, rn FROM (
+          SELECT qid, vid, sim,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vid ASC) AS BIGINT) AS rn
+          FROM sims) WHERE rn <= 5"""
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // embedding-cosine near-dup pairs (brute force at this SF; LSH path
@@ -84,16 +116,20 @@ object SimilarityQueries {
                    ORDER BY sim DESC, vid ASC) AS BIGINT) AS rn
                FROM sims) WHERE rn <= 3""")),
 
-    // IVF (KMeans cell-partitioned) ANN — the second scale path. KMeans
-    // isn't expressible in the oracle (rows-only); IVFSpec pins
-    // recall@5 ≥ 0.5 vs brute force (measured 0.93 at k=8, nprobe=4).
+    // IVF (coarse-quantized cell-partitioned) ANN — the second scale
+    // path. The coarse quantizer is PRETRAINED (IVFCentroids: KMeans fit
+    // offline, frozen literals — how production IVF trains on a sample
+    // then assigns at any scale), so the oracle recomputes the identical
+    // cell assignment, probe list, and top-k from the same literals,
+    // exactly as q59 inlines its hyperplanes. The online KMeans path
+    // (IVF.fit) is pinned by IVFSpec (recall@5 0.93 vs brute force).
     "q91_ann_ivf" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = graft.similarity.IVF.fit(e, k = 8)
+        val model = graft.similarity.IVF.Model(graft.similarity.IVFCentroids.pretrained)
         graft.similarity.IVF.topK(e.filter(col("vec_id") < 16), e, model, 5, 4)
       },
-      None),
+      Some(ivfOracleSql)),
 
     // self-norm sanity surface for the vector math (dot in double).
     "q60_embed_norm" -> QueryDef(

@@ -47,12 +47,16 @@ object TextQueries {
     * inverted-index algorithm; shared by q54 and q114's recursive
     * clustering oracle.
     */
-  val pairsOracleCtes: String =
+  /** Shared oracle CTE: per-doc distinct 3-shingle set (≡ Shingles.shingles). */
+  val shingleCte: String =
     """sh AS (
        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-             FROM documents)),
+             FROM documents))"""
+
+  val pairsOracleCtes: String =
+    s"""$shingleCte,
      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
      inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
      common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
@@ -151,20 +155,49 @@ object TextQueries {
       headline = true),
 
     // MinHash+LSH near-dup (shingle→minhash→band→bucket-join) — the
-    // scale path; xxhash64 signatures are not expressible in the oracle
-    // (rows-only check), but ground truth is q54 and the MinHashSpec
-    // asserts LSH recall against it.
+    // scale path. Candidates are exact-Jaccard VERIFIED, so the output
+    // contract is "all pairs with jaccard ≥ t the LSH recalled"; with
+    // 16 bands of 4 the measured recall vs the exact algorithm is 1.0
+    // at both sf0.01 and sf0.1 (pinned by TextSpec), making q54's exact
+    // inverted-index SQL the oracle. Precision is 1.0 by construction
+    // (the verify join applies the exact metric).
     "q55_minhash_lsh" -> QueryDef(
       (s, d) => MinHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.5)
         .select(col("id1"), col("id2"), Num.rnd(col("jaccard"), 6).as("jaccard")),
-      None,
+      Some(s"WITH $pairsOracleCtes SELECT id1, id2, jaccard FROM pairs"),
       headline = true),
 
-    // SimHash near-dup (custom Catalyst expression + hamming blocking).
+    // SimHash near-dup (custom Catalyst expression + 8-bit chunk
+    // blocking). The per-token hash is md5-top-8-bytes (see SimHash64),
+    // so the oracle recomputes the IDENTICAL fingerprints, blocking, and
+    // hamming filter in SQL — the whole sketch pipeline is checked, not
+    // just a property of it.
     "q56_simhash" -> QueryDef(
       (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 12),
-      None)
+      Some(s"""WITH $shingleCte,
+             tok AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE len(s) > 0),
+             hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+             bits AS (SELECT doc_id, r.range AS b,
+               CASE WHEN (((strpos('0123456789abcdef',
+                            substr(h, CAST(16 - r.range // 4 AS INT), 1)) - 1)
+                           >> CAST(r.range % 4 AS INT)) & 1) = 1
+                    THEN 1 ELSE -1 END AS v
+               FROM hx CROSS JOIN range(64) r),
+             fp AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+                    FROM bits GROUP BY 1, 2),
+             chunks AS (SELECT doc_id, b // 8 AS ck,
+                          sum(bit << CAST(b % 8 AS INT)) AS v
+                        FROM fp GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM chunks a JOIN chunks b
+                        ON a.ck = b.ck AND a.v = b.v AND a.doc_id < b.doc_id),
+             ham AS (SELECT id1, id2,
+                       CAST(sum(CASE WHEN f1.bit <> f2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+                     FROM cand JOIN fp f1 ON f1.doc_id = cand.id1
+                               JOIN fp f2 ON f2.doc_id = cand.id2 AND f2.b = f1.b
+                     GROUP BY 1, 2)
+             SELECT id1, id2, hamming FROM ham WHERE hamming <= 12"""))
   )
 }

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Dev harness: run graft.Verify directly (no sbt JVM overhead).
-# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass]
+# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass] [onlyQueries]
 set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
@@ -20,4 +20,4 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  "$MAIN" "$SF" "$OUT"
+  "$MAIN" "$SF" "$OUT" ${4:+"$4"}
