@@ -67,10 +67,11 @@ object SimilarityQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
-    // embedding-cosine near-dup pairs (brute force at this SF; LSH path
-    // below is the scale variant).
+    // embedding-cosine near-dup pairs — EXACT, via the tiled all-pairs
+    // layout (no CartesianProduct; see cosinePairsTiled scaladoc). The
+    // crossJoin twin is pinned equal in SimilaritySpec.
     "q57_cosine_pairs" -> QueryDef(
-      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), 0.4),
+      (s, d) => Similarity.cosinePairsTiled(Tables.embeddings(s, d), 0.4),
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
              SELECT id1, id2, sim FROM (
                SELECT a.vec_id AS id1, b.vec_id AS id2,

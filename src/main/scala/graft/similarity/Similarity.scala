@@ -104,8 +104,9 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all (id1<id2) with cosine ≥ threshold.
-    * Brute force here; at scale swap the crossJoin for the LSH-bucket
-    * join above.
+    * Brute-force crossJoin — kept ONLY as the differential-testing twin
+    * of [[cosinePairsTiled]]; a crossJoin materializes the corpus on
+    * every partition and dies at scale.
     */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("v1"),
@@ -117,5 +118,49 @@ object Similarity {
         dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
+  }
+
+  /** EXACT all-pairs cosine ≥ threshold via matrix tiling — the scale
+    * default (identical output to [[cosinePairs]], no CartesianProduct).
+    *
+    * At a low threshold on dense embeddings no sketch bucketing has
+    * recall 1 (the borderline pairs sit at ~66° for t=0.4, where
+    * hyperplane collision odds are coin-flips), so exact semantics
+    * genuinely require all O(n²) similarity evaluations. What does NOT
+    * scale is the crossJoin's data movement: a broadcast/nested-loop
+    * plan ships the whole corpus to every task. Tiling fixes the
+    * movement without approximating: block vectors into B groups
+    * (pmod(vec_id, B)); a vector in block g is shuffled to the B−g
+    * tiles (g, j≥g) as the left side and the g+1 tiles (i≤g, g) as the
+    * right — O(n·B) replication, one hash-shuffle join on B(B+1)/2
+    * bounded tile keys, each tile an (n/B)² partition-local pair block.
+    * Compute parallelism = #tiles, shuffle volume linear in n·B: the
+    * standard distributed exact all-pairs layout.
+    */
+  def cosinePairsTiled(corpus: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    val B = blocks
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      pmod(col("vec_id"), lit(B)).cast("int").as("g"))
+    val left = v.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("nrm").as("na"),
+        explode(transform(sequence(col("g"), lit(B - 1)),
+          j => col("g") * B + j)).as("tile"))
+    val right = v.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("nrm").as("nb"),
+        explode(transform(sequence(lit(0), col("g")),
+          i => i * B + col("g"))).as("tile"))
+    left.join(right, "tile")
+      // diagonal tiles see every intra-block pair from both sides; keep
+      // one. Mixed tiles see each cross-block pair exactly once — keep
+      // it whichever way the ids compare.
+      .filter((col("tile") / B).cast("int") =!= (col("tile") % B).cast("int")
+        || col("ida") < col("idb"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("sim", graft.functions.Num.rnd(
+        dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("sim"))
   }
 }

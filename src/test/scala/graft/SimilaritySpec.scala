@@ -68,4 +68,19 @@ class SimilaritySpec extends SparkSpec {
     val hits = Similarity.lshTopK(e.filter(col("vec_id") < 16), e, 3, planes)
     assert(hits.count() > 0)
   }
+
+  test("tiled all-pairs cosine equals brute force bitwise and never cross-joins") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Similarity.cosinePairs(e, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiled = Similarity.cosinePairsTiled(e, 0.4)
+    val got = tiled.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+    // the whole point of the tiling: a bounded-key hash join, not a
+    // corpus-on-every-task nested loop
+    val physical = tiled.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+  }
 }
