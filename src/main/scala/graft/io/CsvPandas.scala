@@ -27,7 +27,11 @@ object CsvPandas {
       parseDatesFmt: Option[String] = None, // timestampFormat
       quotechar: String = "\"",
       compression: Option[String] = None,  // gzip/bz2 inferred by extension
-      nrows: Option[Int] = None)
+      nrows: Option[Int] = None,
+      // schema-inference sample size when no schema is given — the
+      // reference peeks 3 rows with pandas (frontend/io.py:210-233).
+      // <= 0 restores Spark's full-pass inferSchema.
+      inferRows: Int = 3)
 
   def read(spark: SparkSession, path: String, o: ReadOptions = ReadOptions()): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -54,6 +58,14 @@ object CsvPandas {
     o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
     readSchema match {
       case Some(s) => r = r.schema(s)
+      case None if o.inferRows > 0 =>
+        // Peek-inference (reference frontend/io.py:210-233 peeks 3 rows
+        // with pandas): infer dtypes from the first few LINES only, then
+        // read the data in ONE full pass with the fixed schema. Spark's
+        // own inferSchema is a whole extra pass over every byte — real
+        // money on 100 TB of CSV. The limit is pushed into the text
+        // scan, so the peek reads a single file head, not the dataset.
+        r = r.schema(peekSchema(spark, path, o))
       case None => r = r.option("inferSchema", "true")
     }
     var df = r.csv(path)
@@ -84,6 +96,26 @@ object CsvPandas {
     df
   }
 
+  /** Schema inference from the first `inferRows` data lines (plus the
+    * header line when present) — the bounded-sample analogue of the
+    * reference's pandas 3-row peek. Runs Spark's CSV inference over the
+    * sampled lines as an in-memory Dataset, so the full files are never
+    * scanned for typing.
+    */
+  def peekSchema(spark: SparkSession, path: String, o: ReadOptions): StructType = {
+    import spark.implicits._
+    val take = o.inferRows + (if (o.header) 1 else 0)
+    val head = spark.read.text(path).limit(take).as[String]
+    var r = spark.read
+      .option("sep", o.sep)
+      .option("header", o.header.toString)
+      .option("quote", o.quotechar)
+      .option("inferSchema", "true")
+    o.naValues.headOption.foreach(v => r = r.option("nullValue", v))
+    o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
+    r.csv(head).schema
+  }
+
   /** pandas skiprows/skipfooter (reference `frontend/io.py` options —
     * no Spark CSV equivalent): read as text, drop the first/last lines
     * by global position, then parse with from_csv. skipfooter requires
@@ -96,13 +128,16 @@ object CsvPandas {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(path)
       .select(col("value"), monotonically_increasing_id().as("__mid"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("__mid")
-    // global line numbers: text source preserves in-file order via the
-    // monotonic id ordering within a single file
-    val numbered = lines.withColumn("__ln", row_number().over(w) - 1)
+    // Global line numbers in __mid order (the text source's in-file
+    // order) via the two-phase distributed row number — an
+    // un-partitioned row_number().over(orderBy(__mid)) window would
+    // funnel the whole file through ONE task, exactly the bottleneck
+    // the rest of the engine's scans avoid.
+    val numbered = graft.operators.Cumulative.globalRowNumber(
+      lines, Seq("__mid"), "__ln1")
     val total = numbered.count()
     numbered
-      .filter(col("__ln") >= skiprows && col("__ln") < total - skipfooter)
+      .filter(col("__ln1") > skiprows && col("__ln1") <= total - skipfooter)
       .select(from_csv(col("value"),
         schema, Map("sep" -> sep)).as("r"))
       .select(col("r.*"))

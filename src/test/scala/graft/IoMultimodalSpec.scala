@@ -138,11 +138,28 @@ class IoMultimodalSpec extends SparkSpec {
     if (!java.nio.file.Files.exists(p)) java.nio.file.Files.createDirectories(p)
     java.nio.file.Files.writeString(p.resolve("f.csv"),
       "garbage header line\nmore garbage\n1,a\n2,b\n3,c\ntrailer\n")
-    val got = CsvPandas.readSkipRows(spark, s"$dir/f.csv",
+    val df = CsvPandas.readSkipRows(spark, s"$dir/f.csv",
       StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
       skiprows = 2, skipfooter = 1)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // line numbering must be the two-phase distributed form, never an
+    // un-partitioned window funneling the file through one task
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"))
+  }
+
+  test("CsvPandas: schema peek infers dtypes from the head only, one full pass") {
+    val dir = "/root/repo/target/tmp/csv_spec_peek"
+    import spark.implicits._
+    CsvPandas.write(Seq((1L, 1.5, "a", "2024-01-01"), (2L, 2.5, "b", "2024-01-02"))
+      .toDF("i", "d", "s", "t"), dir, singleFile = true)
+    val got = CsvPandas.read(spark, dir) // no schema → 3-row peek
+    assert(got.schema.map(f => f.name -> f.dataType.typeName).toMap ===
+      Map("i" -> "integer", "d" -> "double", "s" -> "string", "t" -> "date"))
+    assert(got.count() === 2)
+    // the full-pass path stays available and agrees on this input
+    val full = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(inferRows = 0))
+    assert(full.schema === got.schema)
   }
 
   test("multimodal: frame sampling covers the payload exactly") {
