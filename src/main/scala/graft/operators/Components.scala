@@ -26,8 +26,15 @@ object Components {
     *         min node id of its component
     */
   def connected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    // Materialize the (possibly very expensive) edge plan ONCE before
+    // symmetrizing: the union references it twice, and without the
+    // checkpoint both orientations recompute the full upstream plan —
+    // for near-dup clustering that upstream is the whole exact-pair
+    // pipeline (measured: half of q114's cost at 10× scale).
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val sym = e
+      .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
     var labels = sym.select(col("a").as("id")).distinct()
