@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * Supported grammar (the reference-tested subset,
   * `tests/pandas/df_query*.py`): identifiers, int/float/string/bool
   * literals, `@name` external references (supplied via `refs`),
-  * arithmetic `+ - * / // % **`, comparisons `== != < <= > >=`,
-  * boolean `& | ~` (also `and or not`), parentheses.
+  * arithmetic `+ - * / // % **`, comparisons `== != < <= > >=`
+  * (including Python chained comparisons `a < b <= c`), boolean `& | ~`
+  * (also `and or not`), parentheses.
   *
   * Precedence (loosest→tightest): `|`, `&`, comparisons, `+ -`,
   * `* / // %`, unary `- ~ not`, `**`. Comparisons bind tighter than
@@ -140,24 +141,31 @@ object QueryCompiler {
       }
       l
     }
+    def cmp1(o: String, l: Column, r: Column): Column = o match {
+      case "==" => l === r
+      case "!=" => l =!= r
+      case "<"  => l < r
+      case "<=" => l <= r
+      case ">"  => l > r
+      case ">=" => l >= r
+    }
+    // Python chained-comparison semantics: `a < b <= c` means
+    // `(a < b) & (b <= c)`, each operand written once — the pandas-ism
+    // users type (`core/query.py` compiles the same ast.Compare chain).
     def cmpExpr(): Column = {
-      var l = addExpr()
+      var prev = addExpr()
+      var acc: Option[Column] = None
       var done = false
       while (!done) peek match {
         case Some(Op(o)) if cmpOps.contains(o) =>
           next()
           val r = addExpr()
-          l = o match {
-            case "==" => l === r
-            case "!=" => l =!= r
-            case "<"  => l < r
-            case "<=" => l <= r
-            case ">"  => l > r
-            case ">=" => l >= r
-          }
+          val c = cmp1(o, prev, r)
+          acc = Some(acc.map(_ && c).getOrElse(c))
+          prev = r
         case _ => done = true
       }
-      l
+      acc.getOrElse(prev)
     }
     def andExpr(): Column = {
       var l = cmpExpr()

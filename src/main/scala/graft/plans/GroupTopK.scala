@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -38,14 +38,22 @@ case class GroupTopKNode(groupExprs: Seq[Expression],
     copy(child = c)
 }
 
+/** `partial = true` is the map-side pass: it runs on whatever
+  * partitioning the child already has (no distribution requirement, so
+  * it sits BELOW the exchange) and bounds the shuffle to ≤ k rows per
+  * group per map partition — the same partial/final split Spark gives
+  * hash aggregation. Top-k is decomposable, so partial-then-final is
+  * exact.
+  */
 case class GroupTopKExec(groupExprs: Seq[Expression],
                          orderExprs: Seq[Expression], orderDesc: Seq[Boolean],
-                         k: Int, child: SparkPlan)
+                         k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String = if (partial) "GroupTopKPartial" else "GroupTopK"
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(groupExprs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -86,7 +94,8 @@ case class GroupTopKExec(groupExprs: Seq[Expression],
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKNode(g, o, d, k, child) =>
-      GroupTopKExec(g, o, d, k, planLater(child)) :: Nil
+      GroupTopKExec(g, o, d, k, partial = false,
+        GroupTopKExec(g, o, d, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -28,6 +28,10 @@ class GroupTopKSpec extends SparkSpec {
       Seq(("o_orderkey", true)), 2)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GroupTopK"), plan)
+    // map-side partial pass sits below the exchange, bounding the
+    // shuffle to <= k rows per group per mapper
+    assert(plan.contains("GroupTopKPartial"), plan)
+    assert(plan.indexOf("GroupTopKPartial") > plan.indexOf("Exchange"), plan)
     // groups of size <= 2 everywhere
     val sizes = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
     assert(sizes <= 2)

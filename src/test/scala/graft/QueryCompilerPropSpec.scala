@@ -92,6 +92,38 @@ class QueryCompilerPropSpec extends SparkSpec {
     }
   }
 
+  test("chained comparisons follow Python pairwise semantics (property)") {
+    // a < b <= c must compile to (a < b) & (b <= c), never ((a < b) <= c)
+    val ops = Seq("<", "<=", ">", ">=", "==", "!=")
+    def opEval(o: String): (Double, Double) => Boolean = o match {
+      case "<" => _ < _; case "<=" => _ <= _
+      case ">" => _ > _; case ">=" => _ >= _
+      case "==" => _ == _; case "!=" => _ != _
+    }
+    val chainGen: Gen[(String, (Long, Double) => Boolean)] = for {
+      a <- term(1); b <- term(1); c <- term(1)
+      o1 <- Gen.oneOf(ops); o2 <- Gen.oneOf(ops)
+    } yield (s"${a._1} $o1 ${b._1} $o2 ${c._1}",
+      (k: Long, v: Double) => {
+        val (x, y, z) = (a._2(k, v), b._2(k, v), c._2(k, v))
+        opEval(o1)(x, y) && opEval(o2)(y, z)
+      })
+    val cases = (1 to 100).flatMap { i =>
+      chainGen.apply(Gen.Parameters.default, Seed(7000L + i))
+    }
+    assert(cases.size >= 80)
+    val sumCols = cases.zipWithIndex.map { case ((exprStr, _), i) =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          QueryCompiler.compile(exprStr), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val got = df.agg(sumCols.head, sumCols.tail: _*).head()
+    cases.zipWithIndex.foreach { case ((exprStr, eval), i) =>
+      val want = rows.count { case (k, v) => eval(k, v) }.toLong
+      assert(got.getLong(i) === want, s"expr: $exprStr")
+    }
+  }
+
   test("compiled filters match an independent evaluator (120 random exprs)") {
     // evaluate many expressions in ONE Spark job: build all compiled
     // predicates as columns, collect counts in a single pass
