@@ -416,6 +416,20 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     getDummies(c, df.select(c).distinct().collect()
       .map(_.get(0).toString).sorted.toSeq)
 
+  /** pandas astype("category"): infer the sorted dictionary (driver
+    * action bounded by cardinality, like getDummies' discovery) and
+    * return it alongside the frame — the dtype then drives `.cat` ops
+    * (graft.operators.CategoricalDtype: codes / rename / add / remove /
+    * reorder / ordered comparisons).
+    */
+  def astypeCategory(c: String): (GFrame, graft.operators.CategoricalDtype) =
+    (this, graft.operators.Categorical.infer(df, c))
+
+  /** `.cat.codes` as a new column under an explicit dtype. */
+  def catCodes(c: String, dt: graft.operators.CategoricalDtype,
+               out: String): GFrame =
+    assign(out, dt.codes(col(c)))
+
   /** nunique per column → single row. */
   def nunique(cols: String*): GFrame = {
     val cs = if (cols.nonEmpty) cols else dataCols

@@ -158,7 +158,8 @@ object TextQueries {
     // scale path. Candidates are exact-Jaccard VERIFIED, so the output
     // contract is "all pairs with jaccard ≥ t the LSH recalled"; with
     // 16 bands of 4 the measured recall vs the exact algorithm is 1.0
-    // at both sf0.01 and sf0.1 (pinned by TextSpec), making q54's exact
+    // at sf0.01 and sf0.1 (re-checked every gate run by this oracle;
+    // TextSpec pins full recall on its corpus too), making q54's exact
     // inverted-index SQL the oracle. Precision is 1.0 by construction
     // (the verify join applies the exact metric).
     "q55_minhash_lsh" -> QueryDef(

@@ -62,6 +62,15 @@ class CategoricalSpec extends SparkSpec {
     }
   }
 
+  test("GFrame astypeCategory + catCodes round the accessor surface") {
+    import graft.api.GFrame
+    val (g, dt) = GFrame(frame).astypeCategory("v")
+    assert(dt.categories === IndexedSeq("a", "b", "c"))
+    val got = g.catCodes("v", dt, "code").df
+      .select("code").collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 0, 2, 0, -1, 1))
+  }
+
   test("reorder_categories keeps the set, changes the code assignment") {
     val dt = CategoricalDtype(IndexedSeq("a", "b", "c"))
       .reorderCategories(Seq("c", "b", "a"), ordered = true)
