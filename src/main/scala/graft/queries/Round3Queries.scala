@@ -78,6 +78,18 @@ object Round3Queries {
            CAST(${codeCase(dt2, nulled)} AS INTEGER) AS code,
            ${codeCase(dt2, nulled, noneCode = "NULL")} >= ${dt2.codeOf("2-HIGH")} AS is_high
            FROM orders"""
-      })
+      }),
+
+    // STREAMING curation: quality gate + stateful exact dedup over the
+    // replayed documents corpus — the incremental twin of q53, filtered
+    // by the q51 quality score. Deterministic (min doc_id per
+    // fingerprint), so the batch SQL checks the streaming state exactly.
+    "q137_stream_curation" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.curate(s, d, minQuality = 0.5),
+      Some(s"""SELECT ${TextQueries.fingerprintSql} AS fp,
+             min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+             FROM documents
+             WHERE round(${TextQueries.qualitySql}, 6) >= 0.5
+             GROUP BY 1"""))
   )
 }

@@ -69,6 +69,19 @@ object TextQueries {
                              JOIN sizes s2 ON common.id2 = s2.doc_id)
                WHERE j >= 0.5)"""
 
+  /** Oracle fragment: TextStats.qualityScore over `text` (unrounded). */
+  val qualitySql: String =
+    """(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+       + (len(list_filter(string_split(text, ' '),
+              t -> list_contains(['a','an','the','and','or','of','in','to','is'], t))) * 1.0
+          / len(string_split(text, ' '))) * 0.3
+       + least((length(replace(text, ' ', '')) * 1.0
+                / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3)"""
+
+  /** Oracle fragment: TextStats.fingerprint over `text`. */
+  val fingerprintSql: String =
+    """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // token counting + quality metrics — single codegen'd scan pass.
@@ -98,13 +111,7 @@ object TextQueries {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         Num.rnd(TextStats.qualityScore(col("text")), 6).as("quality")),
-      Some("""SELECT doc_id,
-             round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
-                 + (len(list_filter(string_split(text, ' '),
-                        t -> list_contains(['a','an','the','and','or','of','in','to','is'], t))) * 1.0
-                    / len(string_split(text, ' '))) * 0.3
-                 + least((length(replace(text, ' ', '')) * 1.0
-                          / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3, 6) AS quality
+      Some(s"""SELECT doc_id, round($qualitySql, 6) AS quality
              FROM documents""")),
 
     // heuristic language ID (CJK script + char-n-gram profile votes) —
