@@ -55,7 +55,10 @@ object TextQueries {
        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
              FROM documents))"""
 
-  val pairsOracleCtes: String =
+  val pairsOracleCtes: String = pairsOracleCtesAt("0.5")
+
+  /** Same CTE chain with a configurable jaccard threshold. */
+  def pairsOracleCtesAt(t: String): String =
     s"""$shingleCte,
      sizes AS (SELECT doc_id, len(s) AS n FROM sh),
      inv AS (SELECT doc_id, unnest(s) AS sh FROM sh),
@@ -67,7 +70,7 @@ object TextQueries {
                    round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
                  FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
                              JOIN sizes s2 ON common.id2 = s2.doc_id)
-               WHERE j >= 0.5)"""
+               WHERE j >= $t)"""
 
   /** Oracle fragment: TextStats.qualityScore over `text` (unrounded). */
   val qualitySql: String =
@@ -175,6 +178,17 @@ object TextQueries {
         .select(col("id1"), col("id2"), Num.rnd(col("jaccard"), 6).as("jaccard")),
       Some(s"WITH $pairsOracleCtes SELECT id1, id2, jaccard FROM pairs"),
       headline = true),
+
+    // prefix-filtered exact near-dup (AllPairs/PPJoin family) — the
+    // scalable EXACT path at high thresholds (t ≥ ~0.8, where the
+    // df-ordered prefix is a small fraction of each set). Identical
+    // output to the naive algorithm, so the exact-pair SQL at the same
+    // threshold is the oracle; TextSpec additionally pins it against
+    // brute force differentially.
+    "q138_neardup_prefix" -> QueryDef(
+      (s, d) => ExactNearDup.pairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8),
+      Some(s"WITH ${pairsOracleCtesAt("0.8")} SELECT id1, id2, jaccard FROM pairs")),
 
     // SimHash near-dup (custom Catalyst expression + 8-bit chunk
     // blocking). The per-token hash is md5-top-8-bytes (see SimHash64),
