@@ -17,6 +17,23 @@ object Round3Queries {
 
   private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
 
+  /** Mixture-sampling rates (training-data recipe: upsample curated
+    * sources, downsample the rest). Strictly < 1.0 — the 16-hex-digit
+    * threshold encoding needs it.
+    */
+  private val mixtureRates: Seq[(String, Double)] =
+    Seq("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25)
+  private val mixtureDefaultRate = 0.1
+
+  /** floor(rate · 2^64) as 16 lowercase hex digits — the keep-threshold
+    * for the md5-uniform draw.
+    */
+  private def rateHex(r: Double): String = {
+    require(r > 0 && r < 1, "rate in (0,1)")
+    val t = (BigDecimal(BigInt(1) << 64) * r).toBigInt
+    String.format("%016x", t.bigInteger)
+  }
+
   /** CASE mapping value → its code in `dt` (−1 fallback ≡ codes()). */
   private def codeCase(dt: CategoricalDtype, col: String, noneCode: String = "-1"): String =
     dt.categories.zipWithIndex
@@ -79,6 +96,60 @@ object Round3Queries {
            ${codeCase(dt2, nulled, noneCode = "NULL")} >= ${dt2.codeOf("2-HIGH")} AS is_high
            FROM orders"""
       }),
+
+    // training-data MIXTURE sampling: stratified per-source rates via a
+    // deterministic md5-uniform (u = first 16 md5 hex chars of the id;
+    // keep iff u < rate·2^64 as hex — lowercase hex compares
+    // lexicographically = numerically). The same draw on both engines,
+    // so the oracle checks the exact sampled set; at corpus scale this
+    // is a pure scan-stage filter, no shuffle, reproducible across runs
+    // and cluster sizes (the property dataset mixing actually needs).
+    "q139_mixture_sample" -> QueryDef(
+      (s, d) => {
+        val u = md5(col("doc_id").cast("string"))
+        val thr = mixtureRates.foldLeft(when(lit(false), ""): org.apache.spark.sql.Column) {
+          case (acc, (src, r)) => acc.when(col("source") === src, lit(rateHex(r)))
+        }.otherwise(lit(rateHex(mixtureDefaultRate)))
+        Tables.documents(s, d)
+          .filter(substring(u, 1, 16) < thr)
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      Some {
+        val cases = mixtureRates.map { case (src, r) =>
+          s"WHEN ${sqlQuote(src)} THEN ${sqlQuote(rateHex(r))}"
+        }.mkString(" ")
+        s"""SELECT doc_id, source, lang FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) <
+                 (CASE source $cases ELSE ${sqlQuote(rateHex(mixtureDefaultRate))} END)"""
+      }),
+
+    // context-window CHUNKING: split each document's token stream into
+    // fixed windows (128 tokens, stride 96 → 32-token overlap) — the
+    // sequence-construction step before packing/tokenization. Pure
+    // scan-stage explode (no shuffle); chunk content is pinned by md5.
+    "q140_token_chunks" -> QueryDef(
+      (s, d) => {
+        val t = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"), size(t).as("n"))
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), ((col("n") - 1) / 96).cast("int")),
+              i => struct(i.as("i"), slice(col("t"), i * 96 + 1, lit(128)).as("c"))))
+              .as("ch"))
+          .select(col("doc_id"),
+            col("ch.i").cast("int").as("chunk_id"),
+            size(col("ch.c")).as("n_tok"),
+            md5(concat_ws(" ", col("ch.c"))).as("chunk_md5"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+                    len(string_split(text, ' ')) AS n FROM documents),
+             ch AS (SELECT doc_id, t,
+                      unnest(range((n - 1) // 96 + 1)) AS i
+                    FROM t)
+             SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               CAST(len(t[(96*i + 1):(96*i + 128)]) AS INTEGER) AS n_tok,
+               md5(array_to_string(t[(96*i + 1):(96*i + 128)], ' ')) AS chunk_md5
+             FROM ch""")),
 
     // STREAMING curation: quality gate + stateful exact dedup over the
     // replayed documents corpus — the incremental twin of q53, filtered
