@@ -18,16 +18,14 @@ object TextQueries {
       .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
       .cache() // shared with q55's identical subplan via CacheManager
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    // The inverted index is keyed by the shingle's 64-bit hash, not the
-    // string: the groupBy shuffle then moves 8-byte keys instead of
-    // ~30-byte text (measured 2.10s → 1.68s warm at sf0.1). A key
-    // collision would merge two posting lists and overcount |A∩B| —
-    // probability ≈ d²/2^65 for d distinct shingles (~1e-8 at gate
-    // scale, and the string-keyed DuckDB oracle would catch it); at
-    // true corpus scale this is the standard trade every sketch-based
-    // dedup system makes.
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // Keyed by the shingle STRING, deliberately: keying by xxhash64(s)
+    // (8-byte shuffle keys) was measured FASTER at sf0.1 (1.54s vs
+    // 1.72s warm) but 30% SLOWER on the 10×-cloned smoke corpus
+    // (25-27s vs 19-24s — see tools/BenchQ54, both regimes), where the
+    // pair-counting stage dominates and the extra hash projection only
+    // adds scan CPU. The duplication-heavy regime is the one near-dup
+    // detection exists for, so the string key stays.
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // group the inverted index by shingle and expand doc-id pairs
     // map-side (native PackedPairs); singleton shingles contribute
     // no pairs and are filtered free.
