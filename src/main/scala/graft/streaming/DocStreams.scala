@@ -46,20 +46,33 @@ object DocStreams {
     */
   def curate(spark: SparkSession, sfDir: String,
              minQuality: Double = 0.5): DataFrame = {
-    import graft.text.TextStats
     val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
-    val curated = docs
+    run(spark, curateTransform(docs, minQuality), "graft_stream_curate")
+  }
+
+  /** The curation transform itself — identical against any streaming (or
+    * batch) documents source.
+    */
+  def curateTransform(docs: DataFrame, minQuality: Double): DataFrame = {
+    import graft.text.TextStats
+    docs
       .select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"),
         graft.functions.Num.rnd(TextStats.qualityScore(col("text")), 6).as("q"))
       .filter(col("q") >= minQuality)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
-    val name = "graft_stream_curate"
-    val q = curated.writeStream.outputMode("complete")
+  }
+
+  /** Drain a streaming frame through a complete-mode memory sink. */
+  def run(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)
   }
+
+  /** The raw document stream schema, for spec-built sources. */
+  def schema: StructType = docSchema
 }
