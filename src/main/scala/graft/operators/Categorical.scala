@@ -92,8 +92,12 @@ object Categorical {
     * `core/column.py:1134-1249`). A driver collect bounded by category
     * cardinality, the same contract as pandas `astype("category")`.
     */
-  def infer(df: DataFrame, colName: String): CategoricalDtype =
+  def infer(df: DataFrame, colName: String): CategoricalDtype = {
+    require(df.schema(colName).dataType == org.apache.spark.sql.types.StringType,
+      s"categorical inference needs a string column; '$colName' is " +
+        s"${df.schema(colName).dataType.simpleString} (cast it first)")
     CategoricalDtype(
       df.select(col(colName)).na.drop().distinct()
         .sort(col(colName)).collect().map(_.getString(0)).toIndexedSeq)
+  }
 }

@@ -97,6 +97,36 @@ object Round3Queries {
            FROM orders"""
       }),
 
+    // GFrame.describe — pandas describe() numeric summary. Columns are
+    // integer-valued (exact double sums), so mean/std are
+    // order-independent across engines after rounding.
+    "q141_describe" -> QueryDef(
+      (s, d) => graft.api.GFrame(Tables.lineitem(s, d))
+        .describe("l_quantity", "l_linenumber").df
+        .select(col("summary"),
+          graft.functions.Num.rnd(col("l_quantity"), 6).as("l_quantity"),
+          graft.functions.Num.rnd(col("l_linenumber"), 6).as("l_linenumber")),
+      Some(Seq(
+        ("'count'", "CAST(count(%s) AS DOUBLE)"),
+        ("'mean'", "avg(%s)"),
+        ("'std'", "stddev_samp(%s)"),
+        ("'min'", "CAST(min(%s) AS DOUBLE)"),
+        ("'max'", "CAST(max(%s) AS DOUBLE)")).map { case (name, fn) =>
+        s"""SELECT $name AS summary,
+           round(${fn.format("l_quantity")}, 6) AS l_quantity,
+           round(${fn.format("l_linenumber")}, 6) AS l_linenumber
+           FROM lineitem"""
+      }.mkString(" UNION ALL "))),
+
+    // GFrame.nunique — distinct cardinality per column, one row.
+    "q142_nunique" -> QueryDef(
+      (s, d) => graft.api.GFrame(Tables.lineitem(s, d))
+        .nunique("l_orderkey", "l_suppkey", "l_returnflag").df,
+      Some("""SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS l_orderkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag
+             FROM lineitem""")),
+
     // training-data MIXTURE sampling: stratified per-source rates via a
     // deterministic md5-uniform (u = first 16 md5 hex chars of the id;
     // keep iff u < rate·2^64 as hex — lowercase hex compares
