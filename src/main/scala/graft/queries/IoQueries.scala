@@ -49,6 +49,53 @@ object IoQueries {
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
              FROM orders GROUP BY 1""")),
 
+    // ORC sink/source round-trip (beyond reference: another columnar
+    // format Spark supports natively — same scan parallelism and
+    // pushdown machinery as parquet). The oracle aggregates the
+    // ORIGINAL table, so any loss/corruption in the round-trip breaks
+    // the hash match.
+    "q143_orc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/orc_rt_$safe"
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Num.rnd(sum(col("l_quantity")), 2).as("qty"),
+            Num.sumMoney(col("l_extendedprice")).as("revenue"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_quantity), 2) AS qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+             FROM lineitem GROUP BY 1""")),
+
+    // JSON-lines sink/source round-trip (schema'd read — a single pass,
+    // no sampling inference), same oracle-on-the-original pattern.
+    "q144_json_roundtrip" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/json_rt_$safe"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(path)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).json(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             min(doc_id) AS first_doc
+             FROM documents GROUP BY 1""")),
+
     // §2.1 to_parquet → read_parquet round-trip.
     "q63_parquet_roundtrip" -> QueryDef(
       (s, d) => {
