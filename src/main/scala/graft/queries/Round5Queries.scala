@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.text.{Fingerprint, Redact}
+import graft.multimodal.Multimodal
+
+/** Round-5 surface: the remaining training-data-pipeline operators from
+  * the build brief — winnowed document fingerprinting, embedding-cosine
+  * near-dup DEDUP (pairs → clusters → representatives), PII redaction,
+  * deterministic train/test splitting, and multimodal frame sampling.
+  * All oracle-backed; every stochastic-looking step is md5-derived so
+  * DuckDB replays it bit-for-bit.
+  */
+object Round5Queries {
+
+  /** floor(rate · 2^64) as 16 lowercase hex digits (same encoding as
+    * q139's mixture sampler).
+    */
+  private def rateHex(r: Double): String = {
+    require(r > 0 && r < 1, "rate in (0,1)")
+    val t = (BigDecimal(BigInt(1) << 64) * r).toBigInt
+    String.format("%016x", t.bigInteger)
+  }
+
+  private val trainHex = rateHex(0.9)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // winnowed rolling-hash document fingerprinting (MOSS): min of each
+    // 4-window of 8-gram hashes, distinct per doc. Gram hash =
+    // md5-top-8-bytes so the oracle recomputes it exactly.
+    "q145_fingerprint" -> QueryDef(
+      (s, d) => Fingerprint.fingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 8, w = 4),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) >= 11),
+             pos AS (SELECT doc_id, text, n,
+                       unnest(range(1, CAST(n - 6 AS BIGINT))) AS i
+                     FROM d),
+             g AS (SELECT doc_id, n, i,
+                     substr(md5(substr(text, CAST(i AS INT), 8)), 1, 16) AS h
+                   FROM pos),
+             w AS (SELECT doc_id, n, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+                   FROM g),
+             f AS (SELECT doc_id, n, mn FROM w WHERE i <= n - 10)
+             SELECT doc_id, CAST(max(n) - 7 AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT mn) AS BIGINT) AS n_fps,
+               min(mn) AS min_fp, max(mn) AS max_fp
+             FROM f GROUP BY 1""")),
+
+    // embedding-cosine near-dup DEDUP: exact tiled pairs at sim ≥ 0.4
+    // (the q57 layout — no CartesianProduct), connected components over
+    // the pair graph, keep min-id per cluster; singletons keep
+    // themselves. `kept` marks the surviving representative set.
+    "q146_embed_dedup" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = graft.similarity.Similarity.cosinePairsTiled(emb, 0.4)
+        val comp = graft.operators.Components.connected(pairs, "id1", "id2")
+        emb.select(col("vec_id"))
+          .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("rep"), col("vec_id")).as("rep"),
+            (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("kept"))
+      },
+      Some {
+        val cos = SimilarityQueries.sqlCos("a.embedding", "b.embedding")
+        s"""WITH RECURSIVE pairs AS (
+              SELECT id1, id2 FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  round($cos * 1e6) / 1e6 AS sim
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+              WHERE sim >= 0.4),
+            edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+            comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep
+                     FROM reach GROUP BY 1)
+            SELECT v.vec_id, coalesce(c.rep, v.vec_id) AS rep,
+              coalesce(c.rep, v.vec_id) = v.vec_id AS kept
+            FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id"""
+      }),
+
+    // PII redaction: deterministic e-mail/phone injection derived from
+    // doc_id (the corpus is synthetic word-salad), then regex redaction
+    // with typed tags + per-type counts. Patterns live in the common
+    // Java-regex/RE2 subset so the oracle replays them verbatim.
+    "q147_pii_redact" -> QueryDef(
+      (s, d) => {
+        val t = concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          Redact.pii(t).as("redacted"),
+          Redact.emailCount(t).as("n_email"),
+          Redact.phoneCount(t).as("n_phone"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+                 substr(text, 1, 40) || ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+               FROM documents)
+             SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(t, '${Redact.emailPattern}', '<EMAIL>', 'g'),
+                 '${Redact.phonePattern}', '<PHONE>', 'g') AS redacted,
+               CAST(length(regexp_extract_all(t, '${Redact.emailPattern}')) AS BIGINT) AS n_email,
+               CAST(length(regexp_extract_all(t, '${Redact.phonePattern}')) AS BIGINT) AS n_phone
+             FROM p""")),
+
+    // deterministic train/test split: md5-uniform draw on doc_id with a
+    // salt, 90/10, then per-(split, source) corpus stats — the
+    // reproducible split every training pipeline needs (no RNG state,
+    // stable under repartitioning and re-runs).
+    "q148_train_test_split" -> QueryDef(
+      (s, d) => {
+        val u = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 16)
+        Tables.documents(s, d)
+          .withColumn("split", when(u < lit(trainHex), "train").otherwise("test"))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+      },
+      Some(s"""SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                        < '$trainHex' THEN 'train' ELSE 'test' END AS split,
+               source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             FROM documents GROUP BY 1, 2""")),
+
+    // multimodal frame sampling: fixed 256-byte windows of the binary
+    // payload (a video decoder would emit real frames with the same
+    // array<binary> shape) — one row per frame with its length and
+    // leading byte, byte-verified by the oracle from hex().
+    "q149_frame_sample" -> QueryDef(
+      (s, d) => Multimodal
+        .asBinaryTable(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          posexplode(Multimodal.sampleFrames(col("payload"), 256))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          octet_length(col("frame")).as("frame_len"),
+          hex(substring(col("frame"), 1, 1)).as("head_hex")),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                    octet_length(encode(text)) AS n FROM documents),
+             f AS (SELECT doc_id, n, hx,
+                     CAST(unnest(range(0, CAST((n - 1) // 256 + 1 AS BIGINT))) AS INT) AS frame_idx
+                   FROM h)
+             SELECT doc_id, frame_idx,
+               CAST(least(256, n - frame_idx * 256) AS INT) AS frame_len,
+               substr(hx, frame_idx * 512 + 1, 2) AS head_hex
+             FROM f"""))
+  )
+}

@@ -13,10 +13,10 @@ object SimilarityQueries {
   /** DuckDB SQL fragment: sequential double dot product of two list
     * columns — mirrors Similarity.dot exactly.
     */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
 
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
   /** 6 deterministic ±1 hyperplanes over 64 dims (seed 42) — shared by

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Fingerprint, Redact}
+import graft.multimodal.Multimodal
+
+/** Round-5 operators: winnowed fingerprinting, PII redaction,
+  * embedding near-dup dedup, frame sampling.
+  */
+class Round5Spec extends SparkSpec {
+
+  /** Plain-Scala winnowing oracle: md5-top-16-hex per 8-gram, min per
+    * 4-window, distinct.
+    */
+  private def bruteFps(text: String, k: Int = 8, w: Int = 4): Set[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val grams = (0 to text.length - k).map(i => h(text.substring(i, i + k)))
+    (0 to grams.length - w).map(i => grams.slice(i, i + w).min).toSet
+  }
+
+  test("fingerprints match a plain-Scala winnowing fold per document") {
+    val docs = Tables.documents(spark, sf).limit(20).cache()
+    val got = Fingerprint.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      val fps = bruteFps(t)
+      val (nGrams, nFps, minFp, maxFp) = got(id)
+      assert(nGrams == t.length - 7, s"doc $id gram count")
+      assert(nFps == fps.size, s"doc $id fp count")
+      assert(minFp == fps.min && maxFp == fps.max, s"doc $id fp bounds")
+    }
+  }
+
+  test("redaction replaces every e-mail and phone and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write bob.smith@corp.example.org or +1-555-0199 today"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.io then c.d@e-f.co.uk and +1-555-1234 +1-555-9999"))
+      .toDF("id", "t")
+      .select(col("id"), Redact.pii(col("t")).as("r"),
+        Redact.emailCount(col("t")).as("ne"), Redact.phoneCount(col("t")).as("np"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == (("write <EMAIL> or <PHONE> today", 1L, 1L)))
+    assert(rows(2L) == (("no pii here at all", 0L, 0L)))
+    assert(rows(3L)._2 == 2L && rows(3L)._3 == 2L)
+    assert(!rows(3L)._1.contains("@") && !rows(3L)._1.contains("+1-555-"))
+  }
+
+  test("embed dedup keeps exactly one representative per cluster") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = graft.similarity.Similarity.cosinePairsTiled(emb, 0.4)
+      .localCheckpoint(true)
+    val comp = graft.operators.Components.connected(pairs, "id1", "id2")
+    val out = emb.select(col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = out.length
+    assert(total == emb.count())
+    // every cluster's representative is its min member and is kept
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep, s"cluster $rep min-rep")
+    }
+    // edges connect only same-cluster nodes
+    val repOf = out.toMap
+    pairs.select("id1", "id2").collect().foreach { r =>
+      assert(repOf(r.getLong(0)) == repOf(r.getLong(1)), "edge within cluster")
+    }
+  }
+
+  test("sampled frames reassemble byte-exactly into the payload") {
+    val bt = Multimodal.asBinaryTable(
+      Tables.documents(spark, sf).limit(10), "text")
+    bt.select(col("payload"),
+        Multimodal.sampleFrames(col("payload"), 7).as("frames"))
+      .collect().foreach { r =>
+        val payload = r.getAs[Array[Byte]](0)
+        val frames = r.getSeq[Array[Byte]](1)
+        assert(frames.forall(_.length <= 7))
+        assert(java.util.Arrays.equals(frames.flatten.toArray, payload))
+      }
+  }
+}
