@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,11 +110,18 @@ object Cumulative {
     * through one partition; this never does.
     */
   def globalRowNumber(df: DataFrame, orderCols: Seq[String],
-                      outCol: String): DataFrame = {
+                      outCol: String): DataFrame =
+    globalRowNumberBy(df, orderCols.map(col), outCol)
+
+  /** [[globalRowNumber]] with full sort expressions (direction + null
+    * placement), e.g. `col("bal").desc_nulls_last`.
+    */
+  def globalRowNumberBy(df: DataFrame, sortExprs: Seq[Column],
+                        outCol: String): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = df
-      .repartitionByRange(n, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+      .repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
@@ -122,7 +129,7 @@ object Cumulative {
     val offsets = scala.collection.mutable.Map[Int, Long]()
     var acc = 0L
     counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
     sorted
       .withColumn(outCol, row_number().over(w).cast("long") +
         coalesce(element_at(typedlit(offsets.toMap), col("__pid")), lit(0L)))

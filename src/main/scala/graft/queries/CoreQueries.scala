@@ -175,12 +175,14 @@ object CoreQueries {
     // order-insensitively).
     "q13_sort_values" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        Sorts.sortValues(Tables.customer(s, d), Seq("c_acctbal", "c_custkey"),
-            Seq(false, true))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(Sorts.sortCol("c_acctbal", ascending = false),
-              Sorts.sortCol("c_custkey", ascending = true))).cast("long"))
+        // rank via the distributed two-phase row number — a naive
+        // Window.orderBy(...) with no partitionBy funnels the whole
+        // table through one partition.
+        val sorted = Sorts.sortValues(Tables.customer(s, d),
+          Seq("c_acctbal", "c_custkey"), Seq(false, true))
+        graft.operators.Cumulative.globalRowNumberBy(sorted,
+            Seq(Sorts.sortCol("c_acctbal", ascending = false),
+              Sorts.sortCol("c_custkey", ascending = true)), "rn")
           .select(col("c_custkey"), Num.rnd(col("c_acctbal"), 2).as("bal"), col("rn"))
       },
       Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal,

@@ -19,10 +19,16 @@ object ExtraQueries {
     // core/column.py:1134-1249; we keep values as strings and expose
     // .cat.codes as dense_rank over the sorted dictionary).
     "q72_cat_codes" -> QueryDef(
-      (s, d) => Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_orderpriority"),
-        (dense_rank().over(Window.orderBy(col("o_orderpriority"))) - 1)
-          .cast("int").as("code")),
+      (s, d) => {
+        // dictionary discovery is a bounded distinct (cardinality ≪ rows,
+        // the getDummies pattern); codes are then a scan-stage literal-map
+        // lookup — no global dense_rank window funneling the table
+        // through one partition.
+        val df = Tables.orders(s, d)
+        val dt = graft.operators.Categorical.infer(df, "o_orderpriority")
+        df.select(col("o_orderkey"), col("o_orderpriority"),
+          dt.codes(col("o_orderpriority")).as("code"))
+      },
       Some("""SELECT o_orderkey, o_orderpriority,
              CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS code
              FROM orders""")),

@@ -44,14 +44,11 @@ object ScalarQueries {
 
     // §2.2 iloc positional slice — deterministic via explicit row order.
     "q33_iloc" -> QueryDef(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        Tables.orders(s, d)
-          .withColumn("__pos", row_number().over(
-            Window.orderBy(col("o_orderkey"))).cast("long"))
-          .filter(col("__pos").between(11, 25))
-          .select(col("__pos").as("pos"), col("o_orderkey"))
-      },
+      (s, d) => graft.operators.Cumulative
+        // two-phase distributed positions — never a single-partition window
+        .globalRowNumber(Tables.orders(s, d), Seq("o_orderkey"), "__pos")
+        .filter(col("__pos").between(11, 25))
+        .select(col("__pos").as("pos"), col("o_orderkey")),
       Some("""SELECT pos, o_orderkey FROM
              (SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS pos,
                      o_orderkey FROM orders)
