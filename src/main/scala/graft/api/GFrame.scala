@@ -369,18 +369,20 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
 
   /** value_counts: per-value frequency, most frequent first (ties by
     * value for determinism). normalize=true divides by the total
-    * (pandas value_counts(normalize=True)) via a window sum — no
-    * second scan.
+    * (pandas value_counts(normalize=True)) via a broadcast 1-row total —
+    * a global window would funnel every distinct value through one
+    * partition, which matters for high-cardinality columns.
     */
   def valueCounts(c: String, normalize: Boolean = false): GFrame = {
     val counts = df.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
     val out =
       if (!normalize) counts
-      else counts.withColumn("proportion",
-          col("count") / org.apache.spark.sql.functions.sum(col("count"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .drop("count")
+      else counts
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          counts.agg(org.apache.spark.sql.functions.sum(col("count")).as("__total"))))
+        .withColumn("proportion", col("count") / col("__total"))
+        .drop("count", "__total")
     GFrame(out.orderBy(
       col(if (normalize) "proportion" else "count").desc, col(c).asc))
   }

@@ -108,4 +108,55 @@ object AsOfJoin {
     }
     bounded.filter(col("__tag") === 0).drop("__t", "__tag", "__rt")
   }
+
+  /** Nearest direction (pandas merge_asof direction="nearest"): the
+    * right row with the smallest |rightTime − leftTime| within the key;
+    * ties (one candidate before, one equally far after) resolve
+    * backward. Still ONE hash shuffle on `key`: both carries run as two
+    * windows (ascending and descending) over the same partitioning, so
+    * the planner inserts one Exchange and two partition-local sorts.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String],
+              tolerance: Option[Long] = None): DataFrame = {
+    val leftOnly = left.columns.filterNot(_ == key).toSeq
+    // right rows tag 0, left rows tag 1: ascending (__t, __tag) puts an
+    // equal-time right row before the left row (inclusive backward);
+    // descending __t with ASCENDING __tag does the same for forward.
+    val l = left.select(
+      (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(1).as("__tag")) ++
+        leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
+        lit(null).cast("long").as("__rt")): _*)
+    val r = right.select(
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
+        leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
+        ordKey(right, rightTime).as("__rt")): _*)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(
+      l.unionByName(r)
+        .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+        .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wf))
+    ) { (d, c) =>
+      d.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wf))
+    }
+    val tol = tolerance.map(lit(_))
+    val bOk = col("__bt").isNotNull &&
+      tol.fold(lit(true))(t => col("__t") - col("__bt") <= t)
+    val fOk = col("__ft").isNotNull &&
+      tol.fold(lit(true))(t => col("__ft") - col("__t") <= t)
+    val useB = bOk && (!fOk || (col("__t") - col("__bt")) <= (col("__ft") - col("__t")))
+    val chosen = payload.foldLeft(carried)((d, c) =>
+      d.withColumn(c,
+        when(useB, col(s"__b_$c")).when(fOk, col(s"__f_$c")).otherwise(lit(null))))
+    chosen.filter(col("__tag") === 1)
+      .drop((Seq("__t", "__tag", "__rt", "__bt", "__ft") ++
+        payload.flatMap(c => Seq(s"__b_$c", s"__f_$c"))): _*)
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.Num
 import graft.text.{Fingerprint, Redact}
 import graft.multimodal.Multimodal
 
@@ -160,6 +161,43 @@ object Round5Queries {
              SELECT doc_id, frame_idx,
                CAST(least(256, n - frame_idx * 256) AS INT) AS frame_len,
                substr(hx, frame_idx * 512 + 1, 2) AS head_hex
-             FROM f"""))
+             FROM f""")),
+
+    // STREAMING MinHash-LSH near-dup — the incremental twin of q55:
+    // per-bucket id state in flatMapGroupsWithState, stream-static
+    // exact-Jaccard verify. The accumulated pair set equals the batch
+    // LSH candidates (microbatch-split independent), and LSH recall vs
+    // the exact algorithm is 1.0 at gate SFs (q55's measured bound), so
+    // the exact-pair SQL is the oracle here too.
+    "q150_stream_neardup" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.nearDupPairs(s, d, n = 3, threshold = 0.5),
+      Some(s"WITH ${TextQueries.pairsOracleCtes} SELECT id1, id2, jaccard FROM pairs")),
+
+    // merge_asof direction="nearest" (+tolerance): smallest |Δt| match
+    // within the key, ties resolved backward — one shuffle, two
+    // partition-local window carries (see AsOfJoin.nearest).
+    "q151_asof_nearest" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("ctus"))
+          .agg(max(col("value")).as("click_value"))
+        graft.operators.AsOfJoin.nearest(purchases, clicks, "user_id",
+            "tus", "ctus", Seq("click_value"), tolerance = Some(600000000L))
+          .select(col("event_id"), col("user_id"),
+            Num.rnd(col("click_value"), 6).as("click_value"))
+      },
+      Some("""WITH clicks AS (
+               SELECT user_id, epoch_us(ts) AS ctus, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             SELECT p.event_id, p.user_id,
+               round((SELECT c.click_value FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND abs(c.ctus - epoch_us(p.ts)) <= 600000000
+                      ORDER BY abs(c.ctus - epoch_us(p.ts)) ASC, c.ctus ASC
+                      LIMIT 1), 6) AS click_value
+             FROM events p WHERE p.event_type = 'purchase'"""))
   )
 }

@@ -64,6 +64,82 @@ object DocStreams {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
   }
 
+  /** Streaming MinHash-LSH near-duplicate detection — the incremental
+    * twin of the batch q55 pipeline: documents arrive continuously, each
+    * is banded in the scan stage (same MinHashSig expression as batch),
+    * and per-bucket membership lives in `flatMapGroupsWithState` state.
+    * A new document emits candidate pairs against every earlier member
+    * of any of its buckets, so the accumulated pair SET is exactly the
+    * batch LSH candidate set regardless of how documents split across
+    * microbatches. Candidates are exact-Jaccard verified in-stream by a
+    * stateless stream-static join against the corpus shingle sets.
+    *
+    * Scale: state per bucket is an id list only (no shingles, no
+    * signatures) capped at `maxBucket` — the same boilerplate guard as
+    * batch; the FMGWS shuffle moves (bucket, id) pairs, k/r per doc.
+    * The same pair can surface from several bands (and is then verified
+    * up to that many times — bounded by the band count); the caller
+    * dedups the appended sink with one batch `distinct()`, keeping the
+    * streaming query single-stateful.
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   k: Int = 64, r: Int = 4): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val staticShingles = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.text.Shingles.shingles(col("text"), n).as("sh"))
+    val name = "graft_stream_neardup"
+    val q = nearDupTransform(docs, staticShingles, n, threshold, k, r)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).distinct()
+  }
+
+  /** The near-dup transform itself — identical against any streaming
+    * documents source; `staticShingles` is the (batch) reference corpus
+    * the verify join reads.
+    */
+  def nearDupTransform(docStream: DataFrame, staticShingles: DataFrame,
+                       n: Int, threshold: Double, k: Int, r: Int,
+                       maxBucket: Int = 1000): DataFrame = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val banded = docStream
+      .select(col("doc_id"),
+        posexplode(graft.text.MinHashSig.bandHashes(
+          graft.text.Shingles.shingles(col("text"), n), k, r)).as(Seq("band", "h")))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("h")).as("bucket"))
+      .as[(Long, String)]
+    val pairs = banded.groupByKey(_._2)
+      .flatMapGroupsWithState[BucketMembers, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[BucketMembers]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Vector.empty)
+          // sorted for deterministic intra-batch pairing
+          val fresh = rows.map(_._1).toVector.distinct.sorted
+            .filterNot(seen.contains)
+          val out = Vector.newBuilder[(Long, Long)]
+          var all = seen
+          fresh.foreach { id =>
+            if (all.size < maxBucket)
+              all.foreach(p => out += ((math.min(p, id), math.max(p, id))))
+            all = all :+ id
+          }
+          state.update(BucketMembers(all))
+          out.result().iterator
+      }
+      .toDF("id1", "id2")
+    val s1 = staticShingles.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val s2 = staticShingles.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard", graft.functions.Num.rnd(
+        graft.text.Shingles.jaccard(col("sh1"), col("sh2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Drain a streaming frame through a complete-mode memory sink. */
   def run(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q = streamed.writeStream.outputMode("complete")
@@ -76,3 +152,8 @@ object DocStreams {
   /** The raw document stream schema, for spec-built sources. */
   def schema: StructType = docSchema
 }
+
+/** FMGWS state for [[DocStreams.nearDupTransform]]: ids seen per LSH
+  * bucket (no shingles or signatures — state stays id-sized).
+  */
+final case class BucketMembers(ids: Vector[Long])

@@ -71,4 +71,54 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p")).head()
     assert(got.getAs[Long]("p") === 1L)
   }
+
+  test("nearest picks the smallest |Δt|, resolves ties backward, honors tolerance") {
+    val l = Seq(
+      ("k", 100L, "mid"),    // rt=90 (d=10) vs rt=130 (d=30) → backward 1
+      ("k", 125L, "fwd"),    // rt=90 (d=35) vs rt=130 (d=5)  → forward 2
+      ("k", 110L, "tie"),    // rt=90 (d=20) vs rt=130 (d=20) → tie → backward 1
+      ("k", 500L, "far"),    // nearest is rt=130 (d=370) → beyond tolerance
+      ("z", 10L, "none"))    // no right rows for key z
+      .toDF("key", "t", "ev")
+    val r = Seq(("k", 90L, 1L), ("k", 130L, 2L)).toDF("key", "rt", "p")
+    val got = AsOfJoin.nearest(l, r, "key", "t", "rt", Seq("p"),
+        tolerance = Some(100L))
+      .collect().map(row => row.getAs[String]("ev") ->
+        (if (row.isNullAt(row.fieldIndex("p"))) null else row.getAs[Long]("p"))).toMap
+    assert(got("mid") === 1L)
+    assert(got("fwd") === 2L)
+    assert(got("tie") === 1L)
+    assert(got("far") === null)
+    assert(got("none") === null)
+  }
+
+  test("nearest equals a brute-force scan over a random-ish frame") {
+    val l = (0 until 200).map(i => ("k" + i % 5, (i * 37 % 101).toLong, i.toLong))
+      .toDF("key", "t", "ev")
+    val r = (0 until 80).map(i => ("k" + i % 5, (i * 53 % 97).toLong, i.toLong * 10))
+      .toDF("key", "rt", "p")
+    val got = AsOfJoin.nearest(l, r, "key", "t", "rt", Seq("p"))
+      .collect().map(row => row.getAs[Long]("ev") ->
+        (if (row.isNullAt(row.fieldIndex("p"))) null else row.getAs[Long]("p"))).toMap
+    val rightRows = r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    l.collect().foreach { row =>
+      val (key, t, ev) = (row.getString(0), row.getLong(1), row.getLong(2))
+      val cands = rightRows.filter(_._1 == key)
+      val want =
+        if (cands.isEmpty) null
+        else {
+          // min |Δt|; ties → smaller rt (backward); equal rt collapses to
+          // the window's last-carried value, so dedup rt first like the
+          // engine's callers do
+          val best = cands.groupBy(_._2).map { case (rt, g) => (rt, g.map(_._3).max) }
+            .toSeq.minBy { case (rt, _) => (math.abs(rt - t), rt) }
+          best._2
+        }
+      // duplicate (key, rt) pairs exist in this frame; the engine carries
+      // the LAST right row within equal (t, tag) which is
+      // order-nondeterministic — only assert on keys with unique rt
+      val unique = cands.groupBy(_._2).forall(_._2.size == 1)
+      if (unique) assert(got(ev) === want, s"ev=$ev key=$key t=$t")
+    }
+  }
 }

@@ -30,4 +30,33 @@ class DocStreamsSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("streaming near-dup pair set equals batch LSH across microbatches") {
+    val docs = Tables.documents(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/doc_stream_neardup_spec"
+    // near-dup PAIRS can straddle the file split: only cross-batch
+    // bucket state recovers them
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream.schema(DocStreams.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val staticShingles = docs
+      .select(col("doc_id"), graft.text.Shingles.shingles(col("text"), 3).as("sh"))
+    val name = "doc_stream_neardup_spec"
+    val q = DocStreams.nearDupTransform(streamed, staticShingles, 3, 0.5, 64, 4)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.text.MinHash
+      .nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), graft.functions.Num.rnd(col("jaccard"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
