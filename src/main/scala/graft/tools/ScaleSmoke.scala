@@ -45,7 +45,8 @@ object ScaleSmoke {
 
     val names = Seq("q54_ngram_jaccard", "q55_minhash_lsh", "q102_curation_pipeline",
       "q87_etl_pipeline", "q46_cumsum_global", "q97_group_topk", "q88_embed_centroid",
-      "q58_ann_brute", "q114_dedup_clusters", "q57_cosine_pairs")
+      "q58_ann_brute", "q114_dedup_clusters", "q57_cosine_pairs",
+      "q145_fingerprint", "q146_embed_dedup")
     val qmap = SparkEntry.queries
     names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
     val results = names.map { n =>
