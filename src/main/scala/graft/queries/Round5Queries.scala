@@ -30,9 +30,11 @@ object Round5Queries {
 
     // winnowed rolling-hash document fingerprinting (MOSS): min of each
     // 4-window of 8-gram hashes, distinct per doc. Gram hash =
-    // md5-top-8-bytes so the oracle recomputes it exactly.
+    // md5-top-8-bytes so the oracle recomputes it exactly. Native
+    // one-pass WinnowSet expression — zero shuffle; the composed
+    // explode+window twin stays spec-pinned (Round5Spec).
     "q145_fingerprint" -> QueryDef(
-      (s, d) => Fingerprint.fingerprints(
+      (s, d) => Fingerprint.fingerprintsNative(
         Tables.documents(s, d), "doc_id", "text", k = 8, w = 4),
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
                          FROM documents WHERE length(text) >= 11),
@@ -199,5 +201,38 @@ object Round5Queries {
                       ORDER BY abs(c.ctus - epoch_us(p.ts)) ASC, c.ctus ASC
                       LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'"""))
+
+    ,
+
+    // sequence PACKING: assign documents to fixed bins round-robin over
+    // the (token-count desc, id) order — the distributed LPT-style
+    // balancing step before batch construction (equal doc counts, near-
+    // equal token sums per bin). Rank via the two-phase distributed row
+    // number; everything else is scan-stage.
+    "q152_pack_bins" -> QueryDef(
+      (s, d) => {
+        val nBins = 32
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        graft.operators.Cumulative.globalRowNumberBy(docs,
+            Seq(col("n_tok").desc, col("doc_id").asc), "rn")
+          .withColumn("bin", ((col("rn") - 1) % nBins).cast("int"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tok"),
+            max(col("n_tok")).as("max_tok"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                         FROM documents),
+             r AS (SELECT doc_id, n_tok,
+                     row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+                   FROM t)
+             SELECT CAST((rn - 1) % 32 AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               CAST(max(n_tok) AS INT) AS max_tok,
+               min(doc_id) AS first_doc
+             FROM r GROUP BY 1"""))
   )
 }

@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprint {
 
+  /** Distinct winnowed fingerprints as an array column — the native
+    * one-pass [[WinnowSet]] expression (scan-stage, no shuffle).
+    */
+  def winnowSet(text: org.apache.spark.sql.Column, k: Int, w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WinnowSet(ColumnBridge.expression(text), k, w))
+  }
+
+  /** Fingerprint summary per document via [[WinnowSet]] — identical
+    * output to [[fingerprints]] (spec-pinned) with zero shuffles: the
+    * whole computation is one scan-stage projection.
+    */
+  def fingerprintsNative(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val n = length(col(textCol))
+    docs
+      .filter(n >= k + w - 1)
+      .select(col(idCol), n.as("n"), winnowSet(col(textCol), k, w).as("fps"))
+      .select(col(idCol),
+        (col("n") - (k - 1)).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+  }
+
   /** Fingerprint summary per document: number of grams, number of
     * distinct winnowed fingerprints, and the lexicographic min/max
     * fingerprint (a stable 2-point signature for quick equality checks).

@@ -37,6 +37,25 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("native WinnowSet path equals the composed explode+window pipeline") {
+    val docs = Tables.documents(spark, sf).cache()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))
+    val native = Fingerprint.fingerprintsNative(docs, "doc_id", "text")
+      .collect().map(key).toSet
+    val composed = Fingerprint.fingerprints(docs, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(native === composed)
+    assert(native.nonEmpty)
+    // full fingerprint SETS too (not just the summary stats)
+    val sets = docs.limit(30)
+      .select(col("doc_id"), Fingerprint.winnowSet(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    docs.limit(30).select("doc_id", "text").collect().foreach { r =>
+      assert(sets(r.getLong(0)) === bruteFps(r.getString(1)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("redaction replaces every e-mail and phone and counts them") {
     import spark.implicits._
     val df = Seq(
