@@ -233,6 +233,47 @@ object Round5Queries {
                CAST(sum(n_tok) AS BIGINT) AS sum_tok,
                CAST(max(n_tok) AS INT) AS max_tok,
                min(doc_id) AS first_doc
-             FROM r GROUP BY 1"""))
+             FROM r GROUP BY 1""")),
+
+    // model-based quality scoring: corpus unigram LM (token → frequency),
+    // each document scored by its mean token log-probability — the
+    // KenLM-style perplexity filter of curation pipelines, distilled to
+    // the unigram case. Vocab is a bounded aggregate (≪ corpus) joined
+    // back broadcast; per-token logprobs are rounded to 6dp BEFORE the
+    // exact DECIMAL sum so 1-ulp ln() differences between engines can't
+    // flip the rounded mean (the Num.sumMoney discipline, applied to
+    // logs).
+    "q153_unigram_quality" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val withTotal = vocab.crossJoin(
+          broadcast(vocab.agg(sum(col("cnt")).as("__total"))))
+        val scored = toks
+          .join(broadcast(withTotal), "tok")
+          .withColumn("lp", Num.rnd(
+            log(col("cnt").cast("double") / col("__total").cast("double")), 6))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("lp").cast("decimal(18,6)")).as("__sum"))
+        scored.select(col("doc_id"), col("n_tok"),
+          Num.rnd(col("__sum").cast("double") / col("n_tok"), 6).as("avg_lp"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS tok
+               FROM documents),
+             vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                       FROM toks GROUP BY 1),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             lp AS (SELECT t.doc_id,
+                      CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS lp
+                    FROM toks t JOIN vocab v ON t.tok = v.tok, tot)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+             FROM lp GROUP BY 1"""))
   )
 }
