@@ -56,6 +56,26 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("WinnowSet matches brute force on random strings (property)") {
+    import spark.implicits._
+    // deterministic pseudo-random strings incl. repeats, short docs, and
+    // a tiny alphabet (forces hash ties, the deque's equal-value path)
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abc xyz", "abcdefghij klmnop qrstuv")
+    val texts = (0 until 120).map { i =>
+      val a = alphabets(i % alphabets.size)
+      val len = rnd.nextInt(40) // 0..39, many below the k+w-1=11 floor
+      (i.toLong, (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString)
+    }
+    val df = texts.toDF("id", "t")
+    val got = df.select(col("id"), Fingerprint.winnowSet(col("t"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    texts.foreach { case (id, t) =>
+      val want = if (t.length < 11) Set.empty[String] else bruteFps(t)
+      assert(got(id) === want, s"id=$id len=${t.length} text='$t'")
+    }
+  }
+
   test("redaction replaces every e-mail and phone and counts them") {
     import spark.implicits._
     val df = Seq(
