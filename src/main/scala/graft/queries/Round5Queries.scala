@@ -274,6 +274,51 @@ object Round5Queries {
                     FROM toks t JOIN vocab v ON t.tok = v.tok, tot)
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
-             FROM lp GROUP BY 1"""))
+             FROM lp GROUP BY 1""")),
+
+    // KMV (k-minimum-values) distinct-count sketch, per group — the
+    // mergeable approximate-nunique of large-scale profiling, built on a
+    // DETERMINISTIC md5 hash so the oracle recomputes the sketch (and
+    // its estimate) exactly: dedup hashes, keep the k smallest per group
+    // (the custom GroupTopK bounded-heap operator — never a full sort),
+    // estimate (k−1)/u_k from the kth normalized hash. Exact nunique
+    // rides along for the error check; the spec asserts the estimate's
+    // relative error. Estimate = count when a group has < k distinct.
+    "q154_kmv_distinct" -> QueryDef(
+      (s, d) => {
+        val k = 64
+        val hashed = Tables.events(s, d)
+          .select(col("event_type"),
+            substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12).as("h"))
+          .distinct()
+        val kmin = graft.plans.GroupTopK.topKPerKey(
+          hashed, Seq("event_type"), Seq(("h", false)), k)
+        val sketch = kmin.groupBy("event_type")
+          .agg(count(lit(1)).as("n_h"), max(col("h")).as("mx"))
+          .withColumn("est", Num.rnd(
+            when(col("n_h") < k, col("n_h").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (conv(col("mx"), 16, 10).cast("double") / math.pow(16.0, 12))), 3))
+        val exact = Tables.events(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact"))
+        sketch.join(exact, "event_type")
+          .select(col("event_type"), col("n_h"), col("est"), col("exact"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type,
+                 substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12) AS h
+               FROM events),
+             r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                   FROM d),
+             s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h, max(h) AS mx
+                   FROM r WHERE rn <= 64 GROUP BY 1),
+             e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+                   FROM events GROUP BY 1)
+             SELECT s.event_type, n_h,
+               round(CASE WHEN n_h < 64 THEN CAST(n_h AS DOUBLE)
+                 ELSE 63.0 / (CAST(CAST('0x' || mx AS BIGINT) AS DOUBLE) / power(16, 12))
+                 END, 3) AS est,
+               exact
+             FROM s JOIN e ON s.event_type = e.event_type"""))
   )
 }

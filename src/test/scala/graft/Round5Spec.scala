@@ -115,6 +115,27 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("KMV sketch estimate is within the k=64 error envelope; exact under k") {
+    import spark.implicits._
+    val k = 64
+    // synthetic groups: one far above k distinct, one far below
+    val df = ((0 until 5000).map(i => ("big", i.toLong)) ++
+      (0 until 20).map(i => ("small", i.toLong))).toDF("g", "v")
+    val hashed = df.select(col("g"),
+      substring(md5(concat(lit("kmv:"), col("v").cast("string"))), 1, 12).as("h")).distinct()
+    val kmin = graft.plans.GroupTopK.topKPerKey(hashed, Seq("g"), Seq(("h", false)), k)
+    val est = kmin.groupBy("g")
+      .agg(count(lit(1)).as("n_h"), max(col("h")).as("mx"))
+      .withColumn("est",
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(col("mx"), 16, 10).cast("double") / math.pow(16.0, 12))))
+      .collect().map(r => r.getString(0) -> r.getDouble(r.fieldIndex("est"))).toMap
+    assert(est("small") === 20.0) // below k → exact
+    val rel = math.abs(est("big") - 5000.0) / 5000.0
+    assert(rel < 0.35, s"relative error $rel (est ${est("big")})")
+  }
+
   test("sampled frames reassemble byte-exactly into the payload") {
     val bt = Multimodal.asBinaryTable(
       Tables.documents(spark, sf).limit(10), "text")
