@@ -38,6 +38,17 @@ object Multimodal {
       sequence(lit(0), ((octet_length(payload) - 1) / frameBytes).cast("int")),
       i => substring(payload, (i * frameBytes + 1).cast("int"), lit(frameBytes)))
 
+  /** Resize stub: stride-resample the payload to exactly `outBytes`
+    * bytes (out[j] = in[floor(j·n/outBytes)]) — the deterministic
+    * stand-in for an image resize; a real decoder swaps the sampling
+    * for pixel interpolation with the same binary→binary column shape.
+    * Scan-stage, no shuffle.
+    */
+  def resizeBytes(payload: Column, outBytes: Int = 64): Column =
+    transform(sequence(lit(0), lit(outBytes - 1)),
+      j => substring(payload,
+        (floor(j * octet_length(payload) / outBytes) + 1).cast("int"), lit(1)))
+
   /** Stage each document as its own binary file (executor-parallel
     * writes) — produces the raw-file layout a real multimodal corpus
     * arrives in, so [[readBinaryDir]] exercises Spark's actual

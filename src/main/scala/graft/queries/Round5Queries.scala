@@ -319,6 +319,23 @@ object Round5Queries {
                  ELSE 63.0 / (CAST(CAST('0x' || mx AS BIGINT) AS DOUBLE) / power(16, 12))
                  END, 3) AS est,
                exact
-             FROM s JOIN e ON s.event_type = e.event_type"""))
+             FROM s JOIN e ON s.event_type = e.event_type""")),
+
+    // multimodal RESIZE stub: stride-resample every payload to a fixed
+    // 64 bytes (out[j] = in[floor(j·n/64)]) — scan-stage binary→binary,
+    // the column shape a real image resize keeps. Result pinned as the
+    // hex string of the resampled bytes, byte-verified by the oracle.
+    "q155_resize" -> QueryDef(
+      (s, d) => Multimodal.asBinaryTable(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          array_join(transform(
+            Multimodal.resizeBytes(col("payload"), 64), b => hex(b)), "").as("resized_hex")),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                    octet_length(encode(text)) AS n FROM documents)
+             SELECT doc_id, CAST(n AS INT) AS n_bytes,
+               array_to_string(list_transform(range(64),
+                 j -> substr(hx, CAST(2 * ((j * n) // 64) + 1 AS INT), 2)), '') AS resized_hex
+             FROM h"""))
   )
 }
