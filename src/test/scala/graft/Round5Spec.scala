@@ -136,6 +136,35 @@ class Round5Spec extends SparkSpec {
     assert(rel < 0.35, s"relative error $rel (est ${est("big")})")
   }
 
+  test("KmvAgg mergeable aggregator equals the distinct+GroupTopK pipeline") {
+    import spark.implicits._
+    val k = 64
+    val df = ((0 until 5000).map(i => ("big", i.toLong)) ++
+      (0 until 20).map(i => ("small", i.toLong)) ++
+      (0 until 5000).map(i => ("big", i.toLong))) // duplicates on purpose
+      .toDF("g", "v")
+      .repartition(8) // force multi-partition partial sketches + merge
+    val hashed = df.select(col("g"),
+      substring(md5(concat(lit("kmv:"), col("v").cast("string"))), 1, 12).as("h"))
+    val viaAgg = hashed.groupBy("g")
+      .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kmin = graft.plans.GroupTopK.topKPerKey(
+      hashed.distinct(), Seq("g"), Seq(("h", false)), k)
+    val viaPipeline = kmin.groupBy("g")
+      .agg(count(lit(1)).as("n_h"), max(col("h")).as("mx"))
+      .withColumn("est",
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(col("mx"), 16, 10).cast("double") / math.pow(16.0, 12))))
+      .collect().map(r => r.getString(0) -> r.getDouble(r.fieldIndex("est"))).toMap
+    assert(viaAgg.keySet === viaPipeline.keySet)
+    viaAgg.foreach { case (g, e) =>
+      assert(math.abs(e - viaPipeline(g)) < 1e-9, s"group $g: $e vs ${viaPipeline(g)}")
+    }
+    assert(viaAgg("small") === 20.0)
+  }
+
   test("sampled frames reassemble byte-exactly into the payload") {
     val bt = Multimodal.asBinaryTable(
       Tables.documents(spark, sf).limit(10), "text")
