@@ -219,6 +219,26 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(Joins.mergeOn(df, right.df, index, right.index, how), index)
   }
 
+  /** pandas merge_asof (beyond the reference, which is equi-join only):
+    * direction backward/forward/nearest, tolerance, allow_exact_matches.
+    * One hash shuffle on `by` (operators/AsOfJoin).
+    */
+  def mergeAsof(right: GFrame, by: String, leftOn: String, rightOn: String,
+                payload: Seq[String], direction: String = "backward",
+                tolerance: Option[Long] = None,
+                allowExactMatches: Boolean = true): GFrame = {
+    val out = direction match {
+      case "backward" => graft.operators.AsOfJoin.backward(
+        df, right.df, by, leftOn, rightOn, payload, tolerance, allowExactMatches)
+      case "forward" => graft.operators.AsOfJoin.forward(
+        df, right.df, by, leftOn, rightOn, payload, tolerance, allowExactMatches)
+      case "nearest" => graft.operators.AsOfJoin.nearest(
+        df, right.df, by, leftOn, rightOn, payload, tolerance, allowExactMatches)
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    GFrame(out, index)
+  }
+
   // ---- groupby / reductions (§2.4) ----
 
   def groupby(keys: String*): GGroupBy = GGroupBy(this, keys)

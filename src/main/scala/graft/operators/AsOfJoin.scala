@@ -51,7 +51,11 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String],
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               allowExactMatches: Boolean = true): DataFrame = {
+    // strict (<): right rows sort AFTER left at equal timestamps, so the
+    // running carry can't hand an equal-time right value to the left row
+    val rTag = if (allowExactMatches) 0 else 2
     // Identical schemas: key, __t, __tag, left columns (null on right
     // rows), payload (null on left rows). __tag=0 sorts right rows first
     // at equal timestamps → inclusive (<=) asof semantics. __rt carries
@@ -62,7 +66,7 @@ object AsOfJoin {
         leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
         lit(null).cast("long").as("__rt")): _*)
     val r = right.select(
-      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(rTag).as("__tag")) ++
         leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
         ordKey(right, rightTime).as("__rt")): _*)
     val w = Window.partitionBy(col(key))
@@ -86,14 +90,18 @@ object AsOfJoin {
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
               payload: Seq[String],
-              tolerance: Option[Long] = None): DataFrame = {
+              tolerance: Option[Long] = None,
+              allowExactMatches: Boolean = true): DataFrame = {
+    // strict (>): in the descending traversal right rows must come after
+    // left rows at equal timestamps (tag desc: left 0 first needs right < 0)
+    val rTag = if (allowExactMatches) 1 else -1
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
       (Seq(col(key), ordKey(left, leftTime).as("__t"), lit(0).as("__tag")) ++
         leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
         lit(null).cast("long").as("__rt")): _*)
     val r = right.select(
-      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(1).as("__tag")) ++
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(rTag).as("__tag")) ++
         leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
         ordKey(right, rightTime).as("__rt")): _*)
     val w = Window.partitionBy(col(key))
@@ -119,7 +127,9 @@ object AsOfJoin {
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
               payload: Seq[String],
-              tolerance: Option[Long] = None): DataFrame = {
+              tolerance: Option[Long] = None,
+              allowExactMatches: Boolean = true): DataFrame = {
+    val rTag = if (allowExactMatches) 0 else 2
     val leftOnly = left.columns.filterNot(_ == key).toSeq
     // right rows tag 0, left rows tag 1: ascending (__t, __tag) puts an
     // equal-time right row before the left row (inclusive backward);
@@ -129,7 +139,7 @@ object AsOfJoin {
         leftOnly.map(col) ++ payload.map(p => lit(null).as(p)) :+
         lit(null).cast("long").as("__rt")): _*)
     val r = right.select(
-      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
+      (Seq(col(key), ordKey(right, rightTime).as("__t"), lit(rTag).as("__tag")) ++
         leftOnly.map(c => lit(null).as(c)) ++ payload.map(col) :+
         ordKey(right, rightTime).as("__rt")): _*)
     val wb = Window.partitionBy(col(key))

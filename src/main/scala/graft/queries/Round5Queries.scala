@@ -336,6 +336,34 @@ object Round5Queries {
              SELECT doc_id, CAST(n AS INT) AS n_bytes,
                array_to_string(list_transform(range(64),
                  j -> substr(hx, CAST(2 * ((j * n) // 64) + 1 AS INT), 2)), '') AS resized_hex
-             FROM h"""))
+             FROM h""")),
+
+    // merge_asof(allow_exact_matches=False): strict `<` backward match
+    // through the pandas-style GFrame API. Clicks AT the purchase
+    // timestamp must not match — only strictly earlier ones.
+    "q156_asof_strict" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val ev = Tables.events(s, d)
+        val purchases = GFrame(ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus")))
+        val clicks = GFrame(ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("ctus"))
+          .agg(max(col("value")).as("click_value")))
+        purchases.mergeAsof(clicks, "user_id", "tus", "ctus",
+            Seq("click_value"), direction = "backward",
+            allowExactMatches = false)
+          .df.select(col("event_id"), col("user_id"),
+            Num.rnd(col("click_value"), 6).as("click_value"))
+      },
+      Some("""WITH clicks AS (
+               SELECT user_id, epoch_us(ts) AS ctus, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             SELECT p.event_id, p.user_id,
+               round((SELECT c.click_value FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND c.ctus < epoch_us(p.ts)
+                      ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
+             FROM events p WHERE p.event_type = 'purchase'"""))
   )
 }

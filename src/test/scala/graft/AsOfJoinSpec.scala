@@ -72,6 +72,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.getAs[Long]("p") === 1L)
   }
 
+  test("allow_exact_matches=false excludes equal-time right rows in every direction") {
+    val l = Seq(("k", 10L, "x")).toDF("key", "t", "ev")
+    val r = Seq(("k", 10L, 1L), ("k", 5L, 2L), ("k", 15L, 3L)).toDF("key", "rt", "p")
+    def p(df: org.apache.spark.sql.DataFrame): Any = {
+      val row = df.head(); if (row.isNullAt(row.fieldIndex("p"))) null else row.getAs[Long]("p")
+    }
+    // inclusive: the rt=10 row wins backward and forward, and is the
+    // distance-0 nearest
+    assert(p(AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p"))) === 1L)
+    assert(p(AsOfJoin.forward(l, r, "key", "t", "rt", Seq("p"))) === 1L)
+    assert(p(AsOfJoin.nearest(l, r, "key", "t", "rt", Seq("p"))) === 1L)
+    // strict: it is skipped; backward falls to rt=5, forward to rt=15,
+    // nearest ties |10-5| = |15-10| → backward
+    assert(p(AsOfJoin.backward(l, r, "key", "t", "rt", Seq("p"),
+      allowExactMatches = false)) === 2L)
+    assert(p(AsOfJoin.forward(l, r, "key", "t", "rt", Seq("p"),
+      allowExactMatches = false)) === 3L)
+    assert(p(AsOfJoin.nearest(l, r, "key", "t", "rt", Seq("p"),
+      allowExactMatches = false)) === 2L)
+  }
+
   test("nearest picks the smallest |Δt|, resolves ties backward, honors tolerance") {
     val l = Seq(
       ("k", 100L, "mid"),    // rt=90 (d=10) vs rt=130 (d=30) → backward 1
