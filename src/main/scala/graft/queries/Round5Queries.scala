@@ -365,5 +365,51 @@ object Round5Queries {
                         AND c.ctus < epoch_us(p.ts)
                       ORDER BY c.ctus DESC LIMIT 1), 6) AS click_value
              FROM events p WHERE p.event_type = 'purchase'"""))
+
+    ,
+
+    // per-group Pearson correlation + covariance from EXACT decimal
+    // sums: built-in corr()/covar use Welford-style merges whose float
+    // results depend on partitioning and engine; accumulating Σx, Σy,
+    // Σxy, Σx², Σy² as DECIMAL makes the moments exact and identical in
+    // both engines, so the final double formula hash-matches. The
+    // decimal sums are plain partial-aggregatable SUMs — same shuffle
+    // shape as the native corr.
+    "q157_corr" -> QueryDef(
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(12,2)")
+        val y = col("l_extendedprice").cast("decimal(12,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).cast("decimal(38,4)").as("sxy"),
+            sum(x * x).cast("decimal(38,4)").as("sxx"),
+            sum(y * y).cast("decimal(38,4)").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            Num.rnd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"), 4).as("cov_samp"),
+            Num.rnd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+              .as("pearson"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sxy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sxx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS syy
+               FROM lineitem GROUP BY 1)
+             SELECT l_returnflag, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 4) AS cov_samp,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson
+             FROM m"""))
   )
 }
