@@ -410,6 +410,20 @@ object Round5Queries {
                round(CAST(n * sxy - sx * sy AS DOUBLE) /
                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson
-             FROM m"""))
+             FROM m""")),
+
+    // pandas sample(n=) with a fixed seed: EXACTLY n rows, drawn by
+    // md5-hash order — deterministic across engines, partitionings and
+    // re-runs, and plan-wise just TakeOrderedAndProject (bounded heaps
+    // per partition, no global sort, no window).
+    "q158_sample_n" -> QueryDef(
+      (s, d) => graft.operators.Sorts.topK(
+          Tables.documents(s, d)
+            .withColumn("__u", md5(concat(lit("sample:"), col("doc_id").cast("string")))),
+          Seq("__u"), Seq(true), 100)
+        .select(col("doc_id"), col("source"), col("lang")),
+      Some("""SELECT doc_id, source, lang FROM documents
+             QUALIFY row_number() OVER (
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR))) <= 100"""))
   )
 }
