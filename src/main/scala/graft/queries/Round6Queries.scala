@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.operators.RollingGlobal
+import graft.text.{RepStats, Shingles}
+
+/** Round-6 surface: the remaining curation-pipeline staples —
+  * Gopher-style repetition quality filters, n-gram decontamination
+  * against a held-out eval set, temperature-weighted mixture planning,
+  * and the distributed GLOBAL rolling window (the ungrouped pandas
+  * `rolling(w)` no prior round covered because the naive formulation is
+  * a single-partition funnel).
+  */
+object Round6Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A.1.1): a doc
+    // is low-quality when too much of it is the same words/n-grams
+    // repeating. dup_word_frac = 1 - distinct/total words; topK_frac =
+    // multiplicity of the most common K-gram / total K-grams. Native
+    // one-pass RepStatsExpr — per-document answers from a scan stage,
+    // ZERO shuffles (the explode→groupBy formulation the oracle uses
+    // would shuffle every n-gram of the corpus). Fractions are derived
+    // from the integer counts in Column space so the SQL oracle computes
+    // the identical doubles.
+    "q160_repetition_filter" -> QueryDef(
+      (s, d) => {
+        val st = RepStats.stats(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), st.as("rs"))
+          .select(col("doc_id"),
+            element_at(col("rs"), 1).as("n_words"),
+            element_at(col("rs"), 2).as("n_distinct"),
+            element_at(col("rs"), 3).as("top2"),
+            element_at(col("rs"), 5).as("top3"),
+            Num.rnd(lit(1.0) - element_at(col("rs"), 2).cast("double") /
+              element_at(col("rs"), 1), 6).as("dup_word_frac"),
+            when(element_at(col("rs"), 4) === 0, 0.0).otherwise(
+              Num.rnd(element_at(col("rs"), 3).cast("double") /
+                element_at(col("rs"), 4), 6)).as("top2_frac"),
+            when(element_at(col("rs"), 6) === 0, 0.0).otherwise(
+              Num.rnd(element_at(col("rs"), 5).cast("double") /
+                element_at(col("rs"), 6), 6)).as("top3_frac"))
+          .withColumn("keep",
+            col("dup_word_frac") <= 0.5 && col("top2_frac") <= 0.05)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+                  FROM documents),
+             base AS (SELECT doc_id, len(t) AS n_words,
+                    len(list_distinct(t)) AS n_distinct FROM w),
+             g2 AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                      i -> t[i+1] || ' ' || t[i+2])) AS g
+                    FROM w WHERE len(t) >= 2),
+             c2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM
+                      (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                    GROUP BY 1),
+             g3 AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                    FROM w WHERE len(t) >= 3),
+             c3 AS (SELECT doc_id, max(c) AS top3, sum(c) AS n3 FROM
+                      (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+                    GROUP BY 1),
+             j AS (SELECT b.doc_id, b.n_words, b.n_distinct,
+                     CAST(coalesce(c2.top2, 0) AS BIGINT) AS top2,
+                     CAST(coalesce(c2.n2, 0) AS BIGINT) AS n2,
+                     CAST(coalesce(c3.top3, 0) AS BIGINT) AS top3,
+                     CAST(coalesce(c3.n3, 0) AS BIGINT) AS n3
+                   FROM base b LEFT JOIN c2 USING (doc_id)
+                               LEFT JOIN c3 USING (doc_id)),
+             f AS (SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     CAST(n_distinct AS BIGINT) AS n_distinct, top2, top3,
+                     round((1.0 - n_distinct * 1.0 / n_words) * 1e6) / 1e6
+                       AS dup_word_frac,
+                     CASE WHEN n2 = 0 THEN 0.0
+                          ELSE round(top2 * 1.0 / n2 * 1e6) / 1e6 END
+                       AS top2_frac,
+                     CASE WHEN n3 = 0 THEN 0.0
+                          ELSE round(top3 * 1.0 / n3 * 1e6) / 1e6 END
+                       AS top3_frac
+                   FROM j)
+             SELECT *, (dup_word_frac <= 0.5 AND top2_frac <= 0.05) AS keep
+             FROM f""")),
+
+    // n-gram decontamination: flag training documents sharing any
+    // word-3-gram with a held-out eval set (deterministic membership:
+    // doc_id % 37 = 0). The eval side of a decontamination join is tiny
+    // (benchmarks, not corpora) — BROADCAST it; the training grams then
+    // stream map-side with no shuffle of the corpus. Real pipelines use
+    // longer n (8-13) and hashed grams; n=3 keeps the tiny-vocab test
+    // corpus non-degenerate and the grams oracle-comparable as strings.
+    "q161_decontaminate" -> QueryDef(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+          .cache()
+        val evalGrams = sh.filter(col("doc_id") % 37 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        val train = sh.filter(col("doc_id") % 37 =!= 0)
+        val hits = train.select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(broadcast(evalGrams), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        train.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            col("n_grams"),
+            Num.rnd(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+              col("n_grams"), 6).as("contam_frac"),
+            (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some(s"""WITH ${TextQueries.shingleCte},
+             ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 = 0),
+             tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 <> 0),
+             hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                      FROM tr JOIN ev USING (g) GROUP BY 1),
+             sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams
+                       FROM sh WHERE doc_id % 37 <> 0)
+             SELECT s.doc_id,
+               coalesce(h.n_overlap, 0) AS n_overlap, s.n_grams,
+               round(coalesce(h.n_overlap, 0) * 1.0 / s.n_grams * 1e6) / 1e6
+                 AS contam_frac,
+               coalesce(h.n_overlap, 0) > 0 AS contaminated
+             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""")),
+
+    // temperature-weighted mixture planning (the domain-reweighting step
+    // of every multi-source training run): w_i ∝ tokens_i^alpha with
+    // alpha = 0.5. Per-source token totals are one partial-aggregatable
+    // groupBy; the normalizer is a 1-row broadcast. sqrt() is IEEE
+    // exact-rounded (identical in any engine); the normalizer sum goes
+    // through round6→DECIMAL so its value is order-independent.
+    "q162_mixture_weights" -> QueryDef(
+      (s, d) => {
+        val st = Tables.documents(s, d).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.text.TextStats.nTokens(col("text")).cast("long")).as("toks"))
+        val withS = st.withColumn("s_r",
+          Num.rnd(sqrt(col("toks").cast("double")), 6).cast("decimal(28,6)"))
+        val tot = withS.agg(sum(col("s_r")).as("s_tot"),
+          sum(col("n_docs")).as("docs_tot"))
+        withS.crossJoin(broadcast(tot))
+          .withColumn("weight", Num.rnd(
+            col("s_r").cast("double") / col("s_tot").cast("double"), 6))
+          .select(col("source"), col("n_docs"), col("toks"), col("weight"),
+            floor(col("weight") * col("docs_tot")).cast("long").as("exp_docs"))
+      },
+      Some("""WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+                  FROM documents GROUP BY 1),
+             s2 AS (SELECT *, CAST(round(sqrt(CAST(toks AS DOUBLE)) * 1e6) / 1e6
+                      AS DECIMAL(28,6)) AS s_r FROM st),
+             tot AS (SELECT sum(s_r) AS s_tot,
+                       CAST(sum(n_docs) AS BIGINT) AS docs_tot FROM s2)
+             SELECT source, n_docs, toks,
+               round(CAST(s_r AS DOUBLE) / CAST(s_tot AS DOUBLE) * 1e6) / 1e6
+                 AS weight,
+               CAST(floor(round(CAST(s_r AS DOUBLE) / CAST(s_tot AS DOUBLE)
+                 * 1e6) / 1e6 * docs_tot) AS BIGINT) AS exp_docs
+             FROM s2, tot""")),
+
+    // GLOBAL rolling(5) over the full event stream (no group key) —
+    // ghost-row construction: range shuffle + replicate each partition's
+    // last w-1 rows into the next, then a partition-local trailing
+    // frame. Never a single-partition window; ghost volume is
+    // partitions×(w-1) rows regardless of data size. Sum via exact
+    // DECIMAL so partial order can't move the 6th decimal.
+    "q163_rolling_global" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "ts", "value")
+        RollingGlobal.trailing(ev, Seq("ts", "event_id"), "value", 5, "roll")
+          .select(col("event_id"),
+            Num.rnd(col("roll_sum").cast("double") / 5.0, 6).as("roll_mean"),
+            Num.rnd(col("roll_min"), 6).as("roll_min"),
+            Num.rnd(col("roll_max"), 6).as("roll_max"))
+      },
+      Some("""SELECT event_id,
+             CASE WHEN row_number() OVER o >= 5 THEN
+               round(CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                 / 5 * 1e6) / 1e6 END AS roll_mean,
+             CASE WHEN row_number() OVER o >= 5 THEN
+               round(min(value) OVER w * 1e6) / 1e6 END AS roll_min,
+             CASE WHEN row_number() OVER o >= 5 THEN
+               round(max(value) OVER w * 1e6) / 1e6 END AS roll_max
+             FROM events
+             WINDOW o AS (ORDER BY ts, event_id),
+                    w AS (ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
+  )
+}

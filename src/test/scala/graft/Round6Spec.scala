@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RollingGlobal
+import graft.text.RepStats
+
+/** Round-6 operators: repetition stats, global rolling window,
+  * decontamination plan shape.
+  */
+class Round6Spec extends SparkSpec {
+
+  test("RepStatsExpr equals the driver-side reference fold on the corpus") {
+    val docs = Tables.documents(spark, sf).cache()
+    val got = docs.select(col("doc_id"), RepStats.stats(col("text")).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == RepStats.reference(t), s"doc $id")
+    }
+  }
+
+  test("RepStatsExpr matches the reference on adversarial + random strings") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "bb", "ccc", "dd d") // "dd d" never appears joined
+    val cases = Seq(
+      "", " ", "   ", "w", "w w", "w w w", "x y", "a a a a a a",
+      "a b a b a b a b", "one two three", "  leading", "trailing  ",
+      " double  spaces   everywhere  "
+    ) ++ (1 to 50).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(3))).mkString(" ")
+    }
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val got = df.select(col("id"), RepStats.stats(col("t")).as("rs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == RepStats.reference(t), s"case '$t'")
+    }
+  }
+
+  test("global rolling window equals a single-partition computation") {
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
+    val w = 5
+    val got = RollingGlobal.trailing(ev, Seq("ts", "event_id"), "value", w, "roll")
+      .select(col("event_id"), col("roll_sum").cast("double"),
+        col("roll_min"), col("roll_max"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2), r.getDouble(3)))))
+      .toMap
+
+    val rows = ev.orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length > 4 * w, "need enough rows to cross partition bounds")
+    rows.zipWithIndex.foreach { case ((id, _), i) =>
+      if (i < w - 1) assert(got(id).isEmpty, s"row $i must be null (min_periods)")
+      else {
+        val win = rows.slice(i - w + 1, i + 1).map(_._2)
+        val (s, mn, mx) = got(id).getOrElse(fail(s"row $i unexpectedly null"))
+        // the operator sums exact decimals of 2-dec inputs: compare on cents
+        assert(math.round(s * 100) == math.round(win.sum * 100), s"sum at $i")
+        assert(mn == win.min && mx == win.max, s"min/max at $i")
+      }
+    }
+  }
+
+  test("rolling window rejects a window larger than the smallest partition") {
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value").limit(8)
+    // 8 rows over 4 range partitions → ~2 rows each; w=30 must refuse
+    // rather than silently emit wrong lookbacks
+    intercept[IllegalArgumentException] {
+      RollingGlobal.trailing(ev, Seq("ts", "event_id"), "value", 30, "roll")
+        .count()
+    }
+  }
+
+  test("decontamination joins the corpus against a BROADCAST eval side") {
+    val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}
