@@ -190,6 +190,21 @@ object Round6Queries {
              FROM events
              WINDOW o AS (ORDER BY ts, event_id),
                     w AS (ORDER BY ts, event_id
-                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""))
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
+
+    // WINDOWED streaming near-dup with watermark-evicted state — the
+    // unbounded-stream variant of q150: bucket members carry event time
+    // (doc_id minutes, synthetic but deterministic), pairs only within a
+    // 100-minute horizon, state evicted inline below watermark-horizon
+    // and wholesale via EventTimeTimeout. Emission is the explicit
+    // |Δts| ≤ horizon predicate, so the output set is the time-filtered
+    // exact pair set (LSH recall 1.0 at gate SFs, as q55/q150) — which
+    // is SQL: q54's pairs restricted to |id1 - id2| ≤ 100.
+    "q164_stream_neardup_windowed" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.nearDupPairsWindowed(
+        s, d, n = 3, threshold = 0.5, horizonMinutes = 100),
+      Some(s"""WITH ${TextQueries.pairsOracleCtes}
+             SELECT id1, id2, jaccard FROM pairs
+             WHERE abs(id1 - id2) <= 100"""))
   )
 }

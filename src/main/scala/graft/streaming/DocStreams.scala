@@ -140,6 +140,117 @@ object DocStreams {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Windowed streaming near-dup with WATERMARK-EVICTED state — the
+    * unbounded-stream variant of [[nearDupTransform]]. That shape's
+    * bucket state grows forever; on a perpetual ingestion stream the
+    * state store IS the scaling limit. Here each bucket member carries
+    * its event time, a candidate pair is emitted only when the two
+    * documents' event times lie within `horizon` of each other (the
+    * "recent near-dup" contract: a re-crawl months later is allowed
+    * again), and state is evicted two ways:
+    *
+    *  - inline: members older than `watermark - horizon` are dropped on
+    *    every bucket visit (no future row can pair with them — rows
+    *    below the watermark are filtered as late, so any future ts ≥
+    *    watermark, and the pair predicate needs ts ≥ member.ts -
+    *    horizon);
+    *  - timeout: `EventTimeTimeout` fires once the watermark passes the
+    *    bucket's newest member + horizon and removes the whole bucket —
+    *    buckets that stop receiving documents cost nothing forever.
+    *
+    * Emission is decided by the explicit |Δts| ≤ horizon predicate, so
+    * the output SET is deterministic (exact time-filtered pairs) no
+    * matter how microbatches split, as long as no data arrives later
+    * than the configured watermark delay.
+    *
+    * `docStream` must carry an event-time `ts` (timestamp) column; the
+    * transform applies the 10-minute watermark itself (EventTimeTimeout
+    * requires the watermarked column in the FMGWS input).
+    */
+  def nearDupTransformWindowed(docStream: DataFrame, staticShingles: DataFrame,
+                               n: Int, threshold: Double, k: Int, r: Int,
+                               horizonMs: Long, maxBucket: Int = 1000): DataFrame = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val banded = docStream
+      .select(col("doc_id"),
+        expr("unix_micros(ts) div 1000").as("tms"),
+        posexplode(graft.text.MinHashSig.bandHashes(
+          graft.text.Shingles.shingles(col("text"), n), k, r)).as(Seq("band", "h")))
+      // the watermarked event-time column must survive into the FMGWS
+      // input or the UnsupportedOperationChecker rejects EventTimeTimeout
+      .select(col("doc_id"), col("tms"),
+        concat_ws(":", col("band"), col("h")).as("bucket"),
+        timestamp_millis(col("tms")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    val pairs = banded.groupByKey(_._3)
+      .flatMapGroupsWithState[TimedMembers, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[TimedMembers]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // inline eviction: nothing at ts < wm - horizon can pair again
+            val seen = state.getOption.map(_.ms).getOrElse(Vector.empty)
+              .filter(_.ts >= wm - horizonMs)
+            val fresh = rows.map(t => TimedMember(t._1, t._2)).toVector
+              .distinct.sortBy(m => (m.ts, m.id))
+              .filterNot(m => seen.exists(_.id == m.id))
+            val out = Vector.newBuilder[(Long, Long)]
+            var all = seen
+            fresh.foreach { m =>
+              if (all.size < maxBucket)
+                all.foreach { p =>
+                  if (math.abs(p.ts - m.ts) <= horizonMs)
+                    out += ((math.min(p.id, m.id), math.max(p.id, m.id)))
+                }
+              all = all :+ m
+            }
+            state.update(TimedMembers(all))
+            // whole-bucket eviction once nothing can ever pair again
+            if (all.nonEmpty)
+              state.setTimeoutTimestamp(all.map(_.ts).max + horizonMs + 1)
+            out.result().iterator
+          }
+      }
+      .toDF("id1", "id2")
+    val s1 = staticShingles.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val s2 = staticShingles.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard", graft.functions.Num.rnd(
+        graft.text.Shingles.jaccard(col("sh1"), col("sh2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** [[nearDupTransformWindowed]] over the replayed corpus with a
+    * synthetic event time (doc_id minutes — deterministic, so the
+    * time-filtered exact-pair SQL is the oracle). Single staged file →
+    * one microbatch → the initial watermark (0) filters nothing; the
+    * eviction paths are exercised by the multi-batch spec.
+    */
+  def nearDupPairsWindowed(spark: SparkSession, sfDir: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           k: Int = 64, r: Int = 4,
+                           horizonMinutes: Long = 100): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_seconds(lit(86400L) + col("doc_id") * 60))
+    val staticShingles = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.text.Shingles.shingles(col("text"), n).as("sh"))
+    val name = "graft_stream_neardup_win"
+    val q = nearDupTransformWindowed(docs, staticShingles, n, threshold, k, r,
+        horizonMs = horizonMinutes * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).distinct()
+  }
+
   /** Drain a streaming frame through a complete-mode memory sink. */
   def run(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q = streamed.writeStream.outputMode("complete")
@@ -157,3 +268,9 @@ object DocStreams {
   * bucket (no shingles or signatures — state stays id-sized).
   */
 final case class BucketMembers(ids: Vector[Long])
+
+/** A bucket member with its event time (ms) — the eviction handle. */
+final case class TimedMember(id: Long, ts: Long)
+
+/** FMGWS state for [[DocStreams.nearDupTransformWindowed]]. */
+final case class TimedMembers(ms: Vector[TimedMember])

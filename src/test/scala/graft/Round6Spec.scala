@@ -76,6 +76,51 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("windowed streaming near-dup: time-filtered pairs + state eviction across batches") {
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/doc_stream_neardup_win_spec"
+    // split in EVENT-TIME order (ts = doc_id minutes) so batch 2 is
+    // never late; the watermark rises between batches and evicts
+    val mid = 250
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val horizonMin = 60L
+    val streamed = spark.readStream.schema(DocStreams.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+      .withColumn("ts", timestamp_seconds(lit(86400L) + col("doc_id") * 60))
+    val staticShingles = docs
+      .select(col("doc_id"), graft.text.Shingles.shingles(col("text"), 3).as("sh"))
+    val name = "doc_stream_neardup_win_spec"
+    val q = DocStreams.nearDupTransformWindowed(streamed, staticShingles,
+        3, 0.5, 64, 4, horizonMs = horizonMin * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val got = spark.table(name).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.text.MinHash
+      .nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .filter(abs(col("id1") - col("id2")) <= horizonMin)
+      .select(col("id1"), col("id2"), graft.functions.Num.rnd(col("jaccard"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // eviction really happened: by end-of-stream the watermark passed
+    // most buckets' newest member + horizon, so live state is a small
+    // fraction of the total distinct buckets ever seen
+    val totalBuckets = docs
+      .select(col("doc_id"), explode(graft.text.MinHashSig.bandHashes(
+        graft.text.Shingles.shingles(col("text"), 3), 64, 4)).as("h"))
+      .select(col("h")).distinct().count()
+    assert(stateRows < totalBuckets / 2,
+      s"state not evicted: $stateRows live of $totalBuckets buckets")
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
