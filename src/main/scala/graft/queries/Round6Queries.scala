@@ -205,6 +205,29 @@ object Round6Queries {
         s, d, n = 3, threshold = 0.5, horizonMinutes = 100),
       Some(s"""WITH ${TextQueries.pairsOracleCtes}
              SELECT id1, id2, jaccard FROM pairs
-             WHERE abs(id1 - id2) <= 100"""))
+             WHERE abs(id1 - id2) <= 100""")),
+
+    // STREAMING IVF centroid refresh — vectors stream in, cells are
+    // assigned with the frozen coarse quantizer (q91's literals), and a
+    // stateful (cell, dim) aggregation maintains the refreshed centroid
+    // means incrementally (one Lloyd step, continuously updated). The
+    // per-element round6→DECIMAL sum makes the result exact, so the
+    // oracle recomputes assignment AND means bit-for-bit.
+    "q165_ivf_refresh" -> QueryDef(
+      (s, d) => graft.streaming.EmbedStreams.centroidRefresh(s, d),
+      Some(s"""WITH c AS (SELECT
+               ${SimilarityQueries.ivfCellSql("embedding")} AS cell, embedding
+             FROM embeddings),
+             x AS (SELECT cell, unnest(list_transform(range(len(embedding)),
+                     i -> {'dim': i, 'v': embedding[i+1]})) AS dv
+                   FROM c),
+             g AS (SELECT cell, dv.dim AS dim,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(CAST(dv.v AS DOUBLE) * 1e6) / 1e6
+                       AS DECIMAL(20,6))) AS s
+                   FROM x GROUP BY 1, 2)
+             SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
+               n, round(CAST(s AS DOUBLE) / n * 1e6) / 1e6 AS centroid
+             FROM g"""))
   )
 }

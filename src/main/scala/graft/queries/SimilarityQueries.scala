@@ -39,7 +39,7 @@ object SimilarityQueries {
     * by (d, j) struct order, probes = first nprobe of the d-sorted
     * cells).
     */
-  private def ivfOracleSql: String = {
+  private def cellStructs(vec: String): String = {
     val cents = graft.similarity.IVFCentroids.pretrained
     def litArr(c: Array[Double]): String = c.map(_.toString).mkString("[", ",", "]")
     def dist2(vec: String, j: Int): String = {
@@ -47,8 +47,16 @@ object SimilarityQueries {
       val cn2 = c.map(x => x * x).sum
       s"(${sqlDot(vec, vec)} - 2.0*${sqlDot(vec, litArr(c))} + ${cn2})"
     }
-    def cellStructs(vec: String): String =
-      cents.indices.map(j => s"{'d': ${dist2(vec, j)}, 'j': $j}").mkString("[", ",", "]")
+    cents.indices.map(j => s"{'d': ${dist2(vec, j)}, 'j': $j}").mkString("[", ",", "]")
+  }
+
+  /** Pretrained-centroid cell assignment as SQL — shared by q91's oracle
+    * and q165's streaming-refresh oracle.
+    */
+  private[queries] def ivfCellSql(vec: String): String =
+    s"list_sort(${cellStructs(vec)})[1].j"
+
+  private def ivfOracleSql: String = {
     s"""WITH c AS (SELECT vec_id AS vid, embedding AS cv,
             list_sort(${cellStructs("embedding")})[1].j AS cell
           FROM embeddings),

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the embeddings corpus — the IVF
+  * maintenance shape: the coarse quantizer is trained offline
+  * ([[graft.similarity.IVFCentroids]]), vectors stream in continuously,
+  * and the refreshed centroid positions (per-cell running mean) are
+  * kept INCREMENTALLY by a stateful aggregation. Re-fitting KMeans over
+  * the full corpus per batch would rescan everything; the running
+  * (count, sum) state is O(k × dims) and each microbatch shuffles only
+  * its own partial sums (map-side combine) — one Lloyd refinement step,
+  * continuously maintained, the standard online-IVF pattern (re-center
+  * cells as the distribution drifts; re-train offline only when drift
+  * exceeds threshold).
+  *
+  * Determinism: cell assignment uses the FROZEN pretrained centroids
+  * (same literals as q91), per-element values are rounded to 6dp then
+  * summed as DECIMAL, so the final (cell, dim, n, centroid) table is
+  * the exact batch answer no matter how microbatches split — and the
+  * DuckDB oracle recomputes it bit-for-bit.
+  */
+object EmbedStreams {
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def stageDir(sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_emb_$safe")
+    Files.createDirectories(dir)
+    val dst = dir.resolve("embeddings.parquet")
+    if (!Files.exists(dst))
+      Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** The refresh transform: assign each vector to its (frozen) cell,
+    * explode to (cell, dim, value), keep running per-(cell, dim) count
+    * and exact decimal sum. Works identically on a streaming or batch
+    * source.
+    */
+  def refreshTransform(emb: DataFrame, model: graft.similarity.IVF.Model): DataFrame =
+    emb
+      .select(model.cell(col("embedding")).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cell"), col("dim"),
+        graft.functions.Num.rnd(col("v").cast("double"), 6)
+          .cast("decimal(20,6)").as("vr"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("vr")).as("s"))
+
+  /** Run the refresh over the replayed corpus; returns
+    * (cell, dim, n, centroid) — the per-dimension refreshed centroid.
+    */
+  def centroidRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.readStream.schema(embSchema).parquet(stageDir(sfDir))
+    val model = graft.similarity.IVF.Model(graft.similarity.IVFCentroids.pretrained)
+    val name = "graft_stream_ivf_refresh"
+    val q = refreshTransform(emb, model)
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    centroids(spark.table(name))
+  }
+
+  /** (cell, dim, n, s) → (cell, dim, n, centroid = s/n rounded). */
+  def centroids(counts: DataFrame): DataFrame =
+    counts.select(col("cell").cast("long").as("cell"),
+      col("dim").cast("long").as("dim"), col("n"),
+      graft.functions.Num.rnd(col("s").cast("double") / col("n"), 6).as("centroid"))
+}

@@ -121,6 +121,38 @@ class Round6Spec extends SparkSpec {
       s"state not evicted: $stateRows live of $totalBuckets buckets")
   }
 
+  test("streaming IVF refresh equals the batch computation across microbatches") {
+    import graft.streaming.EmbedStreams
+    val emb = Tables.embeddings(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/emb_stream_refresh_spec"
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val model = graft.similarity.IVF.Model(graft.similarity.IVFCentroids.pretrained)
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val name = "emb_stream_refresh_spec"
+    val q = EmbedStreams.refreshTransform(streamed, model)
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = EmbedStreams.centroids(spark.table(name))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = EmbedStreams.centroids(EmbedStreams.refreshTransform(emb, model))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === want)
+    assert(want.size > 64, "expect multiple cells x 64 dims")
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
