@@ -478,6 +478,25 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     * outside the break range get null. Pure when-chain, stays in the
     * scan stage.
     */
+  /** UNGROUPED df.rolling(window) over a global ordering — pandas
+    * min_periods semantics, computed by [[graft.operators.RollingGlobal]]
+    * (ghost-row construction; never a single-partition window). `fn` in
+    * mean/sum/min/max; sum and mean go through the exact decimal sum.
+    */
+  def rollingGlobal(valueCol: String, orderBy: Seq[String], window: Int,
+                    fn: String = "mean", outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_roll_$fn"
+    val r = graft.operators.RollingGlobal.trailing(df, orderBy, valueCol, window, "__r")
+    val c = fn match {
+      case "mean" => col("__r_sum").cast("double") / window
+      case "sum"  => col("__r_sum").cast("double")
+      case "min"  => col("__r_min")
+      case "max"  => col("__r_max")
+      case other  => throw new IllegalArgumentException(other)
+    }
+    GFrame(r.withColumn(out, c).drop("__r_sum", "__r_min", "__r_max"), index)
+  }
+
   def cut(c: String, breaks: Seq[Double], outCol: String): GFrame = {
     require(breaks.size >= 2, "cut needs at least 2 break points")
     val v = col(c)

@@ -228,6 +228,36 @@ object Round6Queries {
                    FROM x GROUP BY 1, 2)
              SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
                n, round(CAST(s AS DOUBLE) / n * 1e6) / 1e6 AS centroid
-             FROM g"""))
+             FROM g""")),
+
+    // END-TO-END text dedup via the 100 TB path: MinHash-LSH pairs
+    // (bucketed, never corpus²) → connected components → min-id
+    // representative per cluster, every document flagged kept/dropped.
+    // The q146 shape over the text corpus — LSH recall is 1.0 at gate
+    // SFs, so the exact-pair recursive-CTE SQL is the oracle.
+    "q166_minhash_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.text.MinHash.nearDuplicates(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val comp = graft.operators.Components.connected(pairs, "id1", "id2")
+        docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("rep"),
+            (coalesce(col("rep"), col("doc_id")) === col("doc_id")).as("kept"))
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.pairsOracleCtes},
+            edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+            comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep
+                     FROM reach GROUP BY 1)
+            SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep,
+              coalesce(c.rep, d.doc_id) = d.doc_id AS kept
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""))
   )
 }

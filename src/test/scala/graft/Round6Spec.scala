@@ -153,6 +153,30 @@ class Round6Spec extends SparkSpec {
     assert(want.size > 64, "expect multiple cells x 64 dims")
   }
 
+  test("GFrame.rollingGlobal mean matches the single-group grouped rolling") {
+    import graft.api.GFrame
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
+    val viaGlobal = GFrame(ev)
+      .rollingGlobal("value", Seq("ts", "event_id"), 5)
+      .df.select("event_id", "value_roll_mean")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val viaGrouped = GFrame(ev.withColumn("g", lit(1)))
+      .groupby("g").rolling("value", Seq("ts", "event_id"), 5)
+      .df.select("event_id", "value_roll_mean")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaGlobal.keySet == viaGrouped.keySet)
+    viaGlobal.foreach { case (id, g) =>
+      (g, viaGrouped(id)) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"event $id: $a vs $b")
+        case other => fail(s"event $id null mismatch: $other")
+      }
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
