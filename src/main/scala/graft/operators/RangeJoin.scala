@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join without a nested loop.
+  *
+  * Spark plans `l JOIN r ON l.k = r.k AND l.t BETWEEN r.lo AND r.hi` as
+  * a ShuffledHashJoin/SortMergeJoin on `k` with the range as a post-join
+  * filter — fine when `k` is selective, but a pure range join (or a
+  * low-cardinality `k`) degenerates to per-key nested loops, and with
+  * NO equi key Spark falls back to BroadcastNestedLoopJoin: the classic
+  * scale-killer.
+  *
+  * The standard fix (used by every warehouse's range-join optimization):
+  * BIN the domain. Each point row maps to one bin (`t div width`); each
+  * interval explodes to the bins it covers (`lo div width .. hi div
+  * width`). Equi-join on (keys, bin) — a plain hash shuffle — then
+  * apply the exact range predicate. A (point, interval) match pair
+  * meets in exactly ONE bin (the point's), so no dedup is needed.
+  *
+  * Shuffle volume: points × 1 + intervals × (span/width + 1) — choose
+  * `width` near the typical interval span so intervals explode into
+  * O(1) bins. Works at any scale where one bin's rows fit a task; skew
+  * in a hot bin is AQE's skew-join case.
+  */
+object RangeJoin {
+
+  /** @param points    left side, one row per point
+    * @param intervals right side, [loCol, hiCol] inclusive bounds (long)
+    * @param keys      extra equi-join keys present on both sides
+    * @param tCol      the point column (long) on `points`
+    * @param width     bin width in the same units
+    * @param how       "inner" or "left_outer" (points without a match kept)
+    */
+  def binned(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+             tCol: String, loCol: String, hiCol: String,
+             width: Long, how: String = "inner"): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    val p = points.withColumn("__bin", floorDiv(col(tCol), width))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floorDiv(col(loCol), width), floorDiv(col(hiCol), width))))
+    val joined = p.join(iv, keys :+ "__bin",
+      if (how == "left_outer") "left_outer" else "inner")
+    val inRange = col(tCol) >= col(loCol) && col(tCol) <= col(hiCol)
+    val res = how match {
+      case "inner" => joined.filter(inRange)
+      case "left_outer" =>
+        // a point may fall in an interval's bin but outside its range —
+        // null out the interval columns rather than dropping the row,
+        // then dedup the per-point rows that matched nothing
+        val ivCols = intervals.columns.filterNot(keys.contains)
+        ivCols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, when(inRange, col(c)))
+        }.distinct()
+      case other => throw new IllegalArgumentException(other)
+    }
+    res.drop("__bin")
+  }
+
+  /** Exact floor division: subtract the non-negative remainder first so
+    * the double division is of an exact multiple (never off-by-one at a
+    * bin boundary, and floor — not truncation — for negative inputs).
+    */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+}

@@ -258,6 +258,70 @@ object Round6Queries {
                      FROM reach GROUP BY 1)
             SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep,
               coalesce(c.rep, d.doc_id) = d.doc_id AS kept
-            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""))
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""")),
+
+    // interval/range join via BINNING (operators/RangeJoin): clicks
+    // within each purchase's trailing 10-minute window, per user. Spark
+    // would plan the raw range predicate as a per-key nested loop (or
+    // BroadcastNestedLoopJoin with no equi key); binning turns it into
+    // one hash shuffle on (user, bin) + an exact range filter — each
+    // interval spans ≤ 2 bins at width = span.
+    "q167_range_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - 600000000L).as("lo"),
+            unix_micros(col("ts")).as("hi"))
+        val hits = graft.operators.RangeJoin.binned(
+            clicks, purchases, Seq("user_id"), "t", "lo", "hi",
+            width = 600000000L)
+          .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        purchases.select("event_id")
+          .join(hits, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      },
+      Some("""WITH clicks AS (SELECT user_id, epoch_us(ts) AS t
+                 FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id, user_id,
+                 epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
+               FROM events WHERE event_type = 'purchase')
+             SELECT p.event_id, CAST(count(c.t) AS BIGINT) AS n_clicks
+             FROM p LEFT JOIN clicks c ON c.user_id = p.user_id
+               AND c.t >= p.lo AND c.t <= p.hi
+             GROUP BY 1""")),
+
+    // gap-based sessionization with Spark's NATIVE session_window (the
+    // same operator Structured Streaming uses for streaming sessions):
+    // per-user events merge into a session while consecutive gaps stay
+    // UNDER 30 minutes (strict — a gap of exactly 30 min starts a new
+    // session). One hash shuffle on user_id; session merge is
+    // partition-local. end = last event + gap by session_window's
+    // definition; the oracle rebuilds sessions with a lag/cumsum scan.
+    "q168_sessionize" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("t_start"),
+            unix_micros(col("session_window.end")).as("t_end"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+             l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                     AS pt FROM e),
+             f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= 1800000000
+                     THEN 1 ELSE 0 END AS brk FROM l),
+             s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+             SELECT user_id, min(t) AS t_start,
+               max(t) + 1800000000 AS t_end,
+               CAST(count(*) AS BIGINT) AS n_events
+             FROM s GROUP BY user_id, sid"""))
   )
 }

@@ -177,6 +177,51 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("binned range join equals the naive range join, inner and left_outer") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, sf)
+    val pts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("t"))
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("iid"),
+        (unix_micros(col("ts")) - 900000000L).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val naiveInner = pts.join(iv, Seq("user_id"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+    val binInner = RangeJoin.binned(pts, iv, Seq("user_id"),
+      "t", "lo", "hi", width = 900000000L)
+    assert(key(binInner) == key(naiveInner))
+    assert(key(binInner).nonEmpty)
+    // width deliberately NOT the interval span: intervals explode to
+    // several bins, exercising the multi-bin path
+    val binNarrow = RangeJoin.binned(pts, iv, Seq("user_id"),
+      "t", "lo", "hi", width = 100000000L)
+    assert(key(binNarrow) == key(naiveInner))
+    val binOuter = RangeJoin.binned(pts, iv, Seq("user_id"),
+      "t", "lo", "hi", width = 900000000L, how = "left_outer")
+    val naiveOuter = key(naiveInner) ++
+      pts.collect().map(r => r.getLong(1)).toSet
+        .diff(key(naiveInner).map(_._1)).map(p => (p, -1L))
+    assert(key(binOuter) == naiveOuter)
+  }
+
+  test("range-join floor division bins negative coordinates correctly") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // point at -5 lies inside [-10, -1]; truncation-toward-zero binning
+    // would put -5 in bin 0 and the interval in bins [-1, 0] at w=10 -
+    // floor puts both in bin -1 and the match survives any width
+    val pts = Seq((1L, -5L), (2L, 15L)).toDF("pid", "t")
+    val iv = Seq((10L, -10L, -1L), (20L, 12L, 30L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(pts, iv, Seq(), "t", "lo", "hi", width = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
