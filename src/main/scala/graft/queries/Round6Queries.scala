@@ -322,6 +322,64 @@ object Round6Queries {
              SELECT user_id, min(t) AS t_start,
                max(t) + 1800000000 AS t_end,
                CAST(count(*) AS BIGINT) AS n_events
-             FROM s GROUP BY user_id, sid"""))
+             FROM s GROUP BY user_id, sid""")),
+
+    // exact substring-duplication detection (the Lee et al. 2022
+    // "Deduplicating Training Data" metric family): pairs of documents
+    // sharing >= 25 distinct 20-CHAR substrings, with the shared
+    // fraction vs the smaller document. Gram extraction is the winnowing
+    // expression at w=1 (= the full distinct char-gram hash set, still
+    // one codegen'd scan pass); pair counting is the q54 inverted-index
+    // machinery - the shuffle carries (hash, id-list) then packed longs,
+    // never document text.
+    "q169_substring_dup" -> QueryDef(
+      (s, d) => {
+        val k = 20
+        val g = Tables.documents(s, d)
+          .filter(length(col("text")) >= k)
+          .select(col("doc_id"), graft.text.Fingerprint.winnowSet(
+            col("text"), k, 1).as("hs"))
+          .cache()
+        val sizes = g.select(col("doc_id"), size(col("hs")).as("ng"))
+        val lists = g.select(col("doc_id"), explode(col("hs")).as("h"))
+          .groupBy("h")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val common = lists.select(explode(
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.text.PackedPairs(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n_shared"))
+          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
+            col("n_shared"))
+        common
+          .join(sizes.select(col("doc_id").as("id1"), col("ng").as("ng1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("ng").as("ng2")), "id2")
+          .filter(col("n_shared") >= 25)
+          .select(col("id1"), col("id2"), col("n_shared"),
+            Num.rnd(col("n_shared").cast("double") /
+              least(col("ng1"), col("ng2")), 6).as("frac"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                 FROM documents WHERE length(text) >= 20),
+             pos AS (SELECT doc_id, text,
+                 unnest(range(1, CAST(n - 18 AS BIGINT))) AS i FROM d),
+             g AS (SELECT DISTINCT doc_id,
+                 substr(md5(substr(text, CAST(i AS INT), 20)), 1, 16) AS h
+               FROM pos),
+             sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+                       FROM g GROUP BY 1),
+             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id1, id2, n_shared,
+               round(n_shared * 1.0 / least(s1.ng, s2.ng) * 1e6) / 1e6 AS frac
+             FROM common
+             JOIN sizes s1 ON common.id1 = s1.doc_id
+             JOIN sizes s2 ON common.id2 = s2.doc_id
+             WHERE n_shared >= 25"""))
   )
 }
