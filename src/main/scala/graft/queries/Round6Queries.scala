@@ -380,6 +380,25 @@ object Round6Queries {
              FROM common
              JOIN sizes s1 ON common.id1 = s1.doc_id
              JOIN sizes s2 ON common.id2 = s2.doc_id
-             WHERE n_shared >= 25"""))
+             WHERE n_shared >= 25""")),
+
+    // pandas groupby().quantile([...]) — exact interpolated per-group
+    // percentiles; Spark percentile() and DuckDB quantile_cont share
+    // the linear-interpolation definition (q95's global form, grouped).
+    // One hash-aggregate shuffle; percentile is partial-aggregatable
+    // (per-partition buffers merge).
+    "q170_group_quantile" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          Num.rnd(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          Num.rnd(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          Num.rnd(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(quantile_cont(l_quantity, 0.5) * 1e6) / 1e6 AS p50,
+             round(quantile_cont(l_quantity, 0.9) * 1e6) / 1e6 AS p90,
+             round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS price_p25,
+             CAST(count(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY 1, 2"""))
   )
 }

@@ -46,7 +46,11 @@ object ScaleSmoke {
     val names = Seq("q54_ngram_jaccard", "q55_minhash_lsh", "q102_curation_pipeline",
       "q87_etl_pipeline", "q46_cumsum_global", "q97_group_topk", "q88_embed_centroid",
       "q58_ann_brute", "q114_dedup_clusters", "q57_cosine_pairs",
-      "q145_fingerprint", "q146_embed_dedup")
+      "q145_fingerprint", "q146_embed_dedup",
+      // round 6 (documents-based; events queries need the nanos read
+      // path the derived dir doesn't reproduce, and q165's streaming
+      // stage expects a single-file corpus)
+      "q160_repetition_filter", "q166_minhash_dedup", "q169_substring_dup")
     val qmap = SparkEntry.queries
     names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
     val results = names.map { n =>
