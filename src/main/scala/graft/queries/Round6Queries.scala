@@ -399,6 +399,23 @@ object Round6Queries {
              round(quantile_cont(l_quantity, 0.9) * 1e6) / 1e6 AS p90,
              round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS price_p25,
              CAST(count(*) AS BIGINT) AS n
-             FROM lineitem GROUP BY 1, 2"""))
+             FROM lineitem GROUP BY 1, 2""")),
+
+    // stratified EXACT-n sampling: exactly 20 documents per source in
+    // deterministic md5 order — the balanced-subsample step of mixture
+    // construction (q162 plans the weights; this draws the rows). The
+    // custom GroupTopK operator keeps one bounded heap per group per
+    // partition and merges partials: no global sort, no window over the
+    // corpus, and the shuffle carries only the per-partition heap
+    // survivors (≤ groups × n rows per partition).
+    "q171_stratified_n" -> QueryDef(
+      (s, d) => graft.plans.GroupTopK.topKPerKey(
+          Tables.documents(s, d)
+            .withColumn("__u", md5(concat(lit("strat:"), col("doc_id").cast("string")))),
+          Seq("source"), Seq(("__u", false)), 20)
+        .select(col("doc_id"), col("source"), col("lang")),
+      Some("""SELECT doc_id, source, lang FROM documents
+             QUALIFY row_number() OVER (PARTITION BY source
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) <= 20"""))
   )
 }
