@@ -58,6 +58,27 @@ object RangeJoin {
     res.drop("__bin")
   }
 
+  /** Interval × interval OVERLAP join: pairs where
+    * `[aLo,aHi] ∩ [bLo,bHi] ≠ ∅` (inclusive). Same binning idea, plus
+    * the standard dedup-free trick: two overlapping intervals share
+    * every bin their intersection covers, so the pair is kept ONLY in
+    * the first such bin — the one containing `max(aLo, bLo)`. One hash
+    * shuffle on (keys, bin), no distinct.
+    */
+  def overlapBinned(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    aLo: String, aHi: String, bLo: String, bHi: String,
+                    width: Long): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    val ax = a.withColumn("__bin",
+      explode(sequence(floorDiv(col(aLo), width), floorDiv(col(aHi), width))))
+    val bx = b.withColumn("__bin",
+      explode(sequence(floorDiv(col(bLo), width), floorDiv(col(bHi), width))))
+    ax.join(bx, keys :+ "__bin")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__bin") === floorDiv(greatest(col(aLo), col(bLo)), width))
+      .drop("__bin")
+  }
+
   /** Exact floor division: subtract the non-negative remainder first so
     * the double division is of an exact multiple (never off-by-one at a
     * bin boundary, and floor — not truncation — for negative inputs).

@@ -61,7 +61,7 @@ object Round5Queries {
     "q146_embed_dedup" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val pairs = graft.similarity.Similarity.cosinePairsTiled(emb, 0.4)
+        val pairs = graft.similarity.Similarity.cosinePairsTiledKernel(emb, 0.4)
         val comp = graft.operators.Components.connected(pairs, "id1", "id2")
         emb.select(col("vec_id"))
           .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")

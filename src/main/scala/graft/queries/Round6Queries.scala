@@ -416,6 +416,35 @@ object Round6Queries {
         .select(col("doc_id"), col("source"), col("lang")),
       Some("""SELECT doc_id, source, lang FROM documents
              QUALIFY row_number() OVER (PARTITION BY source
-               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) <= 20"""))
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) <= 20""")),
+
+    // interval × interval OVERLAP join (RangeJoin.overlapBinned):
+    // purchase windows overlapping in time, each pair emitted exactly
+    // once via the first-overlap-bin trick (bin == floor(max(lo1,lo2)/w))
+    // — one hash shuffle on the bin, no distinct, never a nested loop.
+    "q172_interval_overlap" -> QueryDef(
+      (s, d) => {
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            (unix_micros(col("ts")) - 600000000L).as("lo"),
+            unix_micros(col("ts")).as("hi"))
+        val a = p.select(col("event_id").as("ida"), col("lo").as("loa"),
+          col("hi").as("hia"))
+        val b = p.select(col("event_id").as("idb"), col("lo").as("lob"),
+          col("hi").as("hib"))
+        graft.operators.RangeJoin.overlapBinned(a, b, Seq(),
+            "loa", "hia", "lob", "hib", width = 600000000L)
+          .filter(col("ida") < col("idb"))
+          .select(col("ida").as("id1"), col("idb").as("id2"),
+            (least(col("hia"), col("hib")) -
+              greatest(col("loa"), col("lob"))).as("overlap_us"))
+      },
+      Some("""WITH p AS (SELECT event_id,
+                 epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
+               FROM events WHERE event_type = 'purchase')
+             SELECT a.event_id AS id1, b.event_id AS id2,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+             FROM p a JOIN p b ON a.event_id < b.event_id
+               AND a.lo <= b.hi AND b.lo <= a.hi"""))
   )
 }

@@ -79,7 +79,7 @@ object SimilarityQueries {
     // layout (no CartesianProduct; see cosinePairsTiled scaladoc). The
     // crossJoin twin is pinned equal in SimilaritySpec.
     "q57_cosine_pairs" -> QueryDef(
-      (s, d) => Similarity.cosinePairsTiled(Tables.embeddings(s, d), 0.4),
+      (s, d) => Similarity.cosinePairsTiledKernel(Tables.embeddings(s, d), 0.4),
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
              SELECT id1, id2, sim FROM (
                SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -163,4 +163,88 @@ object Similarity {
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"), col("sim"))
   }
+
+  /** [[cosinePairsTiled]] with a per-tile primitive kernel — identical
+    * output, ~10× less overhead at scale.
+    *
+    * The tiled JOIN is movement-optimal but materializes every candidate
+    * pair as a row (two 64-float arrays through the shuffle per pair:
+    * the 10× smoke pays 45s for 1.25G pair rows). Here the same tile
+    * layout shuffles only the n·B tagged VECTORS; the O((n/B)²) pair
+    * loop runs inside `mapPartitions` over primitive float arrays and
+    * emits only survivors. This is the documented last-resort
+    * `mapPartitions` case: a genuinely imperative BLAS-style block
+    * kernel no join/expression shape can express without row-expanding
+    * the quadratic candidate space.
+    *
+    * Bit-compatibility with the expression path (and so the DuckDB
+    * oracle): the kernel repeats [[DotProduct]]'s exact fold —
+    * `acc += a(i).toDouble * b(i).toDouble` left to right, norm =
+    * `sqrt(selfDot)`, sim = `dot / (na * nb)` — so the emitted double
+    * is the identical IEEE value; rounding and the final threshold are
+    * applied afterwards BY the Spark expression (`Num.rnd`), with the
+    * kernel pre-filtering on `raw ≥ t − 1e-6` (rounding to 6dp moves a
+    * value by at most 5e-7, so the superset is exact).
+    */
+  def cosinePairsTiledKernel(corpus: DataFrame, threshold: Double,
+                             blocks: Int = 8): DataFrame = {
+    val B = blocks
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(B)).cast("int").as("g"))
+    val left = v.select(
+      explode(transform(sequence(col("g"), lit(B - 1)),
+        j => col("g") * B + j)).as("tile"),
+      lit(true).as("isLeft"), col("vec_id"), col("embedding"))
+    val right = v.select(
+      explode(transform(sequence(lit(0), col("g")),
+        i => i * B + col("g"))).as("tile"),
+      lit(false).as("isLeft"), col("vec_id"), col("embedding"))
+    val tagged = left.unionByName(right)
+      .as[(Int, Boolean, Long, Array[Float])]
+      .repartition(col("tile"))
+    val cut = threshold - 1e-6
+    val pairs = tagged.mapPartitions { it =>
+      import scala.collection.mutable
+      final case class V(id: Long, a: Array[Float], nrm: Double)
+      val ls = mutable.HashMap[Int, mutable.ArrayBuffer[V]]()
+      val rs = mutable.HashMap[Int, mutable.ArrayBuffer[V]]()
+      it.foreach { case (tile, isL, id, arr) =>
+        if (arr != null) {
+          // norm exactly as the expression path: sqrt of the self-dot fold
+          var sd = 0.0
+          var i = 0
+          while (i < arr.length) { sd += arr(i).toDouble * arr(i).toDouble; i += 1 }
+          val side = if (isL) ls else rs
+          side.getOrElseUpdate(tile, mutable.ArrayBuffer.empty) +=
+            V(id, arr, math.sqrt(sd))
+        }
+      }
+      val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+      ls.foreach { case (tile, la) =>
+        val diag = tile / B == tile % B
+        rs.getOrElse(tile, mutable.ArrayBuffer.empty).foreach { b =>
+          la.foreach { a =>
+            if (a.id != b.id && (!diag || a.id < b.id)) {
+              var acc = 0.0
+              var i = 0
+              val n = a.a.length
+              if (b.a.length == n) {
+                while (i < n) { acc += a.a(i).toDouble * b.a(i).toDouble; i += 1 }
+                val sim = acc / (a.nrm * b.nrm)
+                if (sim >= cut)
+                  out += ((math.min(a.id, b.id), math.max(a.id, b.id), sim))
+              }
+            }
+          }
+        }
+      }
+      out.iterator
+    }.toDF("id1", "id2", "simRaw")
+    pairs
+      .withColumn("sim", graft.functions.Num.rnd(col("simRaw"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
 }

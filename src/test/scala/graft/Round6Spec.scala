@@ -222,6 +222,45 @@ class Round6Spec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 20L)))
   }
 
+  test("cosine tile kernel equals the join-tiled and brute all-pairs forms") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sf).cache()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.3, 0.4); b <- Seq(3, 8)) {
+      val kernel = asSet(Similarity.cosinePairsTiledKernel(emb, t, blocks = b))
+      val tiled = asSet(Similarity.cosinePairsTiled(emb, t, blocks = b))
+      assert(kernel == tiled, s"kernel != tiled at t=$t B=$b")
+    }
+    val brute = asSet(Similarity.cosinePairs(emb, 0.4))
+    assert(asSet(Similarity.cosinePairsTiledKernel(emb, 0.4)) == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("overlap join equals the naive interval-intersection join at any width") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (unix_micros(col("ts")) - 900000000L).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    val a = p.select(col("event_id").as("ida"), col("lo").as("loa"), col("hi").as("hia"))
+    val b = p.select(col("event_id").as("idb"), col("lo").as("lob"), col("hi").as("hib"))
+    val naive = a.crossJoin(b)
+      .filter(col("ida") < col("idb") &&
+        col("loa") <= col("hib") && col("lob") <= col("hia"))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    for (w <- Seq(900000000L, 100000000L, 3600000000L)) {
+      // collect as a LIST first: the first-overlap-bin trick must emit
+      // each pair exactly once, not rely on a downstream distinct
+      val got = RangeJoin.overlapBinned(a, b, Seq(), "loa", "hia", "lob", "hib", w)
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == naive.size, s"duplicate or missing pairs at w=$w")
+      assert(got.toSet == naive, s"pair set mismatch at w=$w")
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
