@@ -261,6 +261,46 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("streaming session_window emits the batch sessions once closed") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id").cache()
+    val dir = "/root/repo/target/tmp/session_stream_spec"
+    ev.orderBy("ts").limit(500).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    ev.orderBy(col("ts").desc).limit(ev.count().toInt - 500).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+      .withWatermark("ts", "10 minutes")
+    val name = "session_stream_spec"
+    val q = streamed
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("t_start"),
+        unix_micros(col("session_window.end")).as("t_end"),
+        col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = SparkEntry.queries("q168_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // append mode only emits sessions the final watermark has closed —
+    // a subset of the batch answer, and every emitted session exact
+    assert(got.subsetOf(batch), "streaming emitted a session batch doesn't have")
+    assert(got.size > batch.size / 2, s"too few closed sessions: ${got.size}/${batch.size}")
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
