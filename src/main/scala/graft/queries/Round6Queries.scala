@@ -445,6 +445,43 @@ object Round6Queries {
              SELECT a.event_id AS id1, b.event_id AS id2,
                least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
              FROM p a JOIN p b ON a.event_id < b.event_id
-               AND a.lo <= b.hi AND b.lo <= a.hi"""))
+               AND a.lo <= b.hi AND b.lo <= a.hi""")),
+
+    // vocabulary coverage report (the vocab-truncation step of tokenizer
+    // construction): top-100 words by corpus frequency with the
+    // cumulative share of all tokens they cover. Word counting is one
+    // partial-aggregatable groupBy; top-k is TakeOrderedAndProject
+    // (bounded heaps, no global sort); the running share reuses the
+    // two-phase distributed scan (no un-partitioned window, even though
+    // k is small — same operator at any k); the total is a 1-row
+    // broadcast. Counts are longs, so the shares are exact.
+    "q173_vocab_coverage" -> QueryDef(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val top = graft.operators.Sorts.topK(counts,
+          Seq("cnt", "w"), Seq(false, true), 100)
+        val total = words.agg(count(lit(1)).as("tot"))
+        graft.operators.Cumulative.globalScan(
+            top.withColumn("nc", -col("cnt")),
+            Seq("nc", "w"), "cnt", "run", graft.operators.Cumulative.SumOp)
+          .crossJoin(broadcast(total))
+          .select(col("w"), col("cnt"),
+            Num.rnd(col("run") / col("tot"), 6).as("cum_share"))
+      },
+      Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+             wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words
+                    WHERE w <> '' GROUP BY 1),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM wf),
+             top AS (SELECT w, cnt FROM wf
+                     QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= 100)
+             SELECT w, cnt,
+               round(sum(cnt) OVER (ORDER BY cnt DESC, w
+                   ROWS UNBOUNDED PRECEDING) * 1.0 / t * 1e6) / 1e6
+                 AS cum_share
+             FROM top, tot"""))
   )
 }
