@@ -482,6 +482,47 @@ object Round6Queries {
                round(sum(cnt) OVER (ORDER BY cnt DESC, w
                    ROWS UNBOUNDED PRECEDING) * 1.0 / t * 1e6) / 1e6
                  AS cum_share
-             FROM top, tot"""))
+             FROM top, tot""")),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table star-plus-
+    // snowflake join with the c_nationkey = s_nationkey cross-dimension
+    // constraint. The three tiny dims (supplier, nation, region)
+    // broadcast; customer⋈orders⋈lineitem shuffle on their keys; exact
+    // DECIMAL revenue sums. The classic plan-quality benchmark query.
+    "q174_tpch_q5" -> QueryDef(
+      (s, d) => {
+        val cutLo = to_timestamp(lit("1995-01-01"))
+        val cutHi = to_timestamp(lit("1997-01-01"))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= cutLo && col("o_orderdate") < cutHi)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey") &&
+              col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(
+               CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS revenue
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+               AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+             GROUP BY n_name
+             ORDER BY revenue DESC, n_name"""))
   )
 }
