@@ -523,6 +523,55 @@ object Round6Queries {
                AND o_orderdate >= TIMESTAMP '1995-01-01'
                AND o_orderdate < TIMESTAMP '1997-01-01'
              GROUP BY n_name
-             ORDER BY revenue DESC, n_name"""))
+             ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q1 (pricing summary): the full 8-aggregate form over
+    // (returnflag, linestatus) — one partial-aggregatable hash agg over
+    // the fact scan with a pushed shipdate filter. Money sums/averages
+    // go through exact DECIMAL; counts are exact; the avgs divide the
+    // exact decimal sums by the exact counts so both engines compute
+    // identical doubles.
+    "q175_tpch_q1" -> QueryDef(
+      (s, d) => {
+        import graft.functions.Num.dec2
+        val cut = to_timestamp(lit("2001-06-01"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= cut)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            Num.rnd(sum(dec2(col("l_extendedprice"))).cast("double"), 2).as("sum_base"),
+            Num.rnd(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .cast("double"), 2).as("sum_disc_price"),
+            Num.rnd(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+              * (lit(1) + dec2(col("l_tax")))).cast("double"), 2).as("sum_charge"),
+            Num.rnd(sum(dec2(col("l_quantity"))).cast("double") /
+              count(lit(1)), 6).as("avg_qty"),
+            Num.rnd(sum(dec2(col("l_extendedprice"))).cast("double") /
+              count(lit(1)), 6).as("avg_price"),
+            Num.rnd(sum(dec2(col("l_discount"))).cast("double") /
+              count(lit(1)), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 1e2) / 1e2 AS sum_base,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 1e2) / 1e2 AS sum_disc_price,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1 - CAST(l_discount AS DECIMAL(12,2))) *
+               (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) * 1e2) / 1e2 AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) * 1e6) / 1e6 AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) * 1e6) / 1e6 AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) * 1e6) / 1e6 AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
   )
 }
