@@ -301,6 +301,38 @@ class Round6Spec extends SparkSpec {
     assert(got.size > batch.size / 2, s"too few closed sessions: ${got.size}/${batch.size}")
   }
 
+  test("dropDuplicatesWithinWatermark dedups a replayed stream with bounded state") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id").orderBy("ts").limit(400).cache()
+    val dir = "/root/repo/target/tmp/ddww_spec"
+    // write each event twice across two batch files: duplicates arrive
+    // within the watermark delay, so every one must be suppressed
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "ddww_spec"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = ev.select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "emitted a duplicate")
+    assert(got.toSet == want.toSet, "lost or invented events")
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
