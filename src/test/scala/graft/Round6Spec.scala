@@ -333,6 +333,55 @@ class Round6Spec extends SparkSpec {
     assert(got.toSet == want.toSet, "lost or invented events")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val ev = Tables.events(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/ss_join_spec"
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/purchases")
+    def src(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).parquet(s"$dir/$sub")
+    import org.apache.spark.sql.types._
+    val clicks = src("clicks", StructType(Seq(
+        StructField("click_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+      .withWatermark("ts", "1 hour")
+    val purchases = src("purchases", StructType(Seq(
+        StructField("purchase_id", LongType), StructField("p_user", LongType),
+        StructField("pts", TimestampType))))
+      .withWatermark("pts", "1 hour")
+    // stream-stream inner join with the event-time range condition: a
+    // click joins purchases of the same user within the following 10
+    // minutes; watermarks bound both sides' state
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("ts") &&
+        col("pts") <= col("ts") + expr("INTERVAL 10 MINUTES"))
+    val name = "ss_join_spec"
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), unix_micros(col("ts")).as("pt")),
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("t") && col("pt") <= col("t") + 600000000L)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
