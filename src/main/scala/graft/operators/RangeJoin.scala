@@ -79,6 +79,20 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Band join: point × point pairs with `|a.t − b.t| ≤ eps` (the
+    * time-alignment join of sensor fusion / log correlation) — `b`'s
+    * points become `[t−eps, t+eps]` intervals and route through
+    * [[binned]]; with `width = eps` each interval covers ≤ 3 bins.
+    */
+  def bandBinned(a: DataFrame, b: DataFrame, keys: Seq[String],
+                 aT: String, bT: String, eps: Long,
+                 how: String = "inner"): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val iv = b.withColumn("__lo", col(bT) - eps).withColumn("__hi", col(bT) + eps)
+    binned(a, iv, keys, aT, "__lo", "__hi", width = eps, how = how)
+      .drop("__lo", "__hi")
+  }
+
   /** Exact floor division: subtract the non-negative remainder first so
     * the double division is of an exact multiple (never off-by-one at a
     * bin boundary, and floor — not truncation — for negative inputs).

@@ -382,6 +382,24 @@ class Round6Spec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("band join equals the naive |dt| <= eps join") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("ca"), unix_micros(col("ts")).as("ta"))
+    val views = ev.filter(col("event_type") =!= "click")
+      .select(col("user_id"), col("event_id").as("cb"), unix_micros(col("ts")).as("tb"))
+    val eps = 300000000L // 5 minutes
+    val naive = clicks.join(views, Seq("user_id"))
+      .filter(abs(col("ta") - col("tb")) <= eps)
+      .select("ca", "cb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.bandBinned(clicks, views, Seq("user_id"), "ta", "tb", eps)
+      .select("ca", "cb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.toSet.size, "band join emitted duplicates")
+    assert(got.toSet == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
