@@ -76,8 +76,9 @@ object SimilarityQueries {
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // embedding-cosine near-dup pairs — EXACT, via the tiled all-pairs
-    // layout (no CartesianProduct; see cosinePairsTiled scaladoc). The
-    // crossJoin twin is pinned equal in SimilaritySpec.
+    // layout with the per-tile primitive kernel (no CartesianProduct,
+    // no pair-row expansion; see cosinePairsTiledKernel scaladoc).
+    // kernel ≡ join-tiled ≡ crossJoin pinned in Round6Spec/SimilaritySpec.
     "q57_cosine_pairs" -> QueryDef(
       (s, d) => Similarity.cosinePairsTiledKernel(Tables.embeddings(s, d), 0.4),
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
