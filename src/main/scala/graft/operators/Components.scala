@@ -42,34 +42,28 @@ object Components {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      // min neighbor label per node
-      val nbr = sym
+      // Graph edges PLUS this round's pointer edges (rep → id): the
+      // min-over-senders then delivers both the neighbor labels AND the
+      // label of my current representative in the SAME join — pointer
+      // jumping (O(log d) rounds on a diameter-d chain) without the
+      // separate prop/jump self-join each round cost before (4 shuffles
+      // + 2 checkpoints per round → 3 shuffles + 1 checkpoint).
+      val ptr = labels.select(col("rep").as("a"), col("id").as("b"))
+      val nbr = sym.select("a", "b").union(ptr)
         .join(labels.select(col("id").as("a"), col("rep").as("na")), "a")
         .groupBy(col("b").as("id"))
         .agg(min(col("na")).as("nrep"))
       // carry the round-start label along as `old` so convergence can be
-      // read off the materialized result — the alternative (joining this
-      // round's checkpoint back against last round's) costs a whole
-      // extra shuffle join per round, which dominated the loop at 10×
-      // scale (70.8s → see ScaleSmoke).
-      // materialized once: it feeds BOTH sides of the pointer-jump
-      // self-join below, which would otherwise recompute the whole
-      // propagation join (and its two shuffles) twice per round.
-      val prop = labels
+      // read off the materialized result with a cheap scan — joining
+      // this round's checkpoint back against last round's would cost a
+      // whole extra shuffle join per round.
+      val next = labels
         .join(nbr, Seq("id"), "left")
-        .select(col("id"), col("rep").as("old"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (least(col("rep"), coalesce(col("nrep"), col("rep"))) =!= col("rep"))
+            .cast("long").as("chg"))
         .localCheckpoint(true)
-      // pointer jumping: also adopt the label OF my label — collapses a
-      // diameter-d chain in O(log d) rounds instead of O(d)
-      val next = prop
-        .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
-          Seq("rep"), "left")
-        .withColumn("newrep", least(col("rep"), coalesce(col("rep2"), col("rep"))))
-        .select(col("id"), col("newrep").as("rep"),
-          (col("newrep") =!= col("old")).cast("long").as("chg"))
-        .localCheckpoint(true)
-      // cheap scan of the in-memory checkpoint, no join
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
       labels = next.select("id", "rep")
     }
