@@ -572,6 +572,62 @@ object Round6Queries {
              FROM lineitem
              WHERE l_shipdate <= TIMESTAMP '2001-06-01'
              GROUP BY l_returnflag, l_linestatus
-             ORDER BY l_returnflag, l_linestatus"""))
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // KMV sketch UNION report: the overall distinct-user estimate is
+    // computed by MERGING the per-type sketches (k-smallest of the
+    // union of per-group k-smallest = k-smallest of the union — the
+    // KMV mergeability theorem), touching only groups × k sketch rows,
+    // never the raw data again. This is the sketch workflow at 100 TB:
+    // per-partition/per-group sketches roll up without rescans. The
+    // oracle recomputes the merged sketch from scratch and must land on
+    // the identical hashes and estimate.
+    "q176_kmv_union" -> QueryDef(
+      (s, d) => {
+        val k = 64
+        val hashed = Tables.events(s, d)
+          .select(col("event_type"),
+            substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12).as("h"))
+          .distinct()
+        val kmin = graft.plans.GroupTopK.topKPerKey(
+          hashed, Seq("event_type"), Seq(("h", false)), k).cache()
+        def est(nH: org.apache.spark.sql.Column,
+                mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = Num.rnd(
+          when(nH < k, nH.cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (conv(mx, 16, 10).cast("double") / math.pow(16.0, 12))), 3)
+        val perType = kmin.groupBy("event_type")
+          .agg(count(lit(1)).as("n_h"), max(col("h")).as("mx"))
+          .select(col("event_type").as("scope"), col("n_h"), est(col("n_h"), col("mx")).as("est"))
+        // merged sketch from the SKETCH ROWS only
+        val mergedTop = graft.operators.Sorts.topK(
+          kmin.select("h").distinct(), Seq("h"), Seq(true), k)
+        val overall = mergedTop
+          .agg(count(lit(1)).as("n_h"), max(col("h")).as("mx"))
+          .select(lit("__all__").as("scope"), col("n_h"), est(col("n_h"), col("mx")).as("est"))
+        perType.unionByName(overall)
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type,
+                 substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12) AS h
+               FROM events),
+             r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                   FROM d),
+             s AS (SELECT event_type AS scope, CAST(count(*) AS BIGINT) AS n_h,
+                     max(h) AS mx
+                   FROM r WHERE rn <= 64 GROUP BY 1),
+             u AS (SELECT DISTINCT h FROM d),
+             ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+             us AS (SELECT CAST(count(*) AS BIGINT) AS n_h, max(h) AS mx
+                    FROM ur WHERE rn <= 64),
+             allrows AS (
+               SELECT scope, n_h, mx FROM s
+               UNION ALL
+               SELECT '__all__', n_h, mx FROM us)
+             SELECT scope, n_h,
+               round(CASE WHEN n_h < 64 THEN n_h * 1.0
+                 ELSE 63.0 / (CAST('0x' || mx AS BIGINT) * 1.0 / 281474976710656)
+                 END * 1e3) / 1e3 AS est
+             FROM allrows"""))
   )
 }
