@@ -628,6 +628,47 @@ object Round6Queries {
                round(CASE WHEN n_h < 64 THEN n_h * 1.0
                  ELSE 63.0 / (CAST('0x' || mx AS BIGINT) * 1.0 / 281474976710656)
                  END * 1e3) / 1e3 AS est
-             FROM allrows"""))
+             FROM allrows""")),
+
+    // windowed top-k DRIFT report (the trending/monitoring query of a
+    // continuously-ingested corpus): per-day top-5 users by event count
+    // with their rank delta vs the previous day (null/new when absent
+    // yesterday). Counts are one partial-agg groupBy; ranks come from
+    // the bounded-heap GroupTopK per day; the drift join is day-keyed
+    // top-k rows only (days × k), not the corpus.
+    "q177_topk_drift" -> QueryDef(
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy("day", "user_id").agg(count(lit(1)).as("cnt"))
+        val top = graft.plans.GroupTopK.topKPerKey(
+            byDay, Seq("day"), Seq(("cnt", true), ("user_id", false)), 5)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("day")
+              .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+          .cache()
+        val prev = top.select(date_add(col("day"), 1).as("day"),
+          col("user_id"), col("rank").as("prev_rank"))
+        top.join(prev, Seq("day", "user_id"), "left")
+          .select(col("day").cast("string").as("day"), col("user_id"),
+            col("cnt"), col("rank"),
+            col("prev_rank"),
+            (col("prev_rank").isNull).as("is_new"),
+            (coalesce(col("prev_rank"), lit(0L)) - col("rank")).as("delta"))
+      },
+      Some("""WITH byday AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+             ranked AS (SELECT day, user_id, cnt,
+                 CAST(row_number() OVER (PARTITION BY day
+                   ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
+               FROM byday
+               QUALIFY rank <= 5)
+             SELECT CAST(t.day AS VARCHAR) AS day, t.user_id, t.cnt, t.rank,
+               p.rank AS prev_rank,
+               p.rank IS NULL AS is_new,
+               coalesce(p.rank, 0) - t.rank AS delta
+             FROM ranked t LEFT JOIN ranked p
+               ON p.day = t.day - 1 AND p.user_id = t.user_id"""))
   )
 }
