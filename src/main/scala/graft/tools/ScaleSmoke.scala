@@ -61,7 +61,44 @@ object ScaleSmoke {
       println(f"$n: $dt%.2fs rows=$rows")
       n -> dt
     }
-    println(f"TOTAL: ${results.map(_._2).sum}%.2fs")
+
+    // events-based operators: the parquet staging can't reproduce the
+    // nanos read path, so build the 10× stream in memory (shifted
+    // copies, ts pushed by k days to keep day/session structure) and
+    // time the operator code directly.
+    val ev1 = Tables.events(spark, src).select("event_id", "ts", "user_id",
+      "event_type", "value")
+    val ev10 = (0 until mult).map { k =>
+      ev1.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * 31} DAYS"))
+    }.reduce(_.unionByName(_)).cache()
+    ev10.count()
+    val opSmokes: Seq[(String, () => Long)] = Seq(
+      "op_rolling_global" -> (() =>
+        graft.operators.RollingGlobal.trailing(ev10, Seq("ts", "event_id"),
+          "value", 5, "r").count()),
+      "op_range_join" -> (() => {
+        val clicks = ev10.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        val purchases = ev10.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - 600000000L).as("lo"),
+            unix_micros(col("ts")).as("hi"))
+        graft.operators.RangeJoin.binned(clicks, purchases, Seq("user_id"),
+          "t", "lo", "hi", width = 600000000L).count()
+      }),
+      "op_session_window" -> (() =>
+        ev10.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1))).count()))
+    val opResults = opSmokes.map { case (n, f) =>
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED $n: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$n: $dt%.2fs rows=$rows")
+      n -> dt
+    }
+    println(f"TOTAL: ${(results ++ opResults).map(_._2).sum}%.2fs")
     spark.stop()
   }
 }
