@@ -628,6 +628,16 @@ final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
       when(n < mp, lit(null)).otherwise(aggd)), frame.index)
   }
 
+  /** groupby(...).ffill(): forward-fill nulls within each group. */
+  def ffill(orderBy: Seq[String], cols: String*): GFrame =
+    GFrame(graft.operators.Fill.ffillGrouped(frame.df, keys, orderBy, cols),
+      frame.index)
+
+  /** groupby(...).bfill(): backward-fill nulls within each group. */
+  def bfill(orderBy: Seq[String], cols: String*): GFrame =
+    GFrame(graft.operators.Fill.bfillGrouped(frame.df, keys, orderBy, cols),
+      frame.index)
+
   /** groupby(...).pct_change(): relative change vs the previous value. */
   def pctChange(valueCol: String, orderBy: Seq[String],
                 outCol: String = ""): GFrame = {

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** pandas `fillna(method="ffill"/"bfill")` — forward/backward
+  * propagation of the last/next observed value.
+  *
+  * Grouped form: one partitioned window per group key (the usual
+  * time-series shape, scale-safe when groups fit a partition's worth of
+  * rows — same contract as every grouped window here).
+  *
+  * GLOBAL form: the naive `Window.orderBy(...)` funnel is replaced by
+  * the two-phase carry shape of [[Cumulative.globalScan]] — range
+  * shuffle, ONE aggregated value per partition to the driver (the
+  * latest non-null, computed order-independently with `max_by` over the
+  * ordering key), "last non-null wins" exclusive prefix as each
+  * partition's carry-in, then a partition-local last-non-null window
+  * coalesced with the carry literal. O(numPartitions) driver state.
+  */
+object Fill {
+
+  /** Per-group forward fill of `valueCols` in `orderCols` order. */
+  def ffillGrouped(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Per-group backward fill. */
+  def bfillGrouped(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** GLOBAL forward fill of a DOUBLE column, never a single-partition
+    * window. `orderCols` must be a unique key (ties across a range
+    * boundary would make "previous row" ambiguous).
+    */
+  def ffillGlobal(df: DataFrame, orderCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val v = col(valueCol).cast("double")
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    // order-independent "latest non-null per partition": max_by skips
+    // rows whose ordering expression is null, so null values never win
+    val ordKey = when(v.isNotNull, struct(orderCols.map(col): _*))
+    val lasts = sorted.groupBy(col("__pid"))
+      .agg(max_by(v, ordKey).as("l"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    val carries = scala.collection.mutable.Map[Int, Double]()
+    var run: Option[Double] = None
+    lasts.foreach { case (pid, l) =>
+      run.foreach(carries(pid) = _)
+      if (l.isDefined) run = l
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry =
+      if (carries.isEmpty) lit(null).cast("double")
+      else element_at(typedlit(carries.toMap), col("__pid"))
+    sorted
+      .withColumn(valueCol, coalesce(last(v, ignoreNulls = true).over(w), carry))
+      .drop("__pid")
+  }
+}

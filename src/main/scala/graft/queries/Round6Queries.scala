@@ -669,6 +669,42 @@ object Round6Queries {
                p.rank IS NULL AS is_new,
                coalesce(p.rank, 0) - t.rank AS delta
              FROM ranked t LEFT JOIN ranked p
-               ON p.day = t.day - 1 AND p.user_id = t.user_id"""))
+               ON p.day = t.day - 1 AND p.user_id = t.user_id""")),
+
+    // fillna(method="ffill"/"bfill") — forward/backward observation
+    // carry (pandas time-series core). Sparse series: only click events
+    // carry a value. Three variants in one result: GLOBAL ffill via the
+    // two-phase per-partition-carry shape (never a one-partition
+    // window), per-user ffill and bfill via partitioned windows.
+    "q178_fillna_method" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Fill
+        val base = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", col("value")).as("v"))
+        val ev = base
+          .withColumn("vg", col("v"))
+          .withColumn("vu", col("v"))
+          .withColumn("vb", col("v"))
+        val g = Fill.ffillGlobal(ev, Seq("ts", "event_id"), "vg")
+        val u = Fill.ffillGrouped(g, Seq("user_id"), Seq("ts", "event_id"), Seq("vu"))
+        val b = Fill.bfillGrouped(u, Seq("user_id"), Seq("ts", "event_id"), Seq("vb"))
+        b.select(col("event_id"),
+          Num.rnd(col("vg"), 6).as("vg"),
+          Num.rnd(col("vu"), 6).as("vu"),
+          Num.rnd(col("vb"), 6).as("vb"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN value END AS v
+               FROM events)
+             SELECT event_id,
+               round(last_value(v IGNORE NULLS) OVER (ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) * 1e6) / 1e6 AS vg,
+               round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) * 1e6) / 1e6 AS vu,
+               round(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) * 1e6) / 1e6 AS vb
+             FROM e"""))
   )
 }

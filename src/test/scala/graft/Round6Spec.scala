@@ -400,6 +400,25 @@ class Round6Spec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("global ffill carries across range-partition boundaries; leading nulls stay null") {
+    import spark.implicits._
+    import graft.operators.Fill
+    // 200 rows over 4 partitions; only every 37th has a value, so most
+    // partitions start with a run of nulls that must be filled from the
+    // PREVIOUS partition's carry; rows 0-36 stay null
+    val rows = (0 until 200).map(i =>
+      (i.toLong, if (i % 37 == 0 && i > 0) Some(i / 10.0) else None))
+    val df = rows.toDF("id", "v")
+    val got = Fill.ffillGlobal(df, Seq("id"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    var run: Option[Double] = None
+    rows.foreach { case (id, v) =>
+      if (v.isDefined) run = v
+      assert(got(id) == run, s"row $id")
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
