@@ -705,6 +705,65 @@ object Round6Queries {
                round(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) * 1e6) / 1e6 AS vb
-             FROM e"""))
+             FROM e""")),
+
+    // interpolate(method="linear") per user — pandas semantics: null
+    // runs between two observations get the linear blend by ROW
+    // position, leading nulls stay null, trailing nulls carry the last
+    // observation. One partitioned window set; the blend arithmetic is
+    // mirrored operation-for-operation in the oracle so the doubles are
+    // identical.
+    "q179_interpolate" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", col("value")).as("v"))
+        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wPrec = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFoll = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val pos = row_number().over(wAll)
+        val withW = base
+          .withColumn("pos", pos)
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrec))
+          .withColumn("pp", last(when(col("v").isNotNull, col("pos")),
+            ignoreNulls = true).over(wPrec))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFoll))
+          .withColumn("np", first(when(col("v").isNotNull, col("pos")),
+            ignoreNulls = true).over(wFoll))
+        withW.select(col("event_id"),
+          Num.rnd(
+            when(col("v").isNotNull, col("v"))
+              .otherwise(when(col("pv").isNull, lit(null))
+                .when(col("nv").isNull, col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv")) *
+                  ((col("pos") - col("pp")).cast("double") /
+                    (col("np") - col("pp"))))), 6).as("vi"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN value END AS v
+               FROM events),
+             p AS (SELECT event_id, user_id, ts, v,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS pos
+               FROM e),
+             w AS (SELECT event_id, v, pos,
+                 last_value(v IGNORE NULLS) OVER
+                   (uw ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (uw ROWS UNBOUNDED PRECEDING) AS pp,
+                 first_value(v IGNORE NULLS) OVER
+                   (uw ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (uw ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+               FROM p
+               WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+             SELECT event_id,
+               round(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NULL THEN NULL
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (CAST(pos - pp AS DOUBLE) / (np - pp))
+                 END * 1e6) / 1e6 AS vi
+             FROM w"""))
   )
 }
