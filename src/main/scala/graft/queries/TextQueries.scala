@@ -13,7 +13,26 @@ object TextQueries {
   /** q54's exact near-dup pairs — also the edge list for the cluster
     * step (q114). Shared so the cached shingle subplan is reused.
     */
-  def exactPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def exactPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    exactPairsFrom(s, d, kernel = false)
+
+  /** Pair counting via the streaming primitive-map kernel
+    * ([[graft.text.PairCountIterator]]) — measured and REJECTED for the
+    * default path: 18.4s vs 14.6s for explode+hashagg on the 10× smoke
+    * (tools/BenchQ54K, min-of-3 alternated). The Dataset encoder boxes
+    * every list element on the way into `mapPartitions`, which costs
+    * more than the per-pair row materialization it saves; the explode
+    * path stays fully inside Tungsten. Kept (with its Round6Spec
+    * differential) as the documented experiment — the kernel's bounded
+    * 32 MB footprint would win only where pair multiplicity per shingle
+    * is far higher than even the cloned corpus produces.
+    */
+  def exactPairsKernel(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    exactPairsFrom(s, d, kernel = true)
+
+  private def exactPairsFrom(s: org.apache.spark.sql.SparkSession, d: String,
+                             kernel: Boolean): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
       .cache() // shared with q55's identical subplan via CacheManager
@@ -27,17 +46,34 @@ object TextQueries {
     // detection exists for, so the string key stays.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // group the inverted index by shingle and expand doc-id pairs
-    // map-side (native PackedPairs); singleton shingles contribute
-    // no pairs and are filtered free.
+    // map-side; singleton shingles contribute no pairs and are
+    // filtered free.
     val lists = inv.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val common = lists.select(explode(
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.text.PackedPairs(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
-      .groupBy("pk")
-      .agg(count(lit(1)).as("common"))
+    // Pair counting: |A∩B| per packed (id1,id2) key. The kernel path
+    // counts pairs into a per-partition open hash map and emits
+    // (pk, partialCount) — the same partial-aggregate dataflow as the
+    // explode+hashagg twin (shuffle carries identical partials) but
+    // without materializing one row PER PAIR EMISSION through codegen;
+    // on the 10×-cloned smoke this stage emits ~10⁸ pairs. The map
+    // flushes at 4M entries so a skewed partition spills to additional
+    // partial rows instead of OOM (groupBy sums partials regardless).
+    val common0 =
+      if (kernel) {
+        lists.select(col("ds")).as[Seq[Long]]
+          .mapPartitions(it => new graft.text.PairCountIterator(it))
+          .toDF("pk", "c")
+          .groupBy("pk").agg(sum(col("c")).as("common"))
+      } else {
+        lists.select(explode(
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.text.PackedPairs(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("common"))
+      }
+    val common = common0
       .select(shiftrightunsigned(col("pk"), 32).as("id1"),
         col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
         col("common"))
