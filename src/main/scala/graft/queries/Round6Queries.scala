@@ -764,6 +764,36 @@ object Round6Queries {
                  WHEN nv IS NULL THEN pv
                  ELSE pv + (nv - pv) * (CAST(pos - pp AS DOUBLE) / (np - pp))
                  END * 1e6) / 1e6 AS vi
-             FROM w"""))
+             FROM w""")),
+
+    // merge(indicator=True) — pandas' provenance column on an outer
+    // merge: _merge in {left_only, right_only, both}. One outer hash
+    // join; the indicator is a projection over the two sides' key
+    // nullity (computed BEFORE the outer-join key coalesce).
+    "q180_merge_indicator" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_custkey") <= 800)
+          .select(col("c_custkey").as("ck"), col("c_name"))
+        val o = Tables.orders(s, d).filter(col("o_custkey") >= 500)
+          .groupBy(col("o_custkey").as("ok"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("ck") === col("ok"), "full_outer")
+          .select(coalesce(col("ck"), col("ok")).as("custkey"),
+            col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            when(col("ck").isNotNull && col("ok").isNotNull, "both")
+              .when(col("ck").isNotNull, "left_only")
+              .otherwise("right_only").as("_merge"))
+      },
+      Some("""WITH c AS (SELECT c_custkey AS ck, c_name FROM customer
+                         WHERE c_custkey <= 800),
+             o AS (SELECT o_custkey AS ok, CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders WHERE o_custkey >= 500 GROUP BY 1)
+             SELECT coalesce(ck, ok) AS custkey, c_name,
+               coalesce(n_orders, 0) AS n_orders,
+               CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 'both'
+                    WHEN ck IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS _merge
+             FROM c FULL JOIN o ON ck = ok"""))
   )
 }
