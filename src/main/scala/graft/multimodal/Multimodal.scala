@@ -74,22 +74,52 @@ object Multimodal {
   def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
-  /** STUB DECODE: deterministic 16-bin normalized byte histogram standing
-    * in for image/audio feature extraction. Partition-local, no shuffle.
+  /** Feature extraction through a pluggable [[MediaDecoder]] —
+    * partition-local (executor-side, batch-at-a-time), no shuffle; the
+    * decoder ships to executors by closure serialization. Swapping in a
+    * real image/audio decoder changes ONLY the decoder instance; the
+    * plan shape, schema, and partitioning are identical.
     */
-  def fakeDecodeFeatures(binTable: DataFrame): DataFrame = {
+  def decodeFeatures(binTable: DataFrame,
+                     decoder: MediaDecoder = ByteHistogramDecoder): DataFrame = {
     val spark = binTable.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
       binTable.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
-        val n = math.max(bytes.length, 1).toDouble
-        (id, hist.map(_ / n))
-      }
+      it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
     }.toDF("doc_id", "features")
+  }
+
+  /** STUB DECODE (kept name — the q66 gate): the deterministic
+    * [[ByteHistogramDecoder]] through the pluggable path.
+    */
+  def fakeDecodeFeatures(binTable: DataFrame): DataFrame =
+    decodeFeatures(binTable, ByteHistogramDecoder)
+}
+
+/** Pluggable media decoder: payload bytes → fixed-width feature vector.
+  * Implementations must be Serializable — instances ship to executors
+  * inside the mapPartitions closure. This is the seam where a real
+  * image/audio library plugs in (decode + embed), with the Spark-side
+  * schema, batching, and partition parallelism unchanged.
+  */
+trait MediaDecoder extends Serializable {
+  def featureDim: Int
+  def decode(bytes: Array[Byte]): Array[Double]
+}
+
+/** The in-repo deterministic stand-in: 16-bin normalized byte histogram
+  * (no media libraries ship in this environment; the oracle recomputes
+  * the histogram from hex nibbles, so even the stub is gate-checked).
+  */
+object ByteHistogramDecoder extends MediaDecoder {
+  val featureDim = 16
+  def decode(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](featureDim)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+    val n = math.max(bytes.length, 1).toDouble
+    hist.map(_ / n)
   }
 }

@@ -428,6 +428,28 @@ class Round6Spec extends SparkSpec {
     assert(k.nonEmpty)
   }
 
+  test("a custom MediaDecoder flows through the multimodal feature plumbing") {
+    import graft.multimodal.{MediaDecoder, Multimodal}
+    object LenFirstDecoder extends MediaDecoder {
+      val featureDim = 2
+      def decode(bytes: Array[Byte]): Array[Double] =
+        Array(bytes.length.toDouble,
+          if (bytes.isEmpty) -1.0 else (bytes(0) & 0xff).toDouble)
+    }
+    val bin = Multimodal.asBinaryTable(
+      Tables.documents(spark, sf).limit(20), "text")
+    val got = Multimodal.decodeFeatures(bin, LenFirstDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> {
+        val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Seq(b.length.toDouble, if (b.isEmpty) -1.0 else (b(0) & 0xff).toDouble)
+      }).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval side") {
     val plan = SparkEntry.queries("q161_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
