@@ -55,6 +55,7 @@ object QueryCompiler {
           case "and" => out += Op("&")
           case "or"  => out += Op("|")
           case "not" => out += Op("~")
+          case "in"  => out += Op("in")
           case "True" | "true"   => out += Ident("__true__")
           case "False" | "false" => out += Ident("__false__")
           case _ => out += Ident(w)
@@ -152,6 +153,39 @@ object QueryCompiler {
     // Python chained-comparison semantics: `a < b <= c` means
     // `(a < b) & (b <= c)`, each operand written once — the pandas-ism
     // users type (`core/query.py` compiles the same ast.Compare chain).
+    // membership list: `[lit, lit, ...]` or an @ref bound to a Seq —
+    // pandas query's `x in [...]` / `x not in @allowed`
+    def inListValues(): Seq[Any] = peek match {
+      case Some(Ref(name)) =>
+        next()
+        refs.get(name) match {
+          case Some(s: Seq[_])   => s
+          case Some(a: Array[_]) => a.toSeq
+          case Some(other) =>
+            throw new IllegalArgumentException(s"@$name is not a list: $other")
+          case None => throw new IllegalArgumentException(s"unresolved @$name")
+        }
+      case Some(Op("[")) =>
+        next()
+        val buf = scala.collection.mutable.ListBuffer[Any]()
+        var first = true
+        while (!peek.contains(Op("]"))) {
+          if (!first) expectOp(",")
+          first = false
+          next() match {
+            case Num(v, isInt) => buf += (if (isInt) v.toLong else v)
+            case Str(v) => buf += v
+            case Op("-") => next() match {
+              case Num(v, isInt) => buf += (if (isInt) -v.toLong else -v)
+              case t => throw new IllegalArgumentException(s"bad list element $t")
+            }
+            case t => throw new IllegalArgumentException(s"bad list element $t")
+          }
+        }
+        expectOp("]")
+        buf.toList
+      case t => throw new IllegalArgumentException(s"expected list after 'in', got $t")
+    }
     def cmpExpr(): Column = {
       var prev = addExpr()
       var acc: Option[Column] = None
@@ -163,6 +197,16 @@ object QueryCompiler {
           val c = cmp1(o, prev, r)
           acc = Some(acc.map(_ && c).getOrElse(c))
           prev = r
+        case Some(Op("in")) =>
+          next()
+          val c = prev.isin(inListValues(): _*)
+          acc = Some(acc.map(_ && c).getOrElse(c))
+          done = true
+        case Some(Op("~")) if toks.drop(1).headOption.contains(Op("in")) =>
+          next(); next()
+          val c = !prev.isin(inListValues(): _*)
+          acc = Some(acc.map(_ && c).getOrElse(c))
+          done = true
         case _ => done = true
       }
       acc.getOrElse(prev)

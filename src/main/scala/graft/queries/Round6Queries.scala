@@ -794,6 +794,24 @@ object Round6Queries {
                CASE WHEN ck IS NOT NULL AND ok IS NOT NULL THEN 'both'
                     WHEN ck IS NOT NULL THEN 'left_only'
                     ELSE 'right_only' END AS _merge
-             FROM c FULL JOIN o ON ck = ok"""))
+             FROM c FULL JOIN o ON ck = ok""")),
+
+    // query() `in` / `not in` membership — the pandas-query grammar
+    // extension (list literals + @ref lists), compiled to Catalyst IN
+    // (no UDF, pushdown-eligible).
+    "q181_query_in" -> QueryDef(
+      (s, d) => graft.api.GFrame(Tables.lineitem(s, d))
+        .query("l_returnflag in ['A', 'R'] and l_linenumber not in @skip and l_quantity >= @qmin",
+          Map("skip" -> Seq(5L, 6L, 7L), "qmin" -> 30))
+        .df.groupBy("l_returnflag", "l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          Num.rnd(sum(Num.dec2(col("l_quantity"))).cast("double"), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linenumber, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 1e2) / 1e2 AS qty
+             FROM lineitem
+             WHERE l_returnflag IN ('A', 'R')
+               AND l_linenumber NOT IN (5, 6, 7)
+               AND l_quantity >= 30
+             GROUP BY 1, 2"""))
   )
 }

@@ -10,6 +10,23 @@ class QueryCompilerSpec extends SparkSpec {
     (1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"), (4L, -5.0, "c"))
     .toDF("k", "v", "s")
 
+  test("in / not in with list literals and @refs") {
+    assert(QueryCompiler.query(df, "s in ['a', 'c']").count() === 3)
+    assert(QueryCompiler.query(df, "s not in ['a', 'c']").count() === 1)
+    assert(QueryCompiler.query(df, "k in [1, 3, -4]").count() === 2)
+    assert(QueryCompiler.query(df, "v in [10.0, -5.0]").count() === 2)
+    assert(QueryCompiler.query(df, "s in @allowed and v > 5",
+      Map("allowed" -> Seq("a", "b"))).count() === 3)
+    assert(QueryCompiler.query(df, "k not in @ks",
+      Map("ks" -> Seq(1L, 2L))).count() === 2)
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile("s in 5")
+    }
+    intercept[IllegalArgumentException] {
+      QueryCompiler.compile("s in [1,")
+    }
+  }
+
   test("comparison and boolean operators") {
     assert(QueryCompiler.query(df, "v > 10 & s == 'a'").count() === 1)
     assert(QueryCompiler.query(df, "v > 10 | s == 'a'").count() === 3)
