@@ -638,6 +638,16 @@ final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
     GFrame(graft.operators.Fill.bfillGrouped(frame.df, keys, orderBy, cols),
       frame.index)
 
+  /** groupby(...).interpolate(): linear blend of null runs by row
+    * position (pandas leading/trailing null semantics).
+    */
+  def interpolate(valueCol: String, orderBy: Seq[String],
+                  outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else valueCol
+    GFrame(graft.operators.Fill.interpolateGrouped(
+      frame.df, keys, orderBy, valueCol, out), frame.index)
+  }
+
   /** groupby(...).pct_change(): relative change vs the previous value. */
   def pctChange(valueCol: String, orderBy: Seq[String],
                 outCol: String = ""): GFrame = {

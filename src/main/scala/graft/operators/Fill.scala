@@ -41,6 +41,37 @@ object Fill {
       d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** pandas `interpolate(method="linear")` per group: null runs between
+    * two observations get the linear blend by ROW position, leading
+    * nulls stay null, trailing nulls carry the last observation. One
+    * partitioned window set (q179's oracle mirrors the blend
+    * arithmetic operation-for-operation).
+    */
+  def interpolateGrouped(df: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[String], valueCol: String,
+                         outCol: String): DataFrame = {
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wPrec = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFoll = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    df.withColumn("__pos", row_number().over(wAll))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wPrec))
+      .withColumn("__pp", last(when(v.isNotNull, col("__pos")),
+        ignoreNulls = true).over(wPrec))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wFoll))
+      .withColumn("__np", first(when(v.isNotNull, col("__pos")),
+        ignoreNulls = true).over(wFoll))
+      .withColumn(outCol,
+        when(v.isNotNull, v)
+          .otherwise(when(col("__pv").isNull, lit(null))
+            .when(col("__nv").isNull, col("__pv"))
+            .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+              ((col("__pos") - col("__pp")).cast("double") /
+                (col("__np") - col("__pp"))))))
+      .drop("__pos", "__pv", "__pp", "__nv", "__np")
+  }
+
   /** GLOBAL forward fill of a DOUBLE column, never a single-partition
     * window. `orderCols` must be a unique key (ties across a range
     * boundary would make "previous row" ambiguous).

@@ -715,30 +715,12 @@ object Round6Queries {
     // identical.
     "q179_interpolate" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val base = Tables.events(s, d).select(
           col("event_id"), col("user_id"), col("ts"),
           when(col("event_type") === "click", col("value")).as("v"))
-        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val wPrec = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wFoll = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val pos = row_number().over(wAll)
-        val withW = base
-          .withColumn("pos", pos)
-          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrec))
-          .withColumn("pp", last(when(col("v").isNotNull, col("pos")),
-            ignoreNulls = true).over(wPrec))
-          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFoll))
-          .withColumn("np", first(when(col("v").isNotNull, col("pos")),
-            ignoreNulls = true).over(wFoll))
-        withW.select(col("event_id"),
-          Num.rnd(
-            when(col("v").isNotNull, col("v"))
-              .otherwise(when(col("pv").isNull, lit(null))
-                .when(col("nv").isNull, col("pv"))
-                .otherwise(col("pv") + (col("nv") - col("pv")) *
-                  ((col("pos") - col("pp")).cast("double") /
-                    (col("np") - col("pp"))))), 6).as("vi"))
+        graft.operators.Fill.interpolateGrouped(base,
+            Seq("user_id"), Seq("ts", "event_id"), "v", "vi")
+          .select(col("event_id"), Num.rnd(col("vi"), 6).as("vi"))
       },
       Some("""WITH e AS (SELECT event_id, user_id, ts,
                  CASE WHEN event_type = 'click' THEN value END AS v
