@@ -40,19 +40,28 @@ object RangeJoin {
     val p = points.withColumn("__bin", floorDiv(col(tCol), width))
     val iv = intervals.withColumn("__bin",
       explode(sequence(floorDiv(col(loCol), width), floorDiv(col(hiCol), width))))
-    val joined = p.join(iv, keys :+ "__bin",
-      if (how == "left_outer") "left_outer" else "inner")
     val inRange = col(tCol) >= col(loCol) && col(tCol) <= col(hiCol)
+    val matched = p.join(iv, keys :+ "__bin", "inner").filter(inRange)
     val res = how match {
-      case "inner" => joined.filter(inRange)
+      case "inner" => matched
       case "left_outer" =>
-        // a point may fall in an interval's bin but outside its range —
-        // null out the interval columns rather than dropping the row,
-        // then dedup the per-point rows that matched nothing
-        val ivCols = intervals.columns.filterNot(keys.contains)
-        ivCols.foldLeft(joined) { (d, c) =>
-          d.withColumn(c, when(inRange, col(c)))
-        }.distinct()
+        // Whether a point row matches is a pure function of its column
+        // VALUES, so identical point rows share one match status: a
+        // semi/anti join of `points` against the matched set on ALL
+        // point columns is exact, preserves legitimately duplicate
+        // unmatched rows, and never fabricates a NULL row for a point
+        // that matched some interval but shared a bin with another.
+        // (Null-keyed point rows equi-match nothing → kept by left_anti
+        // → correctly surfaced as unmatched.)
+        val pCols = points.columns.toSeq
+        val unmatched = points.join(
+          matched.select(pCols.map(col): _*), pCols, "left_anti")
+        val ivOnly = intervals.columns.filterNot(keys.contains)
+        val ivTypes = intervals.schema.map(f => f.name -> f.dataType).toMap
+        val withNulls = ivOnly.foldLeft(unmatched) { (d, c) =>
+          d.withColumn(c, lit(null).cast(ivTypes(c)))
+        }
+        matched.drop("__bin").unionByName(withNulls)
       case other => throw new IllegalArgumentException(other)
     }
     res.drop("__bin")
@@ -93,10 +102,19 @@ object RangeJoin {
       .drop("__lo", "__hi")
   }
 
-  /** Exact floor division: subtract the non-negative remainder first so
-    * the double division is of an exact multiple (never off-by-one at a
-    * bin boundary, and floor — not truncation — for negative inputs).
+  /** Exact floor division IN INTEGER SPACE: subtract the non-negative
+    * remainder (floor — not truncation — for negative inputs), then
+    * integral-divide the exact multiple. Never routes through a double
+    * (`/` on longs is double division, unrepresentable above 2⁵³ —
+    * nanosecond-scale timestamps ~1.7e18 would bin off-by-one at bin
+    * boundaries and silently drop/duplicate matches).
     */
-  private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  private def floorDiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val exact = (c - pmod(c, lit(w))).cast("long")
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(exact),
+      ColumnBridge.expression(lit(w))))
+  }
 }

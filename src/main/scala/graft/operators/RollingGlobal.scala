@@ -44,25 +44,51 @@ object RollingGlobal {
       .withColumn("__pid", spark_partition_id())
       .cache()
 
-    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+    val counts0 = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
-    require(counts.values.forall(_ >= w - 1),
+    trailingTagged(sorted, counts0, orderCols, valueCol, w, out)
+  }
+
+  /** Ghost construction over an already-range-partitioned input tagged
+    * with a `__pid` column whose values ASCEND with `orderCols` (row in
+    * pid a sorts before every row in pid b for a < b). Package-private
+    * so the empty-partition (pid-gap) path is unit-testable — real
+    * callers go through [[trailing]].
+    */
+  private[graft] def trailingTagged(sorted: DataFrame,
+      counts0: Map[Int, Long], orderCols: Seq[String], valueCol: String,
+      w: Int, out: String): DataFrame = {
+    require(counts0.values.forall(_ >= w - 1),
       s"window $w needs >= ${w - 1} rows in every range partition; " +
-        s"smallest has ${if (counts.isEmpty) 0 else counts.values.min} — lower " +
+        s"smallest has ${if (counts0.isEmpty) 0 else counts0.values.min} — lower " +
         "spark.sql.shuffle.partitions for this input size")
+
+    // repartitionByRange can leave partitions EMPTY (few distinct
+    // ordering values, sampling skew). Ghosts must hop to the next
+    // NON-EMPTY partition — a raw pid+1 hop would strand them in an
+    // empty partition and silently NULL the lookback of the partition
+    // after it. Remap pids to their dense rank among non-empty
+    // partitions (identity when none are empty), so +1 is always "the
+    // next partition that actually holds rows".
+    val livePids = counts0.keys.toArray.sorted
+    val maxLive = if (livePids.isEmpty) -1 else livePids.last
+    val denseSorted =
+      if (livePids.length == maxLive + 1) sorted
+      else sorted.withColumn("__pid",
+        element_at(typedLit(livePids.zipWithIndex.toMap), col("__pid")))
+    val maxPid = livePids.length - 1
 
     // last w-1 rows of each partition, re-tagged into the next partition
     val wDesc = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col(_).desc): _*)
-    val ghosts = sorted
+    val ghosts = denseSorted
       .withColumn("__lrd", row_number().over(wDesc))
       .filter(col("__lrd") <= w - 1 && col("__pid") < maxPid)
       .drop("__lrd")
       .withColumn("__pid", col("__pid") + 1)
       .withColumn("__ghost", lit(1))
 
-    val unioned = sorted.withColumn("__ghost", lit(0)).unionByName(ghosts)
+    val unioned = denseSorted.withColumn("__ghost", lit(0)).unionByName(ghosts)
 
     // ghosts carry strictly smaller orderCol values than every real row
     // of their target partition (range partitioning), so a plain

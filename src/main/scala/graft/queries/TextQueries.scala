@@ -57,8 +57,11 @@ object TextQueries {
     // explode+hashagg twin (shuffle carries identical partials) but
     // without materializing one row PER PAIR EMISSION through codegen;
     // on the 10×-cloned smoke this stage emits ~10⁸ pairs. The map
-    // flushes at 4M entries so a skewed partition spills to additional
-    // partial rows instead of OOM (groupBy sums partials regardless).
+    // flushes at 2²⁰ live entries (half of its 2²¹ capacity) — checked
+    // after EVERY add, so even one hot shingle's O(n²) mid-list burst
+    // drains incrementally instead of saturating the table — and a
+    // skewed partition spills to additional partial rows instead of
+    // OOM (groupBy sums partials regardless).
     val common0 =
       if (kernel) {
         lists.select(col("ds")).as[Seq[Long]]

@@ -26,6 +26,17 @@ final class PairCountIterator(input: Iterator[Seq[Long]])
   private var nLive = 0
   private var drainIdx = CAP // > MASK means "not draining"
 
+  // Pair generation SUSPENDS mid-list when the map reaches LIMIT and
+  // resumes after the drain: a single hot shingle shared by thousands
+  // of docs emits O(n²) pairs from ONE list, which would otherwise
+  // saturate the fixed-capacity table between the per-list flush
+  // checks and spin add()'s probe loop forever (a 100%-full open
+  // table has no free slot). LIMIT-at-half-load + a check after every
+  // single add() keeps nLive < CAP unconditionally.
+  private var cur: Array[Long] = null
+  private var ci = 0
+  private var cj = 0
+
   private def add(pk: Long): Unit = {
     var h = pk * -0x61c8864680b583ebL // golden-ratio mix
     h ^= h >>> 32
@@ -38,43 +49,48 @@ final class PairCountIterator(input: Iterator[Seq[Long]])
     }
   }
 
-  private def startDrain(): Unit = { drainIdx = 0 }
+  /** Emit pairs from `cur` starting at saved (ci, cj); returns true if
+    * the map hit LIMIT (position saved for resume), false when the
+    * list is exhausted. */
+  private def fillFromCur(): Boolean = {
+    val ds = cur
+    val n = ds.length
+    while (ci < n) {
+      val a = ds(ci)
+      while (cj < n) {
+        add((a << 32) | (ds(cj) & 0xffffffffL))
+        cj += 1
+        if (nLive >= LIMIT) return true
+      }
+      ci += 1
+      cj = ci + 1
+    }
+    cur = null
+    false
+  }
+
+  private def beginDrain(): Boolean = {
+    drainIdx = 0
+    while (drainIdx < CAP && keys(drainIdx) == -1L) drainIdx += 1
+    drainIdx < CAP
+  }
 
   override def hasNext: Boolean = {
     // serving a drain?
     while (drainIdx < CAP && keys(drainIdx) == -1L) drainIdx += 1
     if (drainIdx < CAP) return true
-    if (drainIdx == CAP && nLive > 0 && !input.hasNext) {
-      // input exhausted: final drain
-      startDrain()
-      while (drainIdx < CAP && keys(drainIdx) == -1L) drainIdx += 1
-      return drainIdx < CAP
-    }
-    // consume input until the map fills or input ends
-    while (input.hasNext) {
-      val ds = input.next()
-      val n = ds.length
-      var i = 0
-      while (i < n) {
-        val a = ds(i)
-        var j = i + 1
-        while (j < n) {
-          add((a << 32) | (ds(j) & 0xffffffffL))
-          j += 1
-        }
-        i += 1
-      }
-      if (nLive >= LIMIT) {
-        startDrain()
-        while (drainIdx < CAP && keys(drainIdx) == -1L) drainIdx += 1
-        return drainIdx < CAP
+    // fill until the map hits LIMIT or input ends
+    while (true) {
+      if (cur != null) {
+        if (fillFromCur()) return beginDrain()
+      } else if (input.hasNext) {
+        cur = input.next().toArray
+        ci = 0; cj = 1
+      } else {
+        return nLive > 0 && beginDrain() // final drain (or empty)
       }
     }
-    if (nLive > 0) {
-      startDrain()
-      while (drainIdx < CAP && keys(drainIdx) == -1L) drainIdx += 1
-      drainIdx < CAP
-    } else false
+    false // unreachable
   }
 
   override def next(): (Long, Long) = {
