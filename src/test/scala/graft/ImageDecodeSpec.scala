@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{ByteHistogramDecoder, ImageIoDecoder, Multimodal, SyntheticImages}
+
+/** The real `javax.imageio` decode path (round 6): codec round-trip
+  * exactness, corrupt-payload handling, plan-shape equality with the
+  * stub decoder, and the staged-file binaryFile ingest end-to-end.
+  */
+class ImageDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG encode+decode round-trips the pixel formula exactly") {
+    Seq(0L, 1L, 17L, 123L, 499L).foreach { d =>
+      val w = SyntheticImages.widthFor(d)
+      val h = SyntheticImages.heightFor(d)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += (31 * d + 7 * x + 13 * y) % 256
+        gs += (17 * d + 3 * x + 5 * y) % 256
+        bs += (23 * d + 11 * x + 2 * y) % 256
+      }
+      val f = ImageIoDecoder.decode(SyntheticImages.pngFor(d))
+      assert(f.toSeq == Seq(w, h, rs, gs, bs).map(_.toDouble), s"doc $d")
+    }
+  }
+
+  test("undecodable payload yields the -1 sentinel vector, not a task failure") {
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(ImageIoDecoder.decode(junk).toSeq == Seq.fill(5)(-1.0))
+    assert(ImageIoDecoder.decode(Array.empty[Byte]).toSeq == Seq.fill(5)(-1.0))
+  }
+
+  test("stub and real decoder produce the identical physical plan shape") {
+    val bin = Seq((1L, SyntheticImages.pngFor(1L))).toDF("doc_id", "payload")
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+    val stub = Multimodal.decodeFeatures(bin, ByteHistogramDecoder)
+    val real = Multimodal.decodeFeatures(bin, ImageIoDecoder)
+    assert(shape(stub) == shape(real))
+    assert(stub.schema == real.schema)
+  }
+
+  test("q182/q183 run green on sf0.001") {
+    val q182 = SparkEntry.queries("q182_image_decode")(spark, sf)
+    val rows = q182.collect()
+    assert(rows.length == 167) // doc_id % 3 == 0 among 0..499
+    // spot-check one row against the formula
+    val r0 = rows.find(_.getLong(0) == 123L).get
+    assert(r0.getLong(1) == SyntheticImages.widthFor(123L))
+    assert(r0.getLong(2) == SyntheticImages.heightFor(123L))
+    val q183 = SparkEntry.queries("q183_image_ingest")(spark, sf).collect()
+    assert(q183.length == 1 && q183.head.getLong(0) == 167L)
+    assert(q183.head.getLong(1) == rows.map(_.getLong(1)).sum) // w_total
+    assert(q183.head.getLong(2) == rows.map(_.getLong(3)).sum) // r_total
+  }
+}
