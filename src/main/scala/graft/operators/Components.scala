@@ -53,18 +53,21 @@ object Components {
         .join(labels.select(col("id").as("a"), col("rep").as("na")), "a")
         .groupBy(col("b").as("id"))
         .agg(min(col("na")).as("nrep"))
-      // carry the round-start label along as `old` so convergence can be
-      // read off the materialized result with a cheap scan — joining
-      // this round's checkpoint back against last round's would cost a
-      // whole extra shuffle join per round.
+      // convergence is read via observe(): the CollectMetrics node
+      // rides the SAME job that materializes the eager localCheckpoint
+      // (Dataset.checkpoint runs through withAction, so the Observation
+      // future completes with it) — zero extra jobs per round, where a
+      // follow-up agg().head scan used to cost one.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
           (least(col("rep"), coalesce(col("nrep"), col("rep"))) =!= col("rep"))
             .cast("long").as("chg"))
+        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "rep")
     }
     sym.unpersist()
