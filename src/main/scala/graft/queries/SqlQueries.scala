@@ -18,6 +18,39 @@ object SqlQueries {
       |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS rev
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q17, dialect-common: correlated count+sum subqueries restate
+    * `l_quantity < 0.2 * avg(part's quantity)` as `5·q·cnt < sum` —
+    * exact in DECIMAL space on both engines.
+    */
+  private val tpchQ17Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_rev
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4' AND p.p_size < 15
+      |  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+      |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** TPC-H Q20 (adapted — no partsupp in this schema), dialect-common. */
+  private val tpchQ20Sql: String =
+    """SELECT s_suppkey, s_name,
+      |CAST(round(CAST(s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT a.l_suppkey FROM
+      |    (SELECT l_suppkey, l_partkey,
+      |       sum(CAST(l_quantity AS DECIMAL(12,2))) AS q97
+      |     FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate < TIMESTAMP '1998-01-01'
+      |     GROUP BY 1, 2) a
+      |    JOIN (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qt
+      |          FROM lineitem GROUP BY 1) b
+      |      ON a.l_partkey = b.l_partkey
+      |  WHERE a.q97 * 12 > b.qt
+      |    AND a.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     "q93_sql_interface" -> QueryDef(
@@ -104,6 +137,65 @@ object SqlQueries {
              WHERE c_mktsegment = 'BUILDING'
              GROUP BY l_orderkey, o_orderdate)
              ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // TPC-H Q17 shape (correlated scalar subqueries): small-quantity
+    // orders below 20% of the part's average quantity. The identical
+    // SQL text runs on both engines; the 0.2·avg predicate is restated
+    // exactly in DECIMAL/integer space (5·q·cnt < sum) so no double
+    // division sits on a comparison boundary. Catalyst decorrelates
+    // both subqueries into ONE per-part aggregate joined on p_partkey
+    // (RewriteCorrelatedScalarSubquery; plan notes in PLANS.md) — no
+    // per-row re-aggregation, no CartesianProduct, scale-safe.
+    "q184_tpch_q17" -> QueryDef(
+      (s, d) => {
+        Seq("lineitem", "part").foreach(t =>
+          Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ17Sql)
+      },
+      Some(tpchQ17Sql)),
+
+    // TPC-H Q18 shape (semi-join on an aggregate): large-volume orders.
+    // DataFrame form: the HAVING-subquery becomes an explicit
+    // groupBy→filter→left_semi join — the aggregate side is tiny after
+    // its filter, so AQE broadcasts the semi side; the fact table is
+    // never shuffled for the membership test.
+    "q185_tpch_q18" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("q"))
+          .filter(col("q") > 150).select("l_orderkey")
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(li.join(big, Seq("l_orderkey"), "left_semi"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("odate"))
+          .agg(Num.rnd(sum(col("l_quantity").cast("decimal(12,2)")), 2).as("qty"))
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS odate,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+               GROUP BY l_orderkey
+               HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+             GROUP BY 1, 2, 3, 4""")),
+
+    // TPC-H Q20 shape (nested semi-joins on aggregates), adapted to
+    // this schema (no partsupp table): suppliers who shipped more than
+    // 1/12 of a red part's all-time quantity during 1997. Both IN
+    // subqueries plan as semi joins; the share predicate joins two
+    // partial-aggregatable rollups of the same fact on l_partkey.
+    "q186_tpch_q20" -> QueryDef(
+      (s, d) => {
+        Seq("lineitem", "part", "supplier").foreach(t =>
+          Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ20Sql)
+      },
+      Some(tpchQ20Sql)),
 
     // regex extraction + split-index string ops (corpus feature
     // extraction staples).
