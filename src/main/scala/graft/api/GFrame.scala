@@ -147,10 +147,12 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     */
   def iat(rowPos: Int, column: String): Option[Any] = {
     require(index.nonEmpty, "iat requires an index for a defined order")
+    // offset+limit(1): executors skip rowPos rows, only ONE row reaches
+    // the driver (was limit(rowPos+1).collect() — rowPos+1 rows moved)
     val rows = df.orderBy(index.map(col): _*).select(column)
-      .limit(rowPos + 1).collect()
+      .offset(rowPos).limit(1).collect()
     // pandas raises IndexError out of bounds; we return None
-    if (rows.length == rowPos + 1) Some(rows.last.get(0)) else None
+    rows.headOption.map(_.get(0))
   }
 
   // ---- joins (§2.3) ----
@@ -533,7 +535,31 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
 
   // ---- IO (§2.1) ----
 
-  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  /** Parquet sink that PERSISTS THE INDEX CONTRACT (reference
+    * `core/table.py:1184-1288` writes pandas index metadata into the
+    * footer): index columns are tagged with their position in the
+    * field metadata, which Spark serializes into the parquet footer
+    * (`org.apache.spark.sql.parquet.row.metadata`) and restores on
+    * read — [[GFrame.readParquet]] reconstructs the same
+    * StoredIndex/MultiIndex without a sidecar file. Divergence note:
+    * pyarrow's `pandas` footer key is not written (Spark's writer has
+    * no arbitrary-footer-key hook); the contract rides Spark's own
+    * schema-metadata channel instead.
+    */
+  def toParquet(path: String): Unit = {
+    val out = if (index.isEmpty) df else {
+      val cols = df.schema.fields.map { f =>
+        val pos = index.indexOf(f.name)
+        if (pos < 0) col(f.name)
+        else col(f.name).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(GFrame.IndexPosKey, pos.toLong).build())
+      }
+      df.select(cols.toSeq: _*)
+    }
+    out.write.mode("overwrite").parquet(path)
+  }
 
   def toCsv(path: String, singleFile: Boolean = false): Unit =
     graft.io.CsvPandas.write(df, path, singleFile = singleFile)
@@ -551,8 +577,19 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
 }
 
 object GFrame {
-  def readParquet(spark: SparkSession, path: String): GFrame =
-    GFrame(spark.read.parquet(path))
+  /** Field-metadata key carrying an index column's position (written by
+    * [[GFrame.toParquet]], recovered by [[readParquet]]).
+    */
+  val IndexPosKey = "graft.index_pos"
+
+  def readParquet(spark: SparkSession, path: String): GFrame = {
+    val df = spark.read.parquet(path)
+    val idx = df.schema.fields
+      .filter(_.metadata.contains(IndexPosKey))
+      .sortBy(_.metadata.getLong(IndexPosKey))
+      .map(_.name).toSeq
+    GFrame(df, idx)
+  }
 
   def readCsv(spark: SparkSession, path: String,
               opts: graft.io.CsvPandas.ReadOptions = graft.io.CsvPandas.ReadOptions()): GFrame =

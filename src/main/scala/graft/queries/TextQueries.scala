@@ -12,6 +12,16 @@ object TextQueries {
 
   /** q54's exact near-dup pairs — also the edge list for the cluster
     * step (q114). Shared so the cached shingle subplan is reused.
+    *
+    * SCALE NOTE: this is the EXACT twin — its output (and shuffle) is
+    * inherently quadratic in corpus duplication, the right default
+    * below ~10⁷ docs and the wrong tool at 100 TB. The bounded
+    * equivalents are [[graft.text.MinHash]] LSH (q55_minhash_lsh /
+    * q166_minhash_dedup end-to-end), [[graft.text.ExactNearDup]]
+    * prefix filtering for t ≥ 0.8 (q138), and [[graft.text.SimHash]]
+    * (q56). A [[graft.text.ScaleGuidance]] warning fires at plan-build
+    * time when the input's Catalyst size estimate exceeds
+    * `spark.graft.exactPairs.warnBytes` (default 1 GiB).
     */
   def exactPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     exactPairsFrom(s, d, kernel = false)
@@ -33,7 +43,10 @@ object TextQueries {
   private def exactPairsFrom(s: org.apache.spark.sql.SparkSession, d: String,
                              kernel: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    graft.text.ScaleGuidance.checkExactPairs(docs,
+      if (kernel) "TextQueries.exactPairsKernel" else "TextQueries.exactPairs")
+    val sh = docs
       .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
       .cache() // shared with q55's identical subplan via CacheManager
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))

@@ -206,4 +206,27 @@ class GFrameSpec extends SparkSpec {
     val n = d.df.groupBy("o_custkey").count().filter(col("count") > 1).count()
     assert(n === 0)
   }
+
+  test("toParquet persists the index contract through the footer and back") {
+    import graft.api.GFrame
+    val path = "/root/repo/target/tmp/gframe_idx_roundtrip"
+    val g = GFrame(orders.df.select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_custkey", "o_orderkey")) // MultiIndex, order matters
+    g.toParquet(path)
+    val back = GFrame.readParquet(spark, path)
+    assert(back.index == Seq("o_custkey", "o_orderkey"))
+    assert(back.df.columns.sorted.toSeq == g.df.columns.sorted.toSeq)
+    assert(back.df.count() == g.df.count())
+    // no index -> none recovered
+    GFrame(orders.df.select("o_orderkey", "o_totalprice")).toParquet(path)
+    assert(GFrame.readParquet(spark, path).index.isEmpty)
+  }
+
+  test("iat reads one row via offset, in index order") {
+    val g = orders.setIndex("o_orderkey")
+    val want = g.df.orderBy(col("o_orderkey")).select("o_custkey")
+      .limit(3).collect().last.get(0)
+    assert(g.iat(2, "o_custkey") == Some(want))
+    assert(g.iat(2000000, "o_custkey").isEmpty)
+  }
 }

@@ -138,4 +138,20 @@ class TextSpec extends SparkSpec {
     val got = df.select(TextStats.langId(col("t"))).collect().map(_.getString(0)).toSeq
     assert(got === Seq("en", "zh"))
   }
+
+  test("exactPairs emits the bounded-path guidance when the input is large") {
+    import graft.text.ScaleGuidance
+    ScaleGuidance.last.set(null)
+    // sf0.001 documents (~small) stays silent at the 1 GiB default...
+    graft.queries.TextQueries.exactPairs(spark, sf)
+    assert(ScaleGuidance.last.get == null)
+    // ...and fires once the configured threshold drops below the input
+    spark.conf.set(ScaleGuidance.WarnBytesConf, "64")
+    try {
+      graft.queries.TextQueries.exactPairs(spark, sf)
+      val msg = ScaleGuidance.last.get
+      assert(msg != null && msg.contains("q166_minhash_dedup") &&
+        msg.contains("q55_minhash_lsh"))
+    } finally spark.conf.unset(ScaleGuidance.WarnBytesConf)
+  }
 }
