@@ -13,7 +13,11 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchNames
+    // SPARK_GRAFT_BENCH_NAMES overrides the headline set — used for the
+    // paired heavy-operator measurements recorded in BASELINE.md
+    // (driver runs leave it unset and get the headline set).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
+      .map(_.split(",").toSeq).getOrElse(SparkEntry.benchNames)
     val qmap = SparkEntry.queries
     // Build each query's Dataset ONCE and re-execute the same instance in
     // every pass: QueryExecution is a lazy val, so analysis/optimization/

@@ -258,7 +258,8 @@ object Round6Queries {
                      FROM reach GROUP BY 1)
             SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep,
               coalesce(c.rep, d.doc_id) = d.doc_id AS kept
-            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""")),
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""),
+      headline = true),
 
     // interval/range join via BINNING (operators/RangeJoin): clicks
     // within each purchase's trailing 10-minute window, per user. Spark

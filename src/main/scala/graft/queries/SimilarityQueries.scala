@@ -86,7 +86,8 @@ object SimilarityQueries {
                SELECT a.vec_id AS id1, b.vec_id AS id2,
                  round(${sqlCos("a.embedding", "b.embedding")} * 1e6) / 1e6 AS sim
                FROM e a, e b WHERE a.vec_id < b.vec_id)
-             WHERE sim >= 0.4""")),
+             WHERE sim >= 0.4"""),
+      headline = true),
 
     // brute-force cosine top-k for a query set: the ANN baseline.
     "q58_ann_brute" -> QueryDef(

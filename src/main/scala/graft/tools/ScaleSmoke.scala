@@ -14,8 +14,9 @@ object ScaleSmoke {
     val spark = GraftSession.builder(master = "local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    if (mult == 100) { boundedTier(spark, src); spark.stop(); return }
     val out = "/root/repo/target/tmp/sf1ish"
-    val mult = 10
 
     def replicate(name: String, df: DataFrame, idCols: Seq[String], shift: Long): Unit = {
       val p = s"$out/$name.parquet"
@@ -100,5 +101,95 @@ object ScaleSmoke {
     }
     println(f"TOTAL: ${(results ++ opResults).map(_._2).sum}%.2fs")
     spark.stop()
+  }
+
+  /** 100× tier — BOUNDED operators only (`ScaleSmoke 100`). The 10×
+    * tier replicates docs verbatim, which multiplies near-dup DENSITY
+    * as well as volume: every clone pair is a true near-duplicate, so
+    * even output-bounded operators emit quadratically more pairs as
+    * the clone count rises — that measures the metric's growth, not
+    * the plan's. Here each copy's vocabulary is salted (`word_k`):
+    * intra-copy shingle structure is preserved exactly (shingle sets
+    * are isomorphic under the suffix map), copies are pairwise
+    * disjoint, so duplication density stays CONSTANT while volume
+    * scales 100× — the honest scaling experiment for the LSH/banded
+    * paths. Compare per-op times against the same-construction 10×
+    * run this tier prints first.
+    */
+  private def boundedTier(spark: SparkSession, src: String): Unit = {
+    def stage(mult: Int): String = {
+      val p = s"/root/repo/target/tmp/docs_salted_$mult"
+      if (!new java.io.File(s"$p/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, src)
+        val copies = (0 until mult).map { k =>
+          docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "), w => concat(w, lit("_" + k))),
+              " "))
+        }
+        copies.reduce(_.unionByName(_)).repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$p/documents.parquet")
+      }
+      p
+    }
+    val qmap = SparkEntry.queries
+    val bounded = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup")
+    val times = collection.mutable.Map[(String, Int), Double]()
+    Seq(10, 100).foreach { m =>
+      val dir = stage(m)
+      bounded.foreach { n => // warm then time
+        try qmap(n)(spark, dir).count() catch { case _: Throwable => }
+        val t0 = System.nanoTime()
+        val rows = try qmap(n)(spark, dir).count() catch { case e: Throwable =>
+          println(s"FAILED $n@$m: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times((n, m)) = dt
+        println(f"$n@${m}x: $dt%.2fs rows=$rows")
+      }
+    }
+    // events-based bounded ops: 10× vs 100× in-memory replication
+    def evTimes(m: Int): Seq[(String, Double)] = {
+      val ev1 = Tables.events(spark, src).select("event_id", "ts", "user_id",
+        "event_type", "value")
+      val ev = (0 until m).map { k =>
+        ev1.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * 31} DAYS"))
+      }.reduce(_.unionByName(_)).cache()
+      ev.count()
+      val ops: Seq[(String, () => Long)] = Seq(
+        "op_rolling_global" -> (() =>
+          graft.operators.RollingGlobal.trailing(ev, Seq("ts", "event_id"),
+            "value", 5, "r").count()),
+        "op_range_join" -> (() => {
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"),
+              (unix_micros(col("ts")) - 600000000L).as("lo"),
+              unix_micros(col("ts")).as("hi"))
+          graft.operators.RangeJoin.binned(clicks, purchases, Seq("user_id"),
+            "t", "lo", "hi", width = 600000000L).count()
+        }))
+      val r = ops.map { case (n, f) =>
+        try f() catch { case _: Throwable => } // warm
+        val t0 = System.nanoTime()
+        val rows = try f() catch { case e: Throwable =>
+          println(s"FAILED $n@$m: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$n@${m}x: $dt%.2fs rows=$rows")
+        n -> dt
+      }
+      ev.unpersist()
+      r
+    }
+    val ev10 = evTimes(10)
+    val ev100 = evTimes(100)
+    println("== scaling factors (100x time / 10x time; data grew 10x) ==")
+    bounded.foreach { n =>
+      println(f"$n: ${times((n, 100)) / times((n, 10))}%.1fx")
+    }
+    ev10.zip(ev100).foreach { case ((n, a), (_, b)) =>
+      println(f"$n: ${b / a}%.1fx")
+    }
   }
 }

@@ -2,8 +2,11 @@
 """Time each headline query's oracle SQL in DuckDB (single process) at a
 given SF dir — the absolute yardstick BENCH_r{N}.json is compared to.
 
-Usage: python3 tools/bench_duckdb.py [sfDir] [oracle_sql.json]
-(oracle_sql.json comes from a graft.Verify run: target/verify_out/.)
+Usage: python3 tools/bench_duckdb.py [sfDir] [oracle_sql.json] [heavy]
+(oracle_sql.json comes from a graft.Verify run: target/verify_out/.
+Pass "heavy" as the 3rd arg to time the heavy-operator set instead —
+the paired table recorded in BASELINE.md; Spark side via
+SPARK_GRAFT_BENCH_NAMES=<same list> graft.Bench.)
 """
 import json, sys, time
 import duckdb
@@ -13,20 +16,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # headline set — keep in sync with SparkEntry.benchNames
 HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
             "q46_cumsum_global", "q50_text_stats", "q54_ngram_jaccard",
-            "q55_minhash_lsh", "q58_ann_brute", "q70_gframe_pipeline",
-            "q97_group_topk", "q87_etl_pipeline", "q88_embed_centroid",
-            "q102_curation_pipeline"]
+            "q55_minhash_lsh", "q57_cosine_pairs", "q58_ann_brute",
+            "q70_gframe_pipeline", "q97_group_topk", "q87_etl_pipeline",
+            "q88_embed_centroid", "q102_curation_pipeline",
+            "q166_minhash_dedup"]
+# heavy non-headline operators whose scale evidence lives in BASELINE.md
+HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
+         "q166_minhash_dedup", "q167_range_join", "q169_substring_dup"]
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out/oracle_sql.json"
+    names = HEAVY if (len(sys.argv) > 3 and sys.argv[3] == "heavy") else HEADLINE
     with open(oracle_path) as f:
         oracle = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     results, total = {}, 0.0
-    for name in HEADLINE:
+    for name in names:
         sql = oracle.get(name)
         if sql is None:
             results[name] = None  # not SQL-expressible (e.g. xxhash sketches)
