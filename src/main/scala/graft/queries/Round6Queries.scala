@@ -336,9 +336,12 @@ object Round6Queries {
     "q169_substring_dup" -> QueryDef(
       (s, d) => {
         val k = 20
+        // primitive-long fingerprints (WinnowSetLong ≡ parseHex∘WinnowSet,
+        // pinned in Round6Spec): 8-byte shuffle keys hash-agg in
+        // Tungsten's primitive fast path, no hex-string render on scan
         val g = Tables.documents(s, d)
           .filter(length(col("text")) >= k)
-          .select(col("doc_id"), graft.text.Fingerprint.winnowSet(
+          .select(col("doc_id"), graft.text.Fingerprint.winnowSetLong(
             col("text"), k, 1).as("hs"))
           .cache()
         val sizes = g.select(col("doc_id"), size(col("hs")).as("ng"))

@@ -39,6 +39,14 @@ object Fingerprint {
     ColumnBridge.column(WinnowSet(ColumnBridge.expression(text), k, w))
   }
 
+  /** [[winnowSet]] with primitive long fingerprints ([[WinnowSetLong]])
+    * — the shuffle-key-friendly form for inverted-index consumers.
+    */
+  def winnowSetLong(text: org.apache.spark.sql.Column, k: Int, w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WinnowSetLong(ColumnBridge.expression(text), k, w))
+  }
+
   /** Fingerprint summary per document via [[WinnowSet]] — identical
     * output to [[fingerprints]] (spec-pinned) with zero shuffles: the
     * whole computation is one scan-stage projection.

@@ -455,4 +455,21 @@ class Round6Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("WinnowSetLong equals parseHex of the string WinnowSet, any k/w") {
+    import graft.text.Fingerprint
+    val docs = Tables.documents(spark, sf).limit(200)
+    Seq((8, 4), (20, 1), (5, 7)).foreach { case (k, w) =>
+      val both = docs.select(
+        Fingerprint.winnowSet(col("text"), k, w).as("hs"),
+        Fingerprint.winnowSetLong(col("text"), k, w).as("hl"))
+        .collect()
+      both.foreach { r =>
+        val strs = r.getSeq[String](0).map(h =>
+          java.lang.Long.parseUnsignedLong(h, 16))
+        val longs = r.getSeq[Long](1)
+        assert(strs == longs, s"k=$k w=$w")
+      }
+    }
+  }
 }
