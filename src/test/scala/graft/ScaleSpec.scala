@@ -65,4 +65,18 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") &&
       scan.contains("GreaterThanOrEqual(p_size,20)"), scan)
   }
+
+  test("TPC-H correlated/semi-join shapes plan without nested loops") {
+    Seq("q184_tpch_q17", "q185_tpch_q18", "q186_tpch_q20").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n:\n$plan")
+    }
+    // the correlated scalar subqueries of Q17 decorrelate into
+    // aggregate-join form (no per-row subquery re-execution)
+    val q17 = SparkEntry.queries("q184_tpch_q17")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!q17.contains("scalar-subquery"), q17)
+  }
 }
