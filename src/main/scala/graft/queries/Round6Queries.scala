@@ -798,6 +798,47 @@ object Round6Queries {
              WHERE l_returnflag IN ('A', 'R')
                AND l_linenumber NOT IN (5, 6, 7)
                AND l_quantity >= 30
+             GROUP BY 1, 2""")),
+
+    // vocabulary-drift monitoring: per-source top-k terms (GroupTopK —
+    // map-side partial heaps, shuffle ≤ k·groups·mappers), then
+    // pairwise top-k overlap across sources. The corpus-mix QA report
+    // of a training pipeline: a source whose top vocabulary diverges
+    // from the rest flags a crawl/licensing drift. Deterministic
+    // tiebreak (count desc, term asc); overlap join runs on the tiny
+    // top-k set (|sources|·k rows), never the token table.
+    "q187_topk_drift" -> QueryDef(
+      (s, d) => {
+        val k = 20
+        val counts = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        val topk = graft.plans.GroupTopK.topKPerKey(
+          counts, Seq("source"), Seq(("n", true), ("term", false)), k)
+          .select(col("source"), col("term"))
+        topk.as("a").join(topk.as("b"),
+            col("a.term") === col("b.term") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("overlap", Num.rnd(col("n_common").cast("double") / k, 6))
+      },
+      Some("""WITH counts AS (
+               SELECT source, term, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               WHERE term <> '' GROUP BY 1, 2),
+             topk AS (SELECT source, term FROM (
+               SELECT source, term,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n DESC, term ASC) AS rn
+               FROM counts) WHERE rn <= 20)
+             SELECT a.source AS src1, b.source AS src2,
+               CAST(count(*) AS BIGINT) AS n_common,
+               round(count(*) / 20.0 * 1e6) / 1e6 AS overlap
+             FROM topk a JOIN topk b
+               ON a.term = b.term AND a.source < b.source
              GROUP BY 1, 2"""))
   )
 }
