@@ -151,6 +151,45 @@ object SimilarityQueries {
       Some(s"""SELECT vec_id,
              round(sqrt(${sqlDot("embedding", "embedding")}) * 1e6) / 1e6 AS l2,
              label
-             FROM embeddings"""))
+             FROM embeddings""")),
+
+    // int8 affine quantization (embedding compression for storage/
+    // serving): per-vector [min,max] range → codes = floor((x−mn)·255 /
+    // (mx−mn)), clamped. Scan-stage transform/aggregate over the float
+    // array — zero shuffles, zero UDFs; at 100 TB this is a pure
+    // map-stage rewrite of the embedding column. Both engines evaluate
+    // the IDENTICAL IEEE double expression (same op order), so floor
+    // boundaries agree bit-for-bit; degenerate constant vectors code
+    // to 0 (mx=mn guard both sides).
+    "q188_embed_quantize" -> QueryDef(
+      (s, d) => {
+        val v = col("embedding")
+        val mn = array_min(v).cast("double")
+        val mx = array_max(v).cast("double")
+        val codes = transform(v, x => when(mx > mn,
+            least(lit(255L), floor(((x.cast("double") - mn) * 255.0) / (mx - mn)).cast("long")))
+          .otherwise(0L))
+        Tables.embeddings(s, d).select(col("vec_id"),
+          graft.functions.Num.rnd(mn, 6).as("mn"),
+          graft.functions.Num.rnd(mx, 6).as("mx"),
+          aggregate(codes, lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(codes).as("code_min"),
+          array_max(codes).as("code_max"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx,
+               list_transform(embedding, x -> CASE
+                 WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+                 THEN least(255, CAST(floor(((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0)
+                   / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS BIGINT))
+                 ELSE 0 END) AS codes
+             FROM embeddings)
+             SELECT vec_id,
+               round(mn * 1e6) / 1e6 AS mn, round(mx * 1e6) / 1e6 AS mx,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_min(codes) AS BIGINT) AS code_min,
+               CAST(list_max(codes) AS BIGINT) AS code_max
+             FROM q"""))
   )
 }
