@@ -94,6 +94,9 @@ object Fill {
       .collect().map(r => r.getInt(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .sortBy(_._1)
+    // Empty range partitions are harmless here (unlike RollingGlobal's
+    // pid+1 ghost hop): the run folds over the pids that actually hold
+    // rows, in order, so a gap neither receives nor breaks a carry.
     val carries = scala.collection.mutable.Map[Int, Double]()
     var run: Option[Double] = None
     lasts.foreach { case (pid, l) =>
