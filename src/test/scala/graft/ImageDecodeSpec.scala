@@ -55,4 +55,24 @@ class ImageDecodeSpec extends SparkSpec {
     assert(q183.head.getLong(1) == rows.map(_.getLong(1)).sum) // w_total
     assert(q183.head.getLong(2) == rows.map(_.getLong(3)).sum) // r_total
   }
+
+  test("random rasters round-trip the PNG codec exactly (property)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = rnd.nextInt(256); val g = rnd.nextInt(256); val b = rnd.nextInt(256)
+        rs += r; gs += g; bs += b
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val f = graft.multimodal.ImageIoDecoder.decode(bos.toByteArray)
+      assert(f.toSeq == Seq(w, h, rs, gs, bs).map(_.toDouble), s"${w}x$h")
+    }
+  }
 }
