@@ -839,6 +839,53 @@ object Round6Queries {
                round(count(*) / 20.0 * 1e6) / 1e6 AS overlap
              FROM topk a JOIN topk b
                ON a.term = b.term AND a.source < b.source
-             GROUP BY 1, 2"""))
+             GROUP BY 1, 2""")),
+
+    // q161's decontamination with a BLOOM PRE-FILTER (BloomGate: the
+    // same BloomFilterAggregate/MightContain pair Spark's runtime
+    // row-level filtering injects) — the at-scale shape when the eval
+    // gram set is too large to broadcast as rows: corpus grams that
+    // fail the bloom drop AT THE SCAN, before any shuffle; the exact
+    // join over surviving candidates removes false positives, so the
+    // result (and the oracle) is IDENTICAL to the exact q161.
+    "q189_decontam_bloom" -> QueryDef(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+          .cache()
+        val evalGrams = sh.filter(col("doc_id") % 37 === 0)
+          .select(explode(col("sh")).as("g")).distinct().cache()
+        val bloom = graft.text.BloomGate.build(evalGrams, col("g"),
+          expectedItems = math.max(evalGrams.count(), 1L))
+        val train = sh.filter(col("doc_id") % 37 =!= 0)
+        val candidates = train
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .filter(graft.text.BloomGate.mightContain(bloom, col("g")))
+        val hits = candidates.join(evalGrams, "g") // exact verify
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        train.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            col("n_grams"),
+            Num.rnd(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+              col("n_grams"), 6).as("contam_frac"),
+            (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some(s"""WITH ${TextQueries.shingleCte},
+             ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 = 0),
+             tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 <> 0),
+             hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                      FROM tr JOIN ev USING (g) GROUP BY 1),
+             sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams
+                       FROM sh WHERE doc_id % 37 <> 0)
+             SELECT s.doc_id,
+               coalesce(h.n_overlap, 0) AS n_overlap, s.n_grams,
+               round(coalesce(h.n_overlap, 0) * 1.0 / s.n_grams * 1e6) / 1e6
+                 AS contam_frac,
+               coalesce(h.n_overlap, 0) > 0 AS contaminated
+             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""))
   )
 }

@@ -154,4 +154,21 @@ class TextSpec extends SparkSpec {
         msg.contains("q55_minhash_lsh"))
     } finally spark.conf.unset(ScaleGuidance.WarnBytesConf)
   }
+
+  test("BloomGate: no false negatives, bounded false positives, codegen expr") {
+    import graft.text.BloomGate
+    val members = (0L until 2000L).map(i => s"gram_$i")
+    val df = members.toDF("g")
+    val bloom = BloomGate.build(df, col("g"), expectedItems = 2000)
+    // every member passes (bloom admits no false negatives)
+    assert(df.filter(BloomGate.mightContain(bloom, col("g"))).count() == 2000)
+    // non-members mostly fail (10 bits/item -> ~1% fpp; allow 5%)
+    val probes = (0L until 2000L).map(i => s"absent_$i").toDF("g")
+    val fp = probes.filter(BloomGate.mightContain(bloom, col("g"))).count()
+    assert(fp < 100, s"false-positive count $fp")
+    // the predicate is a Catalyst expression, not a UDF
+    val plan = probes.filter(BloomGate.mightContain(bloom, col("g")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
 }
