@@ -886,6 +886,20 @@ object Round6Queries {
                round(coalesce(h.n_overlap, 0) * 1.0 / s.n_grams * 1e6) / 1e6
                  AS contam_frac,
                coalesce(h.n_overlap, 0) > 0 AS contaminated
-             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""))
+             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""")),
+
+    // q189's bloom gate running INCREMENTALLY: streamed documents,
+    // bloom literal in the microbatch plan, stream-static exact verify,
+    // one stateful per-source aggregation. Oracle = the batch SQL.
+    "q190_stream_decontam" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.decontamGate(s, d),
+      Some(s"""WITH ${TextQueries.shingleCte},
+             ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 = 0),
+             tr AS (SELECT d.source, unnest(sh.s) AS g
+                    FROM sh JOIN documents d USING (doc_id)
+                    WHERE doc_id % 37 <> 0)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_hits
+             FROM tr JOIN ev USING (g) GROUP BY 1"""))
   )
 }
