@@ -547,14 +547,19 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     * schema-metadata channel instead.
     */
   def toParquet(path: String): Unit = {
-    val out = if (index.isEmpty) df else {
+    // Rebuild EVERY column's metadata: tag current index columns and
+    // STRIP stale tags from the rest — columns read back via
+    // readParquet carry the key, so a setIndex/resetIndex after a read
+    // would otherwise persist a merged/duplicate index. This includes
+    // the index.isEmpty case (resetIndex must persist as "no index").
+    val out = {
       val cols = df.schema.fields.map { f =>
         val pos = index.indexOf(f.name)
-        if (pos < 0) col(f.name)
-        else col(f.name).as(f.name,
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong(GFrame.IndexPosKey, pos.toLong).build())
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (pos < 0) mb.remove(GFrame.IndexPosKey)
+        else mb.putLong(GFrame.IndexPosKey, pos.toLong)
+        col(f.name).as(f.name, mb.build())
       }
       df.select(cols.toSeq: _*)
     }

@@ -28,9 +28,13 @@ import javax.imageio.ImageIO
 object ImageIoDecoder extends MediaDecoder {
   val featureDim = 5
   def decode(bytes: Array[Byte]): Array[Double] = {
+    // ImageIO.read throws RuntimeExceptions beyond IOException on
+    // malformed payloads (IllegalArgumentException, IndexOutOfBounds,
+    // CMMException from broken color profiles) — exactly the
+    // corrupt-crawl-file case the sentinel absorbs, so catch NonFatal.
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) Array.fill(featureDim)(-1.0)
     else {
       val w = img.getWidth

@@ -51,11 +51,17 @@ object RangeJoin {
         // point columns is exact, preserves legitimately duplicate
         // unmatched rows, and never fabricates a NULL row for a point
         // that matched some interval but shared a bin with another.
-        // (Null-keyed point rows equi-match nothing → kept by left_anti
-        // → correctly surfaced as unmatched.)
+        // Null-SAFE equality (<=>) is required: a matched point carrying
+        // a NULL payload column must still equi-match its own copy in
+        // `matched`, else it is emitted twice (matched + fake NULL row).
+        // A point whose KEY is null never reaches `matched` at all, so
+        // the anti join keeps it — correctly surfaced as unmatched.
         val pCols = points.columns.toSeq
-        val unmatched = points.join(
-          matched.select(pCols.map(col): _*), pCols, "left_anti")
+        val pA = points.as("__rj_p")
+        val mA = matched.select(pCols.map(col): _*).as("__rj_m")
+        val antiCond = pCols.map(c =>
+          col(s"__rj_p.`$c`") <=> col(s"__rj_m.`$c`")).reduce(_ && _)
+        val unmatched = pA.join(mA, antiCond, "left_anti")
         val ivOnly = intervals.columns.filterNot(keys.contains)
         val ivTypes = intervals.schema.map(f => f.name -> f.dataType).toMap
         val withNulls = ivOnly.foldLeft(unmatched) { (d, c) =>

@@ -63,10 +63,17 @@ object ImageQueries {
       (s, d) => {
         import s.implicits._
         val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        // NOTE: the staging dir is DRIVER-LOCAL and the foreachPartition
+        // writers assume executors share the driver filesystem — true
+        // only in local mode (fine here: the stage exists to exercise
+        // the binaryFile reader). A real cluster stages to a shared
+        // store (HDFS/S3) instead; the read side is already generic.
         val dir = s"/root/repo/target/tmp/png_$safe"
         val p = java.nio.file.Paths.get(dir)
         if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.list(p).forEach(f => java.nio.file.Files.delete(f))
+          val ls = java.nio.file.Files.list(p) // close: leaks a dir handle otherwise
+          try ls.forEach(f => java.nio.file.Files.delete(f))
+          finally ls.close()
         } else java.nio.file.Files.createDirectories(p)
         Tables.documents(s, d).select(col("doc_id"))
           .filter(pmod(col("doc_id"), lit(SEL)) === 0).as[Long]

@@ -222,6 +222,25 @@ class GFrameSpec extends SparkSpec {
     assert(GFrame.readParquet(spark, path).index.isEmpty)
   }
 
+  test("toParquet strips stale index tags after read + setIndex/resetIndex") {
+    import graft.api.GFrame
+    val path = "/root/repo/target/tmp/gframe_idx_stale"
+    val g = GFrame(orders.df.select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderkey"))
+    g.toParquet(path)
+    // read back: columns now CARRY graft.index_pos in field metadata
+    val back = GFrame.readParquet(spark, path)
+    // re-index on a different column, write again: the o_orderkey tag
+    // must be stripped, not merged into a duplicate/merged index
+    val path2 = path + "_2"
+    back.setIndex("o_custkey").toParquet(path2)
+    assert(GFrame.readParquet(spark, path2).index == Seq("o_custkey"))
+    // resetIndex must persist as "no index" even though the input
+    // columns still carry stale tags (the old isEmpty fast path kept them)
+    back.resetIndex().toParquet(path2)
+    assert(GFrame.readParquet(spark, path2).index.isEmpty)
+  }
+
   test("iat reads one row via offset, in index order") {
     val g = orders.setIndex("o_orderkey")
     val want = g.df.orderBy(col("o_orderkey")).select("o_custkey")

@@ -30,6 +30,17 @@ class ImageDecodeSpec extends SparkSpec {
     val junk = "definitely not a png".getBytes("UTF-8")
     assert(ImageIoDecoder.decode(junk).toSeq == Seq.fill(5)(-1.0))
     assert(ImageIoDecoder.decode(Array.empty[Byte]).toSeq == Seq.fill(5)(-1.0))
+    // truncated/garbled PNGs make ImageIO throw RUNTIME exceptions
+    // (not just IOException) — the sentinel must absorb those too
+    val png = SyntheticImages.pngFor(3L)
+    (Seq(8, 16, 24, 33, 50) ++ Seq(png.length - 1)).foreach { cut =>
+      val truncated = png.take(cut)
+      val f = ImageIoDecoder.decode(truncated)
+      assert(f.length == 5, s"cut=$cut")
+    }
+    val garbled = png.clone()
+    (12 until math.min(80, garbled.length)).foreach(i => garbled(i) = 0x7f)
+    assert(ImageIoDecoder.decode(garbled).length == 5)
   }
 
   test("stub and real decoder produce the identical physical plan shape") {

@@ -171,4 +171,27 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan)
   }
+
+  test("BloomGate: build raises the silent size-clamp confs and restores them") {
+    import graft.text.BloomGate
+    // BloomFilterAggregate silently clamps to these confs; with a tiny
+    // clamp a 20k-item build would saturate (~100% false positives)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    spark.conf.set(itemsKey, "64")
+    spark.conf.set(bitsKey, "512")
+    try {
+      val df = spark.range(0, 20000).toDF("v")
+      val bloom = BloomGate.build(df, col("v"), expectedItems = 20000)
+      val probes = spark.range(100000, 110000).toDF("v")
+      val fp = probes.filter(BloomGate.mightContain(bloom, col("v"))).count()
+      assert(fp < 1000, s"filter saturated despite raise: fp=$fp/10000")
+      // caller's confs come back exactly as they were
+      assert(spark.conf.get(itemsKey) == "64")
+      assert(spark.conf.get(bitsKey) == "512")
+    } finally {
+      spark.conf.unset(itemsKey)
+      spark.conf.unset(bitsKey)
+    }
+  }
 }
