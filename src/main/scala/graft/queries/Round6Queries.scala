@@ -345,7 +345,25 @@ object Round6Queries {
             col("text"), k, 1).as("hs"))
           .cache()
         val sizes = g.select(col("doc_id"), size(col("hs")).as("ng"))
-        val lists = g.select(col("doc_id"), explode(col("hs")).as("h"))
+        val inv = g.select(col("doc_id"), explode(col("hs")).as("h"))
+        // SINGLETON PRE-FILTER: most grams occur in exactly one doc and
+        // contribute nothing, yet they dominate the (h, doc_id) Exchange
+        // and the collect_list object-agg. Pass 1 counts grams in the
+        // primitive hash-agg fast path (8-byte keys, map-side partials)
+        // and blooms the duplicated set; the heavy list/pair machinery
+        // then only sees candidate grams. A bloom false positive admits
+        // a singleton whose 1-element list dies at the size>=2 filter —
+        // exactness is untouched, only shuffle bytes are at stake.
+        val dups = inv.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("h").cache()
+        val nDups = dups.count()
+        val gated =
+          if (nDups == 0) inv.filter(lit(false))
+          else {
+            val bloom = graft.text.BloomGate.build(dups, col("h"), nDups)
+            inv.filter(graft.text.BloomGate.mightContain(bloom, col("h")))
+          }
+        val lists = gated
           .groupBy("h")
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
           .filter(size(col("ds")) >= 2)

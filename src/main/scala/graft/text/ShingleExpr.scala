@@ -116,3 +116,79 @@ case class PackedPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): PackedPairs =
     copy(child = c)
 }
+
+/** PPJoin candidate-pair expansion with the POSITIONAL filter — the
+  * map-side pair generator of a prefix-index bucket (Xiao et al.,
+  * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08;
+  * distributed form per Vernica/Carey/Li, SIGMOD'10).
+  *
+  * Input: array of (id, n, rk) structs sorted ascending by id — one
+  * per document whose df-ordered PREFIX contains this bucket's
+  * shingle, where `n` is the doc's shingle-set size and `rk` the
+  * 1-based rank of the shingle in the doc's df-order. Output: packed
+  * (id1 << 32 | id2) pairs that survive
+  *
+  *   1 + min(n1 − rk1, n2 − rk2)  ≥  ⌈t/(1+t) · (n1 + n2)⌉
+  *
+  * i.e. the overlap upper bound from this token onward must reach the
+  * required overlap for J ≥ t. EXACT-safe: for a qualifying pair, its
+  * FIRST shared prefix token has no shared tokens before it in either
+  * doc, so the bound holds there and that bucket emits the pair —
+  * later shared tokens may reject it, which only removes duplicate
+  * emissions (a `distinct` follows anyway). This also subsumes the
+  * length filter: at rk = 1 the bound reduces to min(n1, n2) ≥
+  * t/(1+t)(n1+n2) ⟺ min ≥ t·max.
+  *
+  * The `ceil` is computed with a 1e-9 slack so a binary-float required
+  * overlap landing a hair ABOVE an integer never rejects an exactly-
+  * qualifying pair (conservative direction only).
+  */
+case class PrefixPairs(child: Expression, t: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "prefix_pairs"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("prefixpairs", this, classOf[PrefixPairs].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    val tail = new Array[Int](m) // n - rk: suffix size after the token
+    val ns = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val r = arr.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      val n = r.getInt(1)
+      ns(i) = n
+      tail(i) = n - r.getInt(2)
+      i += 1
+    }
+    val frac = t / (1.0 + t)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    i = 0
+    while (i < m) {
+      val hi = ids(i) << 32
+      var j = i + 1
+      while (j < m) {
+        val bound = 1 + math.min(tail(i), tail(j))
+        val required = math.ceil(frac * (ns(i) + ns(j)) - 1e-9)
+        if (bound >= required) out += (hi | ids(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(c: Expression): PrefixPairs =
+    copy(child = c)
+}

@@ -100,6 +100,38 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty) // corpus has planted near-dups
   }
 
+  test("prefix near-dup positional filter loses no pairs at any threshold (random docs)") {
+    import graft.text.ExactNearDup
+    import graft.functions.Num
+    // adversarial size mix: tiny docs (prefix = whole set), big docs,
+    // high-overlap mutations — stresses the PPJoin positional bound
+    val rnd = new scala.util.Random(1234)
+    val base = (0 until 120).map { i =>
+      val len = 5 + rnd.nextInt(60)
+      (i.toLong, Seq.fill(len)("w" + rnd.nextInt(40)).mkString(" "))
+    }
+    val mutated = (0 until 60).map { i =>
+      val (id, txt) = base(rnd.nextInt(base.size))
+      val words = txt.split(" ")
+      val j = rnd.nextInt(words.length)
+      (1000L + i, (words.take(j) ++ Seq("m" + i) ++ words.drop(j + 1)).mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+    Seq(0.5, 0.7, 0.8, 0.95).foreach { t =>
+      val got = ExactNearDup.pairs(docs, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .crossJoin(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")))
+        .filter(col("id1") < col("id2"))
+        .withColumn("jaccard", Num.rnd(Shingles.jaccard(col("sh1"), col("sh2")), 6))
+        .filter(col("jaccard") >= t)
+        .select("id1", "id2", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute, s"threshold $t")
+    }
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val df = Seq(("x y z w v u t s", "x y z w v u t s", "q r p o n m l k"))
       .toDF("a", "b", "c")
