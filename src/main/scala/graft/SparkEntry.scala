@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.Round3Queries.defs ++
     graft.queries.Round5Queries.defs ++
     graft.queries.Round6Queries.defs ++
-    graft.queries.ImageQueries.defs
+    graft.queries.ImageQueries.defs ++
+    graft.queries.Round7Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

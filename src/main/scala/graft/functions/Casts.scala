@@ -28,15 +28,27 @@ object Casts {
     case other     => c.cast(other)
   }
 
-  /** strptime-style → java.time DateTimeFormatter pattern
-    * (the reference's supported directives,
-    * `src/string/tasks/to_datetime.cc`).
+  /** strptime-style → Spark datetime pattern, covering every directive
+    * the reference's parser handles (`src/string/tasks/to_datetime.cc:211-246`:
+    * %Y %y %m %d %j %H %I %M %S %f %p %z %Z, plus %% escapes).
+    *
+    * Two-digit-year pivot divergence, documented: the reference adds a
+    * flat 1900; POSIX/pandas/DuckDB pivot at 69 (00–68 → 2000s); Spark's
+    * `yy` parses into 2000–2099. All agree on 00–68 ⇒ oracle checks stay
+    * in that range. %f is the 6-digit microsecond field (pandas), %z an
+    * offset like +0130, %Z a zone name.
     */
   def strptimeToJava(fmt: String): String = {
     val map = Seq(
       "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
-      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
-    map.foldLeft(fmt) { case (s, (from, to)) => s.replace(from, to) }
+      "%j" -> "DDD", "%H" -> "HH", "%I" -> "hh", "%M" -> "mm",
+      "%S" -> "ss", "%f" -> "SSSSSS", "%p" -> "a", "%z" -> "xxxx",
+      "%Z" -> "zzz")
+    val esc = "\u0000" // placeholder so %% survives the directive pass
+    val translated = map.foldLeft(fmt.replace("%%", esc)) {
+      case (s, (from, to)) => s.replace(from, to)
+    }
+    translated.replace(esc, "%")
   }
 
   /** to_datetime(col, format) — string → timestamp. */

@@ -85,12 +85,15 @@ object Cumulative {
     var acc = op.zero
     totals.foreach { case (pid, t) => carries(pid) = acc; acc = op(acc, t) }
 
-    // Phase 2: partition-local running aggregate + carry-in.
+    // Phase 2: partition-local running aggregate + carry-in (a plan
+    // literal at small partition counts, a broadcast join above —
+    // PidCarry scaladoc).
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry = coalesce(
-      element_at(typedlit(carries.toMap), col("__pid")), lit(op.zero))
+    val withCarry = PidCarry.withLookup(
+      sorted, col("__pid"), carries.toMap, lit(op.zero), "__carry")
+    val carry = col("__carry")
     val local = winAgg(v, w)
     val combined = op match {
       case SumOp  => carry + local
@@ -98,9 +101,9 @@ object Cumulative {
       case MinOp  => least(carry, local)
       case MaxOp  => greatest(carry, local)
     }
-    sorted
+    withCarry
       .withColumn(outCol, when(v.isNull, lit(null)).otherwise(combined))
-      .drop("__pid")
+      .drop("__pid", "__carry")
   }
 
   /** Distributed GLOBAL row number in `orderCols` order — the same
@@ -130,10 +133,9 @@ object Cumulative {
     var acc = 0L
     counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
     val w = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
-    sorted
-      .withColumn(outCol, row_number().over(w).cast("long") +
-        coalesce(element_at(typedlit(offsets.toMap), col("__pid")), lit(0L)))
-      .drop("__pid")
+    PidCarry.withLookup(sorted, col("__pid"), offsets.toMap, lit(0L), "__carry")
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__carry"))
+      .drop("__pid", "__carry")
   }
 
   /** Per-group cumulative via a partitioned window — one hash shuffle on

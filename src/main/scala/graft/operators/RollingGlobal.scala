@@ -74,8 +74,10 @@ object RollingGlobal {
     val maxLive = if (livePids.isEmpty) -1 else livePids.last
     val denseSorted =
       if (livePids.length == maxLive + 1) sorted
-      else sorted.withColumn("__pid",
-        element_at(typedLit(livePids.zipWithIndex.toMap), col("__pid")))
+      else PidCarry.withLookup(sorted, col("__pid"),
+          livePids.zipWithIndex.toMap, lit(null), "__pid_dense")
+        .withColumn("__pid", col("__pid_dense"))
+        .drop("__pid_dense")
     val maxPid = livePids.length - 1
 
     // last w-1 rows of each partition, re-tagged into the next partition

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Casts, Num}
+import graft.io.CsvPandas
+
+/** Round-7 evidence closers: the remaining strptime directives the
+  * reference's datetime parser handles, and a compressed-CSV read
+  * round-trip (reference `frontend/io.py` gzip/bz2;
+  * `src/io/tasks/read_csv.cc:208` reads compressed splits).
+  */
+object Round7Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // §2.8 to_datetime directive breadth
+    // (src/string/tasks/to_datetime.cc:211-246: %y %j %I %p %f beyond
+    // the %Y%m%d %H%M%S already covered by q41/q90). Strings are built
+    // from table columns identically in both engines, then parsed with
+    // the SAME strptime format string on both sides. Two-digit years
+    // stay in 00–68 where the POSIX pivot (DuckDB/pandas) and Spark's
+    // 2000-based `yy` agree — the divergent 69–99 range is documented
+    // in Casts.strptimeToJava.
+    "q191_datetime_directives" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          lpad((col("o_orderkey") % 69).cast("string"), 2, "0").as("yy"),
+          lpad((col("o_orderkey") % 365 + 1).cast("string"), 3, "0").as("jjj"),
+          lpad((col("o_custkey") % 28 + 1).cast("string"), 2, "0").as("dd"),
+          lpad((col("o_custkey") % 12 + 1).cast("string"), 2, "0").as("hh12"),
+          when(col("o_custkey") % 2 === 0, "AM").otherwise("PM").as("ampm"),
+          lpad((col("o_orderkey") % 1000000).cast("string"), 6, "0").as("us"))
+        o.select(
+          col("o_orderkey"),
+          Casts.toDatetime(
+            concat_ws(" ", col("yy"), col("jjj")), "%y %j")
+            .cast("date").as("d_yj"),
+          unix_micros(Casts.toDatetime(
+            concat(lit("2021-07-"), col("dd"), lit(" "),
+              col("hh12"), lit(":30 "), col("ampm")),
+            "%Y-%m-%d %I:%M %p")).as("t_ampm_us"),
+          unix_micros(Casts.toDatetime(
+            concat(lit("2021-03-04 05:06:07."), col("us")),
+            "%Y-%m-%d %H:%M:%S.%f")).as("t_frac_us"))
+      },
+      // DuckDB's strptime parses %j but IGNORES it when resolving the
+      // date, so the %y %j expectation is rebuilt arithmetically
+      // (Jan 1 of the pivoted year + day-of-year - 1).
+      Some("""WITH b AS (SELECT o_orderkey,
+               CAST(o_orderkey % 69 AS INTEGER) AS yy,
+               CAST(o_orderkey % 365 + 1 AS INTEGER) AS jjj,
+               lpad(CAST(o_custkey % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+               lpad(CAST(o_custkey % 12 + 1 AS VARCHAR), 2, '0') AS hh12,
+               CASE WHEN o_custkey % 2 = 0 THEN 'AM' ELSE 'PM' END AS ampm,
+               lpad(CAST(o_orderkey % 1000000 AS VARCHAR), 6, '0') AS us
+             FROM orders)
+             SELECT o_orderkey,
+               make_date(2000 + yy, 1, 1) + (jjj - 1) AS d_yj,
+               epoch_us(strptime('2021-07-' || dd || ' ' || hh12 || ':30 ' || ampm,
+                 '%Y-%m-%d %I:%M %p')) AS t_ampm_us,
+               epoch_us(strptime('2021-03-04 05:06:07.' || us,
+                 '%Y-%m-%d %H:%M:%S.%f')) AS t_frac_us
+             FROM b""")),
+
+    // §2.1 compressed CSV read: write gzip parts, read them back purely
+    // by extension inference (no codec hint on the read side), aggregate;
+    // the oracle recomputes from the ORIGINAL parquet table so the
+    // compressed round-trip itself is what is under test.
+    "q192_csv_gzip" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/csv_gz_$safe"
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        CsvPandas.write(src, path, header = true, compression = Some("gzip"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType)))
+        CsvPandas.read(s, path,
+            CsvPandas.ReadOptions(header = true, schema = Some(schema)))
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            Num.sumMoney(col("o_totalprice")).as("total"))
+      },
+      Some("""SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+             FROM orders GROUP BY 1"""))
+  )
+}

@@ -221,26 +221,57 @@ object Similarity {
             V(id, arr, math.sqrt(sd))
         }
       }
-      val out = mutable.ArrayBuffer[(Long, Long, Double)]()
-      ls.foreach { case (tile, la) =>
-        val diag = tile / B == tile % B
-        rs.getOrElse(tile, mutable.ArrayBuffer.empty).foreach { b =>
-          la.foreach { a =>
-            if (a.id != b.id && (!diag || a.id < b.id)) {
-              var acc = 0.0
-              var i = 0
-              val n = a.a.length
-              if (b.a.length == n) {
-                while (i < n) { acc += a.a(i).toDouble * b.a(i).toDouble; i += 1 }
-                val sim = acc / (a.nrm * b.nrm)
-                if (sim >= cut)
-                  out += ((math.min(a.id, b.id), math.max(a.id, b.id), sim))
+      // LAZY emission: survivors stream straight out of the pair loop.
+      // Only the tile's input VECTORS are buffered (inherent to the
+      // block kernel); a skewed or low-threshold tile never holds its
+      // O((n/B)²) output rows in task heap — Spark pulls one row at a
+      // time through the shuffle writer.
+      val tileIt = ls.iterator
+      new Iterator[(Long, Long, Double)] {
+        private var la: mutable.ArrayBuffer[V] = _
+        private var rb: mutable.ArrayBuffer[V] = _
+        private var diag = false
+        private var ai = 0
+        private var bi = 0
+        private var out: (Long, Long, Double) = _
+        private def advance(): Unit = {
+          while (out == null) {
+            if (la == null) {
+              if (!tileIt.hasNext) return
+              val (tile, l) = tileIt.next()
+              la = l
+              rb = rs.getOrElse(tile, mutable.ArrayBuffer.empty)
+              diag = tile / B == tile % B
+              ai = 0; bi = 0
+            }
+            if (la.isEmpty || bi >= rb.length) la = null
+            else {
+              val b = rb(bi)
+              while (out == null && ai < la.length) {
+                val a = la(ai)
+                ai += 1
+                if (a.id != b.id && (!diag || a.id < b.id)
+                    && b.a.length == a.a.length) {
+                  var acc = 0.0
+                  var i = 0
+                  val n = a.a.length
+                  while (i < n) { acc += a.a(i).toDouble * b.a(i).toDouble; i += 1 }
+                  val sim = acc / (a.nrm * b.nrm)
+                  if (sim >= cut)
+                    out = (math.min(a.id, b.id), math.max(a.id, b.id), sim)
+                }
               }
+              if (ai >= la.length) { ai = 0; bi += 1 }
             }
           }
         }
+        def hasNext: Boolean = { if (out == null) advance(); out != null }
+        def next(): (Long, Long, Double) = {
+          if (out == null) advance()
+          if (out == null) throw new NoSuchElementException
+          val r = out; out = null; r
+        }
       }
-      out.iterator
     }.toDF("id1", "id2", "simRaw")
     pairs
       .withColumn("sim", graft.functions.Num.rnd(col("simRaw"), 6))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RangeJoin
+import graft.operators.{Cumulative, PidCarry, RangeJoin, RollingGlobal}
 
 /** Regression tests for the round-7 advisory fixes:
   *  1. RangeJoin left_outer found unmatched points via a name-based
@@ -47,5 +47,39 @@ class BugfixR7Spec extends SparkSpec {
     val got = RangeJoin.binned(pts, iv, Seq(), "t", "lo", "hi",
       width = 23L, how = "left_outer")
     assert(multiset(got) == multiset(naive))
+  }
+
+  test("scan carries swap from plan literal to broadcast join above the threshold") {
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("v", (col("k") % 97).cast("double"))
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+    // default threshold (1000 > 32 partitions): literal map, no join
+    val litScan = Cumulative.globalScan(df, Seq("k"), "v", "cs", Cumulative.SumOp)
+    assert(!planOf(litScan).contains("BroadcastHashJoin"))
+    val expected = litScan.orderBy("k").select("k", "cs").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set(PidCarry.ThresholdConf, "2")
+    try {
+      // above the threshold: the carry map rides a broadcast join and
+      // the giant literal disappears from the plan
+      val bScan = Cumulative.globalScan(df, Seq("k"), "v", "cs", Cumulative.SumOp)
+      val p = planOf(bScan)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+      assert(!p.contains("map_from_arrays") && !p.contains("keys: ["), p)
+      val got = bScan.orderBy("k").select("k", "cs").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == expected.toSeq)
+      // row number: same contract
+      val rn = Cumulative.globalRowNumber(df, Seq("k"), "rn")
+      assert(planOf(rn).contains("BroadcastHashJoin"))
+      assert(rn.orderBy("k").select("rn").collect().map(_.getLong(0)).toSeq
+        == (1L to 10000L))
+      // rolling global: ghost routing still exact under the broadcast
+      // dense-pid remap (force the remap by an empty-partition input)
+      val rolled = RollingGlobal.trailing(df, Seq("k"), "v", 3, "r")
+      assert(rolled.filter(col("r_sum").isNull).count() == 2)
+      assert(rolled.count() == 10000)
+    } finally spark.conf.unset(PidCarry.ThresholdConf)
   }
 }

@@ -106,7 +106,29 @@ class IoMultimodalSpec extends SparkSpec {
     val got = CsvPandas.read(spark, dir, CsvPandas.ReadOptions(
       schema = Some(StructType(Seq(
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))))
-    assert(got.count() === src.count())
+    // value-level equality with the original, not just row count
+    val want = src.select("r_regionkey", "r_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got.select("r_regionkey", "r_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet === want)
+  }
+
+  test("Casts.strptimeToJava covers the reference's directive set") {
+    import graft.functions.Casts
+    import spark.implicits._
+    assert(Casts.strptimeToJava("%Y-%m-%d %H:%M:%S.%f") ===
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    assert(Casts.strptimeToJava("%y %j %I:%M %p") === "yy DDD hh:mm a")
+    assert(Casts.strptimeToJava("100%% %Y") === "100% yyyy")
+    // %z offset: the parsed instant lands at the right UTC micros
+    val r = Seq(("2021-06-01 12:00:00 +0230", "2021-06-01 12:00:00 +0000"))
+      .toDF("a", "b")
+      .select(
+        unix_micros(Casts.toDatetime(col("a"), "%Y-%m-%d %H:%M:%S %z")).as("ta"),
+        unix_micros(Casts.toDatetime(col("b"), "%Y-%m-%d %H:%M:%S %z")).as("tb"))
+      .head()
+    // +0230 local noon is 09:30 UTC; +0000 noon is 12:00 UTC -> 2.5h apart
+    assert(r.getLong(1) - r.getLong(0) === 9000L * 1000000L)
   }
 
   test("GFrame topKPerKey and at()") {
