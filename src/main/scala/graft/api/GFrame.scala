@@ -437,8 +437,8 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
       d.withColumn(s"${c}_$v", (col(c) === v).cast("int"))).drop(c), index)
 
   def getDummies(c: String): GFrame =
-    getDummies(c, df.select(c).distinct().collect()
-      .map(_.get(0).toString).sorted.toSeq)
+    getDummies(c,
+      graft.operators.Categorical.guardedDistinct(df, c, "get_dummies"))
 
   /** pandas astype("category"): infer the sorted dictionary (driver
     * action bounded by cardinality, like getDummies' discovery) and

@@ -87,17 +87,42 @@ final case class CategoricalDtype(categories: IndexedSeq[String],
 
 object Categorical {
 
+  /** Cap on dictionary cardinality for the driver-side collects
+    * ([[infer]], `GFrame.getDummies` discovery). The category contract
+    * replicates the dictionary to every executor (the reference does
+    * the same, `core/column.py:1134-1249`), so a high-cardinality
+    * column used as a categorical is a misuse — this guard turns the
+    * silent driver OOM into an immediate, named error. The collect is
+    * fetched through sort+limit(cap+1) (TakeOrderedAndProject), so the
+    * driver never materializes more than cap+1 rows even on misuse.
+    */
+  val MaxCategoriesConf = "spark.graft.maxCategories"
+  val MaxCategoriesDefault = 65536
+
+  private[graft] def guardedDistinct(df: DataFrame, colName: String,
+                                     what: String): IndexedSeq[String] = {
+    val max = df.sparkSession.conf
+      .get(MaxCategoriesConf, MaxCategoriesDefault.toString).toInt
+    val vals = df.select(col(colName).cast("string")).na.drop().distinct()
+      .sort(col(colName)).limit(max + 1).collect()
+      .map(_.getString(0)).toIndexedSeq
+    require(vals.length <= max,
+      s"$what on '$colName' found more than $max distinct values; " +
+        s"a dictionary that large is replicated to every task — use a " +
+        s"join/groupBy instead, or raise $MaxCategoriesConf")
+    vals
+  }
+
   /** Infer a dtype from the data: sorted distinct values — the
     * reference's dictionary build (dedup tree + sort,
-    * `core/column.py:1134-1249`). A driver collect bounded by category
-    * cardinality, the same contract as pandas `astype("category")`.
+    * `core/column.py:1134-1249`). A driver collect bounded by
+    * [[MaxCategoriesConf]], the same contract as pandas
+    * `astype("category")`.
     */
   def infer(df: DataFrame, colName: String): CategoricalDtype = {
     require(df.schema(colName).dataType == org.apache.spark.sql.types.StringType,
       s"categorical inference needs a string column; '$colName' is " +
         s"${df.schema(colName).dataType.simpleString} (cast it first)")
-    CategoricalDtype(
-      df.select(col(colName)).na.drop().distinct()
-        .sort(col(colName)).collect().map(_.getString(0)).toIndexedSeq)
+    CategoricalDtype(guardedDistinct(df, colName, "categorical inference"))
   }
 }

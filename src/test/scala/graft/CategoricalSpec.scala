@@ -19,6 +19,22 @@ class CategoricalSpec extends SparkSpec {
     assert(got === Seq(1, 0, 2, 0, -1, 1))
   }
 
+  test("dictionary collects fail fast above spark.graft.maxCategories") {
+    val wide = spark.range(0, 50).toDF("id")
+      .select(concat(lit("v"), col("id")).as("v"))
+    spark.conf.set(Categorical.MaxCategoriesConf, "10")
+    try {
+      val e = intercept[IllegalArgumentException](Categorical.infer(wide, "v"))
+      assert(e.getMessage.contains(Categorical.MaxCategoriesConf))
+      val e2 = intercept[IllegalArgumentException](
+        graft.api.GFrame(wide).getDummies("v"))
+      assert(e2.getMessage.contains("get_dummies"))
+      // at exactly the cap the collect still succeeds
+      spark.conf.set(Categorical.MaxCategoriesConf, "50")
+      assert(Categorical.infer(wide, "v").categories.length === 50)
+    } finally spark.conf.unset(Categorical.MaxCategoriesConf)
+  }
+
   test("rename_categories relabels without recoding") {
     val dt = CategoricalDtype(IndexedSeq("a", "b", "c"))
     val ren = Map("a" -> "alpha", "c" -> "gamma")
