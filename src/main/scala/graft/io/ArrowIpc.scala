@@ -1,0 +1,314 @@
+package graft.io
+
+import java.nio.channels.Channels
+
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC export/import — the Spark-native answer to the
+  * reference's zero-copy `to_pandas` handoff
+  * (`core/runtime.py:531-758`, `__legate_data_interface__`): where the
+  * reference hands live Arrow buffers to pandas inside one process, a
+  * distributed engine's equivalent contract is the Arrow IPC *stream
+  * format* — the same columnar buffers, byte-exact, written once per
+  * partition with zero row-wise re-encoding on the consumer side
+  * (pandas/polars/duckdb all mmap-read `.arrows` files directly).
+  *
+  * Scale shape: `write` is a per-partition sink (no shuffle, no
+  * driver collect — each task streams its rows through one
+  * [[VectorSchemaRoot]] of bounded `batchRows`); `read` parallelizes
+  * the part-file list so each file is decoded by one task. Both sides
+  * go through the Hadoop FileSystem API, so the SAME code targets
+  * file:// in tests and HDFS/S3 on a cluster (unlike a raw
+  * java.io sink, which would silently scatter files across executor
+  * local disks).
+  *
+  * Type coverage is the engine's exportable scalar surface plus
+  * float/double arrays (embeddings): bool, int, long, float, double,
+  * string, binary, date, timestamp(µs, UTC), array<float>,
+  * array<double>. Unsupported types fail fast at plan time with a
+  * named error, not mid-job.
+  */
+object ArrowIpc {
+
+  private val SchemaFile = "_schema.arrows"
+
+  // ---- Spark <-> Arrow schema mapping -------------------------------
+
+  private def arrowType(dt: DataType): ArrowType = dt match {
+    case BooleanType   => ArrowType.Bool.INSTANCE
+    case IntegerType   => new ArrowType.Int(32, true)
+    case LongType      => new ArrowType.Int(64, true)
+    case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType    => ArrowType.Utf8.INSTANCE
+    case BinaryType    => ArrowType.Binary.INSTANCE
+    case DateType      => new ArrowType.Date(DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case other => throw new IllegalArgumentException(
+      s"ArrowIpc: unsupported type ${other.simpleString} " +
+        "(supported: bool/int/long/float/double/string/binary/date/" +
+        "timestamp/timestamp_ntz/array<float>/array<double>)")
+  }
+
+  private def toArrowField(f: StructField): Field = f.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), containsNull) =>
+      val child = new Field("element",
+        new FieldType(containsNull, arrowType(et), null), Nil.asJava)
+      new Field(f.name,
+        new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        Seq(child).asJava)
+    case dt =>
+      new Field(f.name, new FieldType(f.nullable, arrowType(dt), null),
+        Nil.asJava)
+  }
+
+  private[graft] def toArrowSchema(s: StructType): Schema =
+    new Schema(s.fields.map(toArrowField).toSeq.asJava)
+
+  private def fromArrowField(f: Field): StructField = {
+    val dt = f.getType match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Date => DateType
+      case t: ArrowType.Timestamp =>
+        if (t.getTimezone == null) TimestampNTZType else TimestampType
+      case _: ArrowType.List =>
+        ArrayType(fromArrowField(f.getChildren.get(0)).dataType,
+          f.getChildren.get(0).isNullable)
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported Arrow type $other on read")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  private[graft] def fromArrowSchema(s: Schema): StructType =
+    StructType(s.getFields.asScala.map(fromArrowField).toArray)
+
+  // ---- value transfer ------------------------------------------------
+
+  private def setValue(vec: FieldVector, i: Int, v: Any): Unit = vec match {
+    case x: BitVector       => x.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+    case x: IntVector       => x.setSafe(i, v.asInstanceOf[Int])
+    case x: BigIntVector    => x.setSafe(i, v.asInstanceOf[Long])
+    case x: Float4Vector    => x.setSafe(i, v.asInstanceOf[Float])
+    case x: Float8Vector    => x.setSafe(i, v.asInstanceOf[Double])
+    case x: VarCharVector   =>
+      x.setSafe(i, v.asInstanceOf[String].getBytes("UTF-8"))
+    case x: VarBinaryVector => x.setSafe(i, v.asInstanceOf[Array[Byte]])
+    case x: DateDayVector   =>
+      x.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+    case x: TimeStampMicroTZVector =>
+      val ts = v.asInstanceOf[java.sql.Timestamp]
+      x.setSafe(i, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+    case x: TimeStampMicroVector => // NTZ: local wall-clock micros
+      val ldt = v.asInstanceOf[java.time.LocalDateTime]
+      x.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
+    case x: ListVector =>
+      val w = x.getWriter
+      w.setPosition(i)
+      w.startList()
+      v match {
+        case s: scala.collection.Seq[_] =>
+          val fw = w.float4(); val dw = w.float8()
+          s.foreach {
+            case f: Float  => fw.writeFloat4(f)
+            case d: Double => dw.writeFloat8(d)
+            case other => throw new IllegalArgumentException(
+              s"ArrowIpc: list element $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"ArrowIpc: expected Seq, got ${other.getClass}")
+      }
+      w.endList()
+    case other => throw new IllegalArgumentException(
+      s"ArrowIpc: no writer for vector ${other.getClass}")
+  }
+
+  private def getValue(vec: FieldVector, i: Int): Any =
+    if (vec.isNull(i)) null
+    else vec match {
+      case x: BitVector       => x.get(i) == 1
+      case x: IntVector       => x.get(i)
+      case x: BigIntVector    => x.get(i)
+      case x: Float4Vector    => x.get(i)
+      case x: Float8Vector    => x.get(i)
+      case x: VarCharVector   => new String(x.get(i), "UTF-8")
+      case x: VarBinaryVector => x.get(i)
+      case x: DateDayVector   =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampMicroTZVector =>
+        val us = x.get(i)
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case x: TimeStampMicroVector =>
+        val us = x.get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x: ListVector =>
+        x.getObject(i).asInstanceOf[java.util.List[_]].asScala.toSeq
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: no reader for vector ${other.getClass}")
+    }
+
+  // ---- sink ------------------------------------------------------------
+
+  /** Write `df` as Arrow IPC stream part files under `dir` (overwrite).
+    * One `part-NNNNN.arrows` per non-empty partition + a zero-row
+    * `_schema.arrows` so schema survives an empty dataset.
+    */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+    val sparkSchema = df.schema
+    sparkSchema.fields.foreach(toArrowField) // fail fast on the driver
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+
+    // schema-only stream from the driver
+    withRoot(sparkSchema) { (root, _) =>
+      val out = fs.create(new Path(dirPath, SchemaFile), true)
+      val w = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+      try { w.start(); w.end() } finally { w.close(); out.close() }
+    }
+
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // executor-side Configuration: picks up core-site.xml from the
+        // cluster classpath, defaults to file:// locally
+        val tfs = new Path(dir).getFileSystem(new Configuration())
+        val out = tfs.create(new Path(dir, f"part-$pid%05d.arrows"), true)
+        withRoot(sparkSchema) { (root, vecs) =>
+          val w = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+          try {
+            w.start()
+            var n = 0
+            while (it.hasNext) {
+              val row = it.next()
+              var c = 0
+              while (c < vecs.length) {
+                val v = row.get(c)
+                if (v == null) vecs(c).setNull(n) else setValue(vecs(c), n, v)
+                c += 1
+              }
+              n += 1
+              if (n == batchRows) { flush(root, vecs, w, n); n = 0 }
+            }
+            if (n > 0) flush(root, vecs, w, n)
+            w.end()
+          } finally { w.close(); out.close() }
+        }
+      }
+    }
+  }
+
+  private def flush(root: VectorSchemaRoot, vecs: Array[FieldVector],
+                    w: ArrowStreamWriter, n: Int): Unit = {
+    vecs.foreach(_.setValueCount(n))
+    root.setRowCount(n)
+    w.writeBatch()
+    vecs.foreach(_.reset())
+  }
+
+  private def withRoot[A](s: StructType)
+                         (f: (VectorSchemaRoot, Array[FieldVector]) => A): A = {
+    val alloc = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(toArrowSchema(s), alloc)
+      try f(root, root.getFieldVectors.asScala.toArray)
+      finally root.close()
+    } finally alloc.close()
+  }
+
+  // ---- source ------------------------------------------------------
+
+  /** Distributed read of a [[write]] output dir: schema off the
+    * driver-written `_schema.arrows`, one task per part file.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+
+    val sIn = fs.open(new Path(dirPath, SchemaFile))
+    val sparkSchema = {
+      val alloc = new RootAllocator()
+      try {
+        val r = new ArrowStreamReader(sIn, alloc)
+        try fromArrowSchema(r.getVectorSchemaRoot.getSchema)
+        finally r.close()
+      } finally { alloc.close(); sIn.close() }
+    }
+
+    val parts = fs.listStatus(dirPath).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".arrows"))
+      .map(_.toString).sorted.toSeq
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], sparkSchema)
+
+    val rdd = spark.sparkContext
+      .parallelize(parts, parts.length)
+      .flatMap { file =>
+        // Lazy per-batch decode: only ONE Arrow batch's vectors are
+        // live at a time; rows stream out as Spark pulls them (a large
+        // part file never sits in task heap twice).
+        val p = new Path(file)
+        val tfs = p.getFileSystem(new Configuration())
+        val in = tfs.open(p)
+        val alloc = new RootAllocator()
+        val reader = new ArrowStreamReader(in, alloc)
+        val root = reader.getVectorSchemaRoot
+        def closeAll(): Unit = { reader.close(); alloc.close(); in.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        new Iterator[Row] {
+          private var i = 0
+          private var n = 0
+          private var vecs: Array[FieldVector] = _
+          private var done = false
+          private def advance(): Unit =
+            while (!done && i >= n) {
+              if (reader.loadNextBatch()) {
+                vecs = root.getFieldVectors.asScala.toArray
+                n = root.getRowCount
+                i = 0
+              } else done = true
+            }
+          def hasNext: Boolean = { advance(); !done }
+          def next(): Row = {
+            advance()
+            if (done) throw new NoSuchElementException
+            val r = Row.fromSeq(vecs.map(getValue(_, i)).toSeq)
+            i += 1
+            r
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

@@ -91,6 +91,34 @@ object Round7Queries {
       },
       Some("""SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+             FROM orders GROUP BY 1""")),
+
+    // §2.1 Arrow IPC export/import (the Spark-native stand-in for the
+    // reference's to_pandas Arrow handoff, core/runtime.py:531-758):
+    // write an orders slice as .arrows stream parts, read them back,
+    // aggregate — the oracle recomputes from the ORIGINAL parquet, so
+    // the Arrow round-trip (schema mapping, µs timestamps, string,
+    // double, long, nulls in o_comment-free columns) is what's tested.
+    "q193_arrow_roundtrip" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/arrow_rt_$safe"
+        val src = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        graft.io.ArrowIpc.write(src, path)
+        graft.io.ArrowIpc.read(s, path)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            Num.sumMoney(col("o_totalprice")).as("total"),
+            // NTZ → TZ cast is identity wall-clock under the UTC session
+            max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_date_us"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+             max(epoch_us(o_orderdate)) AS max_date_us,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              FROM orders GROUP BY 1"""))
   )
 }
