@@ -346,22 +346,37 @@ object Round6Queries {
           .cache()
         val sizes = g.select(col("doc_id"), size(col("hs")).as("ng"))
         val inv = g.select(col("doc_id"), explode(col("hs")).as("h"))
-        // SINGLETON PRE-FILTER: most grams occur in exactly one doc and
-        // contribute nothing, yet they dominate the (h, doc_id) Exchange
-        // and the collect_list object-agg. Pass 1 counts grams in the
-        // primitive hash-agg fast path (8-byte keys, map-side partials)
-        // and blooms the duplicated set; the heavy list/pair machinery
-        // then only sees candidate grams. A bloom false positive admits
-        // a singleton whose 1-element list dies at the size>=2 filter —
-        // exactness is untouched, only shuffle bytes are at stake.
-        val dups = inv.groupBy("h").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("h").cache()
-        val nDups = dups.count()
+        // SINGLETON PRE-FILTER, ADAPTIVE: on a real corpus most grams
+        // occur in exactly one doc and contribute nothing, yet they
+        // dominate the (h, doc_id) Exchange and the collect_list
+        // object-agg — counting grams in the primitive hash-agg fast
+        // path and blooming the duplicated set wins big (1.90→1.06s at
+        // sf0.1). But the gate's cost is unconditional while its
+        // benefit is data-dependent: on a duplication-heavy corpus
+        // (the 10× cloned smoke — EVERY gram duplicated) the bloom
+        // passes everything and the count+build passes are pure
+        // overhead (measured 5.0→9.2s). So decide from one cheap
+        // sketch pass first: distinct(h)/rows(h) ≈ the singleton
+        // fraction's upper bound (partial-agg HLL, tiny shuffle — no
+        // row-level Exchange). Gate only when singleton-dominated.
+        // A bloom false positive admits a singleton whose 1-element
+        // list dies at the size>=2 filter — exactness is untouched
+        // either way, only shuffle bytes are at stake.
+        val st = inv.agg(count(lit(1)).as("rows"),
+          approx_count_distinct(col("h")).as("grams")).head()
+        val gramRatio =
+          st.getLong(1).toDouble / math.max(st.getLong(0), 1L).toDouble
         val gated =
-          if (nDups == 0) inv.filter(lit(false))
+          if (gramRatio < 0.6) inv // duplication-heavy: gate can't pay
           else {
-            val bloom = graft.text.BloomGate.build(dups, col("h"), nDups)
-            inv.filter(graft.text.BloomGate.mightContain(bloom, col("h")))
+            val dups = inv.groupBy("h").agg(count(lit(1)).as("c"))
+              .filter(col("c") >= 2).select("h").cache()
+            val nDups = dups.count()
+            if (nDups == 0) inv.filter(lit(false))
+            else {
+              val bloom = graft.text.BloomGate.build(dups, col("h"), nDups)
+              inv.filter(graft.text.BloomGate.mightContain(bloom, col("h")))
+            }
           }
         val lists = gated
           .groupBy("h")

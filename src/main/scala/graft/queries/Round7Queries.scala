@@ -119,6 +119,45 @@ object Round7Queries {
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
              max(epoch_us(o_orderdate)) AS max_date_us,
              CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-             FROM orders GROUP BY 1"""))
+             FROM orders GROUP BY 1""")),
+
+    // INCREMENTAL near-dup dedup — the realistic 100 TB curation
+    // workflow: the corpus is deduplicated once and its LSH bucket
+    // index PERSISTED; each new crawl batch probes the stored index
+    // (bucket join on (band, h)) and only candidate corpus docs are
+    // re-shingled for the exact verify. The parquet write/read of the
+    // index is part of the query, so the persist contract itself is
+    // oracle-gated. Recall: same k=64/r=4 banding as q55, whose exact
+    // oracle has held recall 1.0 at every SF since round 2; the oracle
+    // below is the exact batch×corpus inverted-index SQL.
+    "q194_incremental_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val idxPath = s"/root/repo/target/tmp/lsh_index_$safe"
+        graft.text.MinHash.bucketIndex(corpus, "doc_id", "text")
+          .write.mode("overwrite").partitionBy("band").parquet(idxPath)
+        val index = s.read.parquet(idxPath)
+        graft.text.MinHash
+          .probeIndex(index, batch, corpus, "doc_id", "text", threshold = 0.5)
+          .select(col("new_id"), col("corpus_id"),
+            Num.rnd(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(s"""WITH ${graft.queries.TextQueries.shingleCte},
+             sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+             inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             common AS (
+               SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS cnt
+               FROM inv b JOIN inv c ON b.g = c.g
+               WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+               GROUP BY 1, 2)
+             SELECT new_id, corpus_id, jaccard FROM (
+               SELECT new_id, corpus_id,
+                 round(cnt * 1.0 / (s1.n + s2.n - cnt), 6) AS jaccard
+               FROM common JOIN sizes s1 ON common.new_id = s1.doc_id
+                           JOIN sizes s2 ON common.corpus_id = s2.doc_id)
+             WHERE jaccard >= 0.5"""))
   )
 }

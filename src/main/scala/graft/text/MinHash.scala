@@ -67,6 +67,58 @@ object MinHash {
         col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"))
   }
 
+  /** Persistable LSH bucket index of a corpus: one (band, h, id) row
+    * per document band — the incremental-curation contract. A 100 TB
+    * corpus is deduplicated ONCE; every new crawl batch then probes
+    * this index ([[probeIndex]]) instead of re-shingling the corpus:
+    * the index is k/r rows per document (16 at the defaults) of three
+    * small columns, write it partitioned by `band` and the probe's
+    * bucket join prunes to matching band partitions.
+    */
+  def bucketIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 64, r: Int = 4): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      posexplode(MinHashSig.bandHashes(
+        Shingles.shingles(col(textCol), n), k, r)).as(Seq("band", "h")))
+
+  /** Dedup a NEW batch against a persisted [[bucketIndex]]: batch band
+    * hashes bucket-join the index (shuffle on (band, h) — never an
+    * all-pairs comparison), hot buckets above `maxBucket` are dropped
+    * whole (same guard as [[candidatePairs]]), and only the CANDIDATE
+    * corpus documents are re-shingled for the exact verify (a semi-join
+    * sized by candidate count, not corpus size). Returns
+    * (new_id, corpus_id, jaccard ≥ threshold).
+    */
+  def probeIndex(index: DataFrame, batch: DataFrame, corpus: DataFrame,
+                 idCol: String, textCol: String,
+                 n: Int = 3, threshold: Double = 0.5,
+                 k: Int = 64, r: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val batchSh = batch
+      .select(col(idCol), Shingles.shingles(col(textCol), n).as("sh"))
+      .cache() // banding + verify sides
+    val probes = batchSh.select(col(idCol).as("new_id"),
+      posexplode(MinHashSig.bandHashes(col("sh"), k, r)).as(Seq("band", "h")))
+    // bucket lists keep the maxBucket contract stable as the corpus
+    // grows: a bucket that outgrows the cap stops yielding candidates
+    // (boilerplate cluster) rather than going quadratic
+    val buckets = index.groupBy("band", "h")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val cand = probes.join(buckets, Seq("band", "h"))
+      .select(col("new_id"), explode(col("ids")).as("corpus_id"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .distinct()
+    val corpusSh = corpus
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("corpus_id"),
+        Shingles.shingles(col(textCol), n).as("csh"))
+    cand.join(batchSh.select(col(idCol).as("new_id"), col("sh")), "new_id")
+      .join(corpusSh, "corpus_id")
+      .withColumn("jaccard", Shingles.jaccard(col("sh"), col("csh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard
     * ≥ `threshold`. Returns (id1, id2, jaccard).
     */

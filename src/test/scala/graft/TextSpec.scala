@@ -165,6 +165,34 @@ class TextSpec extends SparkSpec {
     assert(exact === lsh)
   }
 
+  test("incremental probe against a persisted index equals batch-vs-corpus brute force") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val exact = {
+      val sh = docs.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
+      val invB = batch.select(col("doc_id"))
+        .join(sh, "doc_id").select(col("doc_id").as("new_id"), explode(col("sh")).as("s"))
+      val invC = corpus.select(col("doc_id"))
+        .join(sh, "doc_id").select(col("doc_id").as("corpus_id"), explode(col("sh")).as("s"))
+      invB.join(invC, "s").select("new_id", "corpus_id").distinct()
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+        .join(sh.select(col("doc_id").as("corpus_id"), col("sh").as("sh2")), "corpus_id")
+        .filter(Shingles.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val idxPath = "target/tmp/lsh_index_spec"
+    MinHash.bucketIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(idxPath)
+    val got = MinHash.probeIndex(spark.read.parquet(idxPath), batch, corpus,
+        "doc_id", "text", threshold = 0.5)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got === exact)
+  }
+
   test("langId falls back to en and detects CJK") {
     val df = Seq("the quick fox and the dog of war", "位 置 大 小").toDF("t")
     val got = df.select(TextStats.langId(col("t"))).collect().map(_.getString(0)).toSeq
