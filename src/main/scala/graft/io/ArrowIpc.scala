@@ -4,10 +4,13 @@ import java.nio.channels.Channels
 
 import scala.collection.JavaConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.hadoop.conf.Configuration
@@ -178,8 +181,19 @@ object ArrowIpc {
   /** Write `df` as Arrow IPC stream part files under `dir` (overwrite).
     * One `part-NNNNN.arrows` per non-empty partition + a zero-row
     * `_schema.arrows` so schema survives an empty dataset.
+    * `compression`: None | "lz4" | "zstd" — per-buffer body
+    * compression inside the IPC frames (the standard Arrow feature;
+    * readers detect it from the record-batch header, so [[read]]
+    * needs no hint).
     */
-  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096,
+            compression: Option[String] = None): Unit = {
+    val codec = compression.map {
+      case "lz4"  => CompressionUtil.CodecType.LZ4_FRAME
+      case "zstd" => CompressionUtil.CodecType.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unknown compression '$other' (lz4, zstd)")
+    }
     val sparkSchema = df.schema
     sparkSchema.fields.foreach(toArrowField) // fail fast on the driver
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -203,7 +217,12 @@ object ArrowIpc {
         val tfs = new Path(dir).getFileSystem(new Configuration())
         val out = tfs.create(new Path(dir, f"part-$pid%05d.arrows"), true)
         withRoot(sparkSchema) { (root, vecs) =>
-          val w = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+          val ch = Channels.newChannel(out)
+          val w = codec match {
+            case Some(c) => new ArrowStreamWriter(root, null, ch,
+              IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, c)
+            case None => new ArrowStreamWriter(root, null, ch)
+          }
           try {
             w.start()
             var n = 0
@@ -258,7 +277,7 @@ object ArrowIpc {
     val sparkSchema = {
       val alloc = new RootAllocator()
       try {
-        val r = new ArrowStreamReader(sIn, alloc)
+        val r = new ArrowStreamReader(sIn, alloc, CommonsCompressionFactory.INSTANCE)
         try fromArrowSchema(r.getVectorSchemaRoot.getSchema)
         finally r.close()
       } finally { alloc.close(); sIn.close() }
@@ -281,7 +300,8 @@ object ArrowIpc {
         val tfs = p.getFileSystem(new Configuration())
         val in = tfs.open(p)
         val alloc = new RootAllocator()
-        val reader = new ArrowStreamReader(in, alloc)
+        val reader = new ArrowStreamReader(in, alloc,
+          CommonsCompressionFactory.INSTANCE)
         val root = reader.getVectorSchemaRoot
         def closeAll(): Unit = { reader.close(); alloc.close(); in.close() }
         Option(org.apache.spark.TaskContext.get())

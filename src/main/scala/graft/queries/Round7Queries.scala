@@ -158,6 +158,28 @@ object Round7Queries {
                  round(cnt * 1.0 / (s1.n + s2.n - cnt), 6) AS jaccard
                FROM common JOIN sizes s1 ON common.new_id = s1.doc_id
                            JOIN sizes s2 ON common.corpus_id = s2.doc_id)
+             WHERE jaccard >= 0.5""")),
+
+    // STREAMING twin of q194: the batch arrives as a microbatched
+    // stream and probes the static bucket index; same oracle SQL
+    // (the streamed computation must converge to the batch answer).
+    "q195_stream_incr_dedup" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.incrementalDedup(s, d)
+        .select(col("new_id"), col("corpus_id"),
+          Num.rnd(col("jaccard"), 6).as("jaccard")),
+      Some(s"""WITH ${graft.queries.TextQueries.shingleCte},
+             sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+             inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             common AS (
+               SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS cnt
+               FROM inv b JOIN inv c ON b.g = c.g
+               WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+               GROUP BY 1, 2)
+             SELECT new_id, corpus_id, jaccard FROM (
+               SELECT new_id, corpus_id,
+                 round(cnt * 1.0 / (s1.n + s2.n - cnt), 6) AS jaccard
+               FROM common JOIN sizes s1 ON common.new_id = s1.doc_id
+                           JOIN sizes s2 ON common.corpus_id = s2.doc_id)
              WHERE jaccard >= 0.5"""))
   )
 }

@@ -58,10 +58,34 @@ object TextQueries {
     // adds scan CPU. The duplication-heavy regime is the one near-dup
     // detection exists for, so the string key stays.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // ADAPTIVE singleton pre-filter (same decision pass as q169): on a
+    // real corpus most shingles occur in exactly one document and
+    // contribute no pairs, yet they dominate the Exchange and the
+    // collect_list object-agg. One HLL sketch pass (partial-agg only)
+    // estimates the singleton fraction; when singleton-dominated, an
+    // exact duplicated-shingle set is bloomed and the heavy machinery
+    // only sees candidates. A bloom false positive admits a singleton
+    // whose 1-element list dies at the size>=2 filter — exactness
+    // untouched. On a duplication-heavy corpus (the 10×-cloned smoke)
+    // the ratio is low and the gate is skipped outright — its build
+    // would cost more than it filters.
+    val st = inv.agg(count(lit(1)).as("rows"),
+      approx_count_distinct(col("s")).as("grams")).head()
+    val ratio = st.getLong(1).toDouble / math.max(st.getLong(0), 1L).toDouble
+    val gatedInv =
+      if (ratio < 0.6) inv
+      else {
+        val dups = inv.groupBy("s").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("s").cache()
+        val nDups = dups.count()
+        if (nDups == 0) inv.filter(lit(false))
+        else inv.filter(graft.text.BloomGate.mightContain(
+          graft.text.BloomGate.build(dups, col("s"), nDups), col("s")))
+      }
     // group the inverted index by shingle and expand doc-id pairs
     // map-side; singleton shingles contribute no pairs and are
     // filtered free.
-    val lists = inv.groupBy("s")
+    val lists = gatedInv.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     // Pair counting: |A∩B| per packed (id1,id2) key. The kernel path

@@ -251,6 +251,48 @@ object DocStreams {
     spark.table(name).distinct()
   }
 
+  /** STREAMING incremental near-dup — the live-ingest twin of
+    * q194_incremental_dedup: new documents arrive as a stream and
+    * probe a STATIC corpus LSH bucket index
+    * ([[graft.text.MinHash.bucketIndex]]); only candidate pairs reach
+    * the exact-Jaccard verify (a stream-static join whose static side
+    * is the cached corpus shingle table). The stateful aggregation
+    * keys on the output pair — state is bounded by true-duplicate
+    * count, never corpus size. At 100 TB this is how a crawl frontier
+    * is deduplicated: the bucket lists and corpus shingles are loaded
+    * once per executor; each microbatch pays only its own banding plus
+    * bucket-join.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       maxBucket: Int = 1000): DataFrame = {
+    import graft.text.{MinHash, MinHashSig, Shingles}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val buckets = MinHash.bucketIndex(corpus, "doc_id", "text")
+      .groupBy("band", "h").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket).cache()
+    val corpusSh = corpus.select(col("doc_id").as("corpus_id"),
+      Shingles.shingles(col("text"), 3).as("csh")).cache()
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("doc_id") % 5 === 0)
+    val probes = stream
+      .select(col("doc_id").as("new_id"),
+        Shingles.shingles(col("text"), 3).as("sh"))
+      .select(col("new_id"), col("sh"),
+        posexplode(MinHashSig.bandHashes(col("sh"), 64, 4)).as(Seq("band", "h")))
+    val verified = probes.join(buckets, Seq("band", "h"))
+      .select(col("new_id"), col("sh"), explode(col("ids")).as("corpus_id"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .join(corpusSh, "corpus_id")
+      .withColumn("jaccard", Shingles.jaccard(col("sh"), col("csh")))
+      .filter(col("jaccard") >= 0.5)
+    // bands emit repeat candidates; the stateful agg collapses them
+    // (jaccard is identical per repeat — max is just the collapse)
+    val pairs = verified.groupBy("new_id", "corpus_id")
+      .agg(max(col("jaccard")).as("jaccard"))
+    run(spark, pairs, "graft_stream_incr_dedup")
+  }
+
   /** Drain a streaming frame through a complete-mode memory sink. */
   /** Streaming bloom-gated decontamination (q189's gate, incremental):
     * the eval-set bloom is built ONCE batch-side and rides the

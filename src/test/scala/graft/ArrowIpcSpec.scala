@@ -79,6 +79,28 @@ class ArrowIpcSpec extends SparkSpec {
     assert(eback.count() === 0)
   }
 
+  test("lz4/zstd-compressed streams round-trip and actually shrink") {
+    // highly repetitive strings: compression must bite
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("s", concat(lit("x" * 50), (col("id") % 7).cast("string")))
+    def bytesOf(dir: String): Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val plain = tmp("comp_none"); val lz4 = tmp("comp_lz4"); val zstd = tmp("comp_zstd")
+    ArrowIpc.write(df, plain)
+    ArrowIpc.write(df, lz4, compression = Some("lz4"))
+    ArrowIpc.write(df, zstd, compression = Some("zstd"))
+    assert(bytesOf(lz4) < bytesOf(plain) / 2, s"${bytesOf(lz4)} vs ${bytesOf(plain)}")
+    assert(bytesOf(zstd) < bytesOf(plain) / 2, s"${bytesOf(zstd)} vs ${bytesOf(plain)}")
+    Seq(lz4, zstd).foreach { dir =>
+      val back = ArrowIpc.read(spark, dir)
+      assert(back.count() === 20000)
+      assert(back.agg(sum(length(col("s")))).head.getLong(0) === 20000L * 51)
+    }
+    val e = intercept[IllegalArgumentException](
+      ArrowIpc.write(df, tmp("comp_bad"), compression = Some("snappy")))
+    assert(e.getMessage.contains("compression"))
+  }
+
   test("unsupported types fail fast on the driver with a named error") {
     val df = spark.range(3).toDF("id")
       .withColumn("m", map(col("id").cast("string"), col("id")))
