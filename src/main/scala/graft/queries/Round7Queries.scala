@@ -180,6 +180,75 @@ object Round7Queries {
                  round(cnt * 1.0 / (s1.n + s2.n - cnt), 6) AS jaccard
                FROM common JOIN sizes s1 ON common.new_id = s1.doc_id
                            JOIN sizes s2 ON common.corpus_id = s2.doc_id)
-             WHERE jaccard >= 0.5"""))
+             WHERE jaccard >= 0.5""")),
+
+    // TPC-H Q21 shape (adapted: no l_commitdate/receiptdate, so
+    // "late" := returnflag = 'R'): suppliers SOLELY responsible on a
+    // multi-supplier order — EXISTS a different supplier on the order
+    // AND NOT EXISTS a different supplier also late. The decisive
+    // planning test: the same fact table three times, once as a
+    // left_semi and once as a left_anti with non-equi residuals —
+    // Catalyst keeps both as hash joins on l_orderkey (residual
+    // filters the suppkey inequality); no nested loop.
+    "q196_tpch_q21" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey").distinct()
+        val late = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+        val sole = late.as("l1")
+          .join(li.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+          .as("l1")
+          .join(late.as("l3"),
+            col("l1.l_orderkey") === col("l3.l_orderkey") &&
+              col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+        sole.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      },
+      Some("""WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R'),
+              alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+             SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             WHERE EXISTS (SELECT 1 FROM alls l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM late l3
+                     WHERE l3.l_orderkey = l1.l_orderkey
+                       AND l3.l_suppkey <> l1.l_suppkey)
+             GROUP BY 1""")),
+
+    // TPC-H Q22 shape (adapted: nation-code bucket for the phone
+    // prefix): customers in selected codes with above-average positive
+    // balance and NO orders. Scalar subquery = single-row broadcast
+    // cross join (stays in-plan, no driver round-trip); NOT EXISTS =
+    // left_anti against the distinct order custkeys.
+    "q197_tpch_q22" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("cc", (col("c_nationkey") % 5).cast("int"))
+          .filter(col("cc").isin(0, 1, 2))
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("ab"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+            .distinct(), Seq("c_custkey"), "left_anti")
+          .groupBy("cc")
+          .agg(count(lit(1)).as("numcust"),
+            Num.sumMoney(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""SELECT CAST(c_nationkey % 5 AS INTEGER) AS cc,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+             FROM customer
+             WHERE c_nationkey % 5 IN (0, 1, 2)
+               AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                WHERE c_acctbal > 0
+                                  AND c_nationkey % 5 IN (0, 1, 2))
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey)
+             GROUP BY 1"""))
   )
 }
