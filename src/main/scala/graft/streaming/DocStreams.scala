@@ -265,32 +265,43 @@ object DocStreams {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        maxBucket: Int = 1000): DataFrame = {
-    import graft.text.{MinHash, MinHashSig, Shingles}
     val docs = graft.Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val buckets = MinHash.bucketIndex(corpus, "doc_id", "text")
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("doc_id") % 5 === 0)
+    run(spark, incrementalDedupTransform(stream, corpus, maxBucket = maxBucket),
+      "graft_stream_incr_dedup")
+  }
+
+  /** The transform itself — works against any streaming (or batch)
+    * documents source; the static sides (bucket lists + corpus
+    * shingles) are built from `corpus` and cached.
+    */
+  def incrementalDedupTransform(stream: DataFrame, corpus: DataFrame,
+                                n: Int = 3, threshold: Double = 0.5,
+                                k: Int = 64, r: Int = 4,
+                                maxBucket: Int = 1000): DataFrame = {
+    import graft.text.{MinHash, MinHashSig, Shingles}
+    val buckets = MinHash.bucketIndex(corpus, "doc_id", "text", n, k, r)
       .groupBy("band", "h").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket).cache()
     val corpusSh = corpus.select(col("doc_id").as("corpus_id"),
-      Shingles.shingles(col("text"), 3).as("csh")).cache()
-    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
-      .filter(col("doc_id") % 5 === 0)
+      Shingles.shingles(col("text"), n).as("csh")).cache()
     val probes = stream
       .select(col("doc_id").as("new_id"),
-        Shingles.shingles(col("text"), 3).as("sh"))
+        Shingles.shingles(col("text"), n).as("sh"))
       .select(col("new_id"), col("sh"),
-        posexplode(MinHashSig.bandHashes(col("sh"), 64, 4)).as(Seq("band", "h")))
+        posexplode(MinHashSig.bandHashes(col("sh"), k, r)).as(Seq("band", "h")))
     val verified = probes.join(buckets, Seq("band", "h"))
       .select(col("new_id"), col("sh"), explode(col("ids")).as("corpus_id"))
       .filter(col("new_id") =!= col("corpus_id"))
       .join(corpusSh, "corpus_id")
       .withColumn("jaccard", Shingles.jaccard(col("sh"), col("csh")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
     // bands emit repeat candidates; the stateful agg collapses them
     // (jaccard is identical per repeat — max is just the collapse)
-    val pairs = verified.groupBy("new_id", "corpus_id")
+    verified.groupBy("new_id", "corpus_id")
       .agg(max(col("jaccard")).as("jaccard"))
-    run(spark, pairs, "graft_stream_incr_dedup")
   }
 
   /** Drain a streaming frame through a complete-mode memory sink. */

@@ -133,7 +133,8 @@ object ScaleSmoke {
       p
     }
     val qmap = SparkEntry.queries
-    val bounded = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup")
+    val bounded = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup",
+      "q54_ngram_jaccard", "q169_substring_dup", "q194_incremental_dedup")
     val times = collection.mutable.Map[(String, Int), Double]()
     Seq(10, 100).foreach { m =>
       val dir = stage(m)

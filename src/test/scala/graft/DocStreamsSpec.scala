@@ -31,6 +31,40 @@ class DocStreamsSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming incremental dedup equals the batch index probe across microbatches") {
+    val docs = Tables.documents(spark, sf).cache()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = "/root/repo/target/tmp/doc_stream_incr_spec"
+    // the batch arrives in two microbatches — pairs must not depend on
+    // which microbatch carried the new document (static index, so no
+    // cross-batch state is even needed; this pins that invariant)
+    batch.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    batch.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream.schema(DocStreams.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val got = DocStreams.run(spark,
+        DocStreams.incrementalDedupTransform(streamed, corpus),
+        "doc_stream_incr_spec")
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Num.rnd(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idxPath = "target/tmp/lsh_index_stream_spec"
+    graft.text.MinHash.bucketIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(idxPath)
+    val want = graft.text.MinHash
+      .probeIndex(spark.read.parquet(idxPath), batch, corpus,
+        "doc_id", "text", threshold = 0.5)
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Num.rnd(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming near-dup pair set equals batch LSH across microbatches") {
     val docs = Tables.documents(spark, sf).cache()
     val dir = "/root/repo/target/tmp/doc_stream_neardup_spec"
