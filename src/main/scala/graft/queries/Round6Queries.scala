@@ -334,71 +334,14 @@ object Round6Queries {
     // machinery - the shuffle carries (hash, id-list) then packed longs,
     // never document text.
     "q169_substring_dup" -> QueryDef(
-      (s, d) => {
-        val k = 20
-        // primitive-long fingerprints (WinnowSetLong ≡ parseHex∘WinnowSet,
-        // pinned in Round6Spec): 8-byte shuffle keys hash-agg in
-        // Tungsten's primitive fast path, no hex-string render on scan
-        val g = Tables.documents(s, d)
-          .filter(length(col("text")) >= k)
-          .select(col("doc_id"), graft.text.Fingerprint.winnowSetLong(
-            col("text"), k, 1).as("hs"))
-          .cache()
-        val sizes = g.select(col("doc_id"), size(col("hs")).as("ng"))
-        val inv = g.select(col("doc_id"), explode(col("hs")).as("h"))
-        // SINGLETON PRE-FILTER, ADAPTIVE: on a real corpus most grams
-        // occur in exactly one doc and contribute nothing, yet they
-        // dominate the (h, doc_id) Exchange and the collect_list
-        // object-agg — counting grams in the primitive hash-agg fast
-        // path and blooming the duplicated set wins big (1.90→1.06s at
-        // sf0.1). But the gate's cost is unconditional while its
-        // benefit is data-dependent: on a duplication-heavy corpus
-        // (the 10× cloned smoke — EVERY gram duplicated) the bloom
-        // passes everything and the count+build passes are pure
-        // overhead (measured 5.0→9.2s). So decide from one cheap
-        // sketch pass first: distinct(h)/rows(h) ≈ the singleton
-        // fraction's upper bound (partial-agg HLL, tiny shuffle — no
-        // row-level Exchange). Gate only when singleton-dominated.
-        // A bloom false positive admits a singleton whose 1-element
-        // list dies at the size>=2 filter — exactness is untouched
-        // either way, only shuffle bytes are at stake.
-        val st = inv.agg(count(lit(1)).as("rows"),
-          approx_count_distinct(col("h")).as("grams")).head()
-        val gramRatio =
-          st.getLong(1).toDouble / math.max(st.getLong(0), 1L).toDouble
-        val gated =
-          if (gramRatio < 0.6) inv // duplication-heavy: gate can't pay
-          else {
-            val dups = inv.groupBy("h").agg(count(lit(1)).as("c"))
-              .filter(col("c") >= 2).select("h").cache()
-            val nDups = dups.count()
-            if (nDups == 0) inv.filter(lit(false))
-            else {
-              val bloom = graft.text.BloomGate.build(dups, col("h"), nDups)
-              inv.filter(graft.text.BloomGate.mightContain(bloom, col("h")))
-            }
-          }
-        val lists = gated
-          .groupBy("h")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-        val common = lists.select(explode(
-            org.apache.spark.sql.graftbridge.ColumnBridge.column(
-              graft.text.PackedPairs(
-                org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ds"))))).as("pk"))
-          .groupBy("pk")
-          .agg(count(lit(1)).as("n_shared"))
-          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
-            col("n_shared"))
-        common
-          .join(sizes.select(col("doc_id").as("id1"), col("ng").as("ng1")), "id1")
-          .join(sizes.select(col("doc_id").as("id2"), col("ng").as("ng2")), "id2")
-          .filter(col("n_shared") >= 25)
-          .select(col("id1"), col("id2"), col("n_shared"),
-            Num.rnd(col("n_shared").cast("double") /
-              least(col("ng1"), col("ng2")), 6).as("frac"))
-      },
+      // pipeline body factored to text/SubstringDup (shared with the
+      // w=8 winnow-sampled scale twin q198); w=1 here = the EXHAUSTIVE
+      // exact contract — every char-20-gram indexed. See SubstringDup
+      // scaladoc for the adaptive singleton gate and the w>1 scale
+      // story (the w=1 index exceeds single-node spill space at the
+      // 100×-salted tier; q198 is the bounded twin that runs it).
+      (s, d) => graft.text.SubstringDup.pairs(
+        Tables.documents(s, d), "doc_id", "text", k = 20, w = 1, minShared = 25),
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
                  FROM documents WHERE length(text) >= 20),
              pos AS (SELECT doc_id, text,

@@ -249,6 +249,40 @@ object Round7Queries {
                                   AND c_nationkey % 5 IN (0, 1, 2))
                AND NOT EXISTS (SELECT 1 FROM orders
                                WHERE o_custkey = c_custkey)
-             GROUP BY 1"""))
+             GROUP BY 1""")),
+
+    // WINNOW-SAMPLED substring-dup pairs — q169's bounded scale twin
+    // (SubstringDup scaladoc): w=8 keeps the per-window min gram
+    // (~2/9 of the index) while the MOSS guarantee still catches any
+    // shared substring of length ≥ k+w-1 = 27 chars. minShared=5 ≈
+    // q169's 25 at the sampling rate. The oracle recomputes the
+    // winnowing itself (min over an 8-gram window, q145's construction
+    // at k=20) — the sampling is checked, not assumed.
+    "q198_substring_dup_winnowed" -> QueryDef(
+      (s, d) => graft.text.SubstringDup.pairs(
+        Tables.documents(s, d), "doc_id", "text", k = 20, w = 8, minShared = 5),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                 FROM documents WHERE length(text) >= 27),
+             pos AS (SELECT doc_id, text, n,
+                 unnest(range(1, CAST(n - 18 AS BIGINT))) AS i FROM d),
+             g AS (SELECT doc_id, n, i,
+                 substr(md5(substr(text, CAST(i AS INT), 20)), 1, 16) AS h
+               FROM pos),
+             w AS (SELECT doc_id, i, n,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn
+               FROM g),
+             f AS (SELECT DISTINCT doc_id, mn FROM w WHERE i <= n - 26),
+             sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+                       FROM f GROUP BY 1),
+             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM f a JOIN f b ON a.mn = b.mn AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id1, id2, n_shared,
+               round(n_shared * 1.0 / least(s1.ng, s2.ng), 6) AS frac
+             FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
+                         JOIN sizes s2 ON common.id2 = s2.doc_id
+             WHERE n_shared >= 5"""))
   )
 }

@@ -122,9 +122,19 @@ object ScaleSmoke {
       if (!new java.io.File(s"$p/documents.parquet").exists()) {
         val docs = Tables.documents(spark, src)
         val copies = (0 until mult).map { k =>
+          // Salting v2 (round 7): the tag is ALSO inserted every 8
+          // chars inside long tokens, so no char-20-gram window is
+          // salt-free — v1's word-suffix-only salting let grams inside
+          // >20-char tokens collide ACROSS copies, which made the
+          // char-gram ops (q169/q198) quadratic in copies: a harness
+          // artifact, not operator behavior (word-shingle ops were
+          // immune — every 3-word shingle carries a salt). Intra-copy
+          // duplication structure is untouched (the same rewrite is
+          // applied to every doc in a copy).
           docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
             .withColumn("text", array_join(
-              transform(split(col("text"), " "), w => concat(w, lit("_" + k))),
+              transform(split(col("text"), " "), w =>
+                concat(regexp_replace(w, "(.{8})", "$1_" + k), lit("_" + k))),
               " "))
         }
         copies.reduce(_.unionByName(_)).repartition(32)
@@ -133,12 +143,29 @@ object ScaleSmoke {
       p
     }
     val qmap = SparkEntry.queries
-    val bounded = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup",
-      "q54_ngram_jaccard", "q169_substring_dup", "q194_incremental_dedup")
+    // q169 (w=1 exhaustive index) is NOT in the default tier: a single
+    // 100×-salted execution spills >70 GB — beyond this harness's disk.
+    // Its bounded twin q198 (w=8 winnow sampling) takes its slot;
+    // select q169 explicitly via SPARK_GRAFT_SMOKE_NAMES to reproduce.
+    val all = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup",
+      "q54_ngram_jaccard", "q198_substring_dup_winnowed", "q194_incremental_dedup")
+    val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
+      .map(_.split(",").toSeq).getOrElse(all)
+    // Shuffle files live until their shuffle dependency is GC'd
+    // (ContextCleaner): a 12-query tier in ONE context accumulates
+    // every query's spill on disk. Drop caches + force GC between
+    // queries so the cleaner reclaims the previous query's shuffles.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sqlContext.clearCache()
+      System.gc()
+      Thread.sleep(500) // let the async cleaner delete files
+    }
     val times = collection.mutable.Map[(String, Int), Double]()
     Seq(10, 100).foreach { m =>
       val dir = stage(m)
       bounded.foreach { n => // warm then time
+        reclaim()
         try qmap(n)(spark, dir).count() catch { case _: Throwable => }
         val t0 = System.nanoTime()
         val rows = try qmap(n)(spark, dir).count() catch { case e: Throwable =>

@@ -193,6 +193,30 @@ class TextSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("winnow-sampled substring dup keeps the MOSS guarantee on planted dups") {
+    import spark.implicits._
+    // two docs share a 60-char passage; w=8,k=20 guarantees detection
+    // of any shared run >= 27 chars (>= ceil((60-26)/8)=5 shared
+    // winnow grams in the worst case -> minShared=2 here is safe)
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    require(shared.length >= 40, s"planted run is ${shared.length} chars")
+    val docs = Seq(
+      (1L, s"prefix one 12345 $shared suffix alpha beta gamma delta"),
+      (2L, s"completely different opening text $shared closing words here"),
+      (3L, "unrelated document with no overlap at all in its contents xyz"),
+      (4L, "another standalone text that shares nothing with the others qq"))
+      .toDF("doc_id", "text")
+    val got = graft.text.SubstringDup
+      .pairs(docs, "doc_id", "text", k = 20, w = 8, minShared = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // and the exhaustive w=1 form agrees on the planted pair
+    val exhaustive = graft.text.SubstringDup
+      .pairs(docs, "doc_id", "text", k = 20, w = 1, minShared = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive === Set((1L, 2L)))
+  }
+
   test("langId falls back to en and detects CJK") {
     val df = Seq("the quick fox and the dog of war", "位 置 大 小").toDF("t")
     val got = df.select(TextStats.langId(col("t"))).collect().map(_.getString(0)).toSeq
