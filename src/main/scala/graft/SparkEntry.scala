@@ -28,7 +28,9 @@ object SparkEntry {
     graft.queries.Round5Queries.defs ++
     graft.queries.Round6Queries.defs ++
     graft.queries.ImageQueries.defs ++
-    graft.queries.Round7Queries.defs
+    graft.queries.Round7Queries.defs ++
+    graft.queries.Round8Queries.defs ++
+    graft.queries.LayoutQueries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
