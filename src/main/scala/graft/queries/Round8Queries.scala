@@ -459,6 +459,41 @@ object Round8Queries {
                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
                      AND l_quantity BETWEEN 10 AND 20)
                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-                     AND l_quantity BETWEEN 20 AND 30)"""))
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // C4/RefinedWeb-style chunk-level dedup: documents are REWRITTEN —
+    // every 10-token chunk that already occurred earlier in the corpus
+    // is removed and the text reassembled (graft.text.ChunkDedup; the
+    // near-dup detectors report pairs, this transforms). The oracle
+    // recomputes chunking, global first-occurrence election, and
+    // reassembly; the Spark side elects via a partial-aggregatable
+    // min(struct(doc_id, idx)) per chunk hash, not a window sort.
+    "q213_chunk_dedup" -> QueryDef(
+      (s, d) => graft.text.ChunkDedup.rewrite(
+        Tables.documents(s, d), "doc_id", "text", k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+             c AS (SELECT doc_id, i AS idx,
+                     array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS chunk
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(CAST((len(toks) + 9) // 10 AS BIGINT))) AS i
+                         FROM t WHERE len(toks) > 0)),
+             r AS (SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                       ORDER BY doc_id, idx) AS rn
+                   FROM c),
+             k AS (SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY idx) AS text_clean,
+                     CAST(count(*) AS BIGINT) AS n_kept
+                   FROM r WHERE rn = 1 GROUP BY 1),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                     FROM c GROUP BY 1)
+             SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(tot.n_total, 0) AS n_total
+             FROM documents d
+             LEFT JOIN tot ON d.doc_id = tot.doc_id
+             LEFT JOIN k ON d.doc_id = k.doc_id"""))
   )
 }

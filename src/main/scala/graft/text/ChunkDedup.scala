@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunk-level corpus deduplication — the C4/RefinedWeb curation step
+  * that REWRITES documents instead of dropping them: every k-token
+  * chunk that already occurred earlier in the corpus (global order:
+  * (doc_id, chunk index)) is removed, and each document is reassembled
+  * from its surviving chunks. Distinct from near-dup detection
+  * (MinHash/SimHash report PAIRS; this transforms the text) and from
+  * SubstringDup (which scores overlap but does not rewrite).
+  *
+  * Scale shape: one explode to (chunk, doc, idx), one hash-keyed
+  * partial-aggregatable min to elect each chunk's first occurrence
+  * (the shuffle carries a 16-byte hash + a (long,int) struct — never
+  * the chunk text twice), one equi-join back, and one per-doc
+  * reassembly groupBy. No windows, no driver-side state; every stage
+  * is a plain hash shuffle that scales with corpus size.
+  */
+object ChunkDedup {
+
+  /** Rewrite `df` keeping only globally-first occurrences of each
+    * `k`-token chunk.
+    *
+    * Output: (idCol, text_clean, n_kept, n_total) — one row per input
+    * document; a document whose every chunk is a repeat survives with
+    * empty text (n_kept = 0), mirroring C4's span removal (the
+    * downstream length filter is a separate policy decision).
+    */
+  def rewrite(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val toks = expr(s"filter(split($textCol, ' '), x -> x != '')")
+    val chunks = df
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, cast((size(__t) + ${k - 1}) / $k as int) - 1), " +
+          s"i -> struct(i as idx, array_join(slice(__t, i * $k + 1, $k), ' ') as chunk))"))
+        .as("c"))
+      .select(col(idCol), col("c.idx").as("idx"),
+        col("c.chunk").as("chunk"),
+        substring(md5(col("c.chunk")), 1, 16).as("h"))
+    // first global occurrence per chunk hash: partial-aggregatable
+    // lexicographic min over (doc_id, idx) — no window sort.
+    val first = chunks.groupBy(col("h").as("kh"))
+      .agg(min(struct(col(idCol), col("idx"))).as("keep"))
+    val kept = chunks.join(first,
+      col("h") === col("kh") &&
+        col(idCol) === col(s"keep.$idCol") && col("idx") === col("keep.idx"))
+      .select(col(idCol), col("idx"), col("chunk"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(struct(idx, chunk))), x -> x.chunk)"),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
+  }
+}
