@@ -475,6 +475,33 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(Cumulative.globalScan(df, index, valueCol, outCol, Cumulative.SumOp), index)
   }
 
+  /** UNGROUPED df.shift(periods) in index order (negative = lead) —
+    * distributed row-number + self-join, never a single-partition
+    * window ([[graft.operators.ShiftGlobal]]).
+    */
+  def shiftGlobal(valueCol: String, periods: Int = 1,
+                  outCol: String = ""): GFrame = {
+    require(index.nonEmpty, "global shift needs an index order")
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_shift"
+    GFrame(graft.operators.ShiftGlobal.shift(df, index, valueCol, periods, out), index)
+  }
+
+  /** UNGROUPED df.diff(periods) in index order. */
+  def diffGlobal(valueCol: String, periods: Int = 1,
+                 outCol: String = ""): GFrame = {
+    require(index.nonEmpty, "global diff needs an index order")
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_diff"
+    GFrame(graft.operators.ShiftGlobal.diff(df, index, valueCol, periods, out), index)
+  }
+
+  /** UNGROUPED df.pct_change(periods) in index order. */
+  def pctChangeGlobal(valueCol: String, periods: Int = 1,
+                      outCol: String = ""): GFrame = {
+    require(index.nonEmpty, "global pct_change needs an index order")
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_pct"
+    GFrame(graft.operators.ShiftGlobal.pctChange(df, index, valueCol, periods, out), index)
+  }
+
   /** cut(breaks): fixed-width binning — bin i covers
     * (breaks(i), breaks(i+1)], right-closed like pandas cut; values
     * outside the break range get null. Pure when-chain, stays in the

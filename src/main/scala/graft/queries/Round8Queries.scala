@@ -494,6 +494,37 @@ object Round8Queries {
                coalesce(tot.n_total, 0) AS n_total
              FROM documents d
              LEFT JOIN tot ON d.doc_id = tot.doc_id
-             LEFT JOIN k ON d.doc_id = k.doc_id"""))
+             LEFT JOIN k ON d.doc_id = k.doc_id""")),
+
+    // §2.5-adjacent: UNGROUPED shift/diff/pct_change in index order
+    // (pandas df.shift/diff/pct_change; the grouped twins are q107/
+    // q129-family). Distributed row-number + self-join — never the
+    // single-partition `lag() OVER (ORDER BY ...)` plan
+    // (operators/ShiftGlobal.scala). periods=-2 exercises the lead
+    // direction through the same join.
+    "q214_shift_global" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        GFrame(Tables.orders(s, d)).setIndex("o_orderkey")
+          .shiftGlobal("o_totalprice", 1, "prev_price")
+          .diffGlobal("o_totalprice", 1, "price_diff")
+          .pctChangeGlobal("o_totalprice", 1, "price_pct")
+          .shiftGlobal("o_totalprice", -2, "lead2_price")
+          .df
+          .select(col("o_orderkey"),
+            Num.rnd(col("prev_price"), 2).as("prev_price"),
+            Num.rnd(col("price_diff"), 2).as("price_diff"),
+            Num.rnd(col("price_pct"), 6).as("price_pct"),
+            Num.rnd(col("lead2_price"), 2).as("lead2_price"))
+      },
+      Some("""SELECT o_orderkey,
+               round(lag(o_totalprice, 1) OVER w * 100) / 100 AS prev_price,
+               round((o_totalprice - lag(o_totalprice, 1) OVER w) * 100) / 100
+                 AS price_diff,
+               round(((o_totalprice - lag(o_totalprice, 1) OVER w) /
+                 lag(o_totalprice, 1) OVER w) * 1e6) / 1e6 AS price_pct,
+               round(lead(o_totalprice, 2) OVER w * 100) / 100 AS lead2_price
+             FROM orders
+             WINDOW w AS (ORDER BY o_orderkey)"""))
   )
 }
