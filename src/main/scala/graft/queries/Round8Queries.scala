@@ -55,6 +55,8 @@ object Round8Queries {
     // because both sides compare the identical double.
     "q199_tpch_q2" -> QueryDef(
       (s, d) => {
+        // cached: `eu` feeds both the per-part min and the final join —
+        // without it the whole lineitem->dims subtree is scanned twice.
         val eu = psCost(s, d)
           .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
@@ -63,6 +65,7 @@ object Round8Queries {
           .join(Tables.part(s, d)
               .filter(col("p_size") <= 10 && col("p_type") === "STANDARD"),
             col("ps_partkey") === col("p_partkey"))
+          .cache()
         val mn = eu.groupBy(col("p_partkey").as("mk"))
           .agg(min(col("ps_supplycost")).as("mc"))
         eu.join(mn, col("p_partkey") === col("mk") &&
@@ -276,8 +279,12 @@ object Round8Queries {
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(Tables.nation(s, d).filter(col("n_name") === "NATION_0"),
             col("s_nationkey") === col("n_nationkey"))
+        // cached: the aggregate is tiny (one row per part) but feeds
+        // both the threshold scalar and the output — uncached, the
+        // lineitem scan + joins would run twice.
         val perPart = base.groupBy(col("l_partkey").as("ps_partkey"))
           .agg(sum(Num.dec2(col("l_extendedprice"))).as("value_d"))
+          .cache()
         val total = perPart.agg(sum(col("value_d")).as("total_d"))
         perPart.crossJoin(broadcast(total))
           .filter(col("value_d").cast("double") > col("total_d").cast("double") * 0.01)
@@ -387,6 +394,7 @@ object Round8Queries {
           .groupBy(col("l_suppkey"))
           .agg(sum(Num.dec2(col("l_extendedprice")) *
             (lit(1) - Num.dec2(col("l_discount")))).as("rev_d"))
+          .cache() // feeds both max() and the equality filter
         val mx = rev.agg(max(col("rev_d")).as("mx_d"))
         rev.crossJoin(broadcast(mx))
           .filter(col("rev_d") === col("mx_d"))
