@@ -215,10 +215,22 @@ object Round8Queries {
         val amount = Num.dec2(col("l_extendedprice")) *
           (lit(1) - Num.dec2(col("l_discount"))) -
           cost6 * Num.dec2(col("l_quantity"))
-        Tables.lineitem(s, d)
-          .join(Tables.part(s, d).filter(col("p_name").like("%widget%")),
+        // Push the part filter BELOW the ps derivation: the per-pair
+        // min is computed only from rows of that pair's partkey, so
+        // restricting to qualifying partkeys first preserves every
+        // surviving pair's min while the fact table is scanned ONCE
+        // (cached) instead of twice — at 100 TB this halves the
+        // dominant cost and shrinks the ps shuffle to matching parts.
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_name").like("%widget%"))
+              .select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"))
-          .join(psCost(s, d), col("l_partkey") === col("ps_partkey") &&
+          .cache()
+        val ps = li.groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+        li.join(ps, col("l_partkey") === col("ps_partkey") &&
             col("l_suppkey") === col("ps_suppkey"))
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
@@ -237,7 +249,8 @@ object Round8Queries {
              JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
              JOIN supplier ON l_suppkey = s_suppkey
              JOIN nation ON s_nationkey = n_nationkey
-             GROUP BY 1, 2""")),
+             GROUP BY 1, 2"""),
+      headline = true),
 
     // Q10: returned-item revenue by customer for a quarter, top 20.
     // Ordered on the ROUNDED revenue with c_custkey tiebreak so the
@@ -502,7 +515,8 @@ object Round8Queries {
                coalesce(tot.n_total, 0) AS n_total
              FROM documents d
              LEFT JOIN tot ON d.doc_id = tot.doc_id
-             LEFT JOIN k ON d.doc_id = k.doc_id""")),
+             LEFT JOIN k ON d.doc_id = k.doc_id"""),
+      headline = true),
 
     // §2.5-adjacent: UNGROUPED shift/diff/pct_change in index order
     // (pandas df.shift/diff/pct_change; the grouped twins are q107/
