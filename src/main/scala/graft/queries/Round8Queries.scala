@@ -518,6 +518,39 @@ object Round8Queries {
              LEFT JOIN k ON d.doc_id = k.doc_id"""),
       headline = true),
 
+    // STREAMING twin of q213: the chunk election (the only stateful
+    // stage — one (hash → (doc_id, idx)) row per distinct chunk) runs
+    // over the streamed corpus; reassembly is a stateless batch join
+    // after the drain. min() is order-independent, so the stream
+    // converges to the batch answer for any microbatch split
+    // (DocStreamsSpec pins the 2-batch case); same oracle as q213.
+    "q215_stream_chunk_dedup" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.chunkDedupStream(s, d, k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+             c AS (SELECT doc_id, i AS idx,
+                     array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS chunk
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(CAST((len(toks) + 9) // 10 AS BIGINT))) AS i
+                         FROM t WHERE len(toks) > 0)),
+             r AS (SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                       ORDER BY doc_id, idx) AS rn
+                   FROM c),
+             k AS (SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY idx) AS text_clean,
+                     CAST(count(*) AS BIGINT) AS n_kept
+                   FROM r WHERE rn = 1 GROUP BY 1),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                     FROM c GROUP BY 1)
+             SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(tot.n_total, 0) AS n_total
+             FROM documents d
+             LEFT JOIN tot ON d.doc_id = tot.doc_id
+             LEFT JOIN k ON d.doc_id = k.doc_id""")),
+
     // §2.5-adjacent: UNGROUPED shift/diff/pct_change in index order
     // (pandas df.shift/diff/pct_change; the grouped twins are q107/
     // q129-family). Distributed row-number + self-join — never the

@@ -334,6 +334,28 @@ object DocStreams {
     run(spark, hits, "graft_stream_decontam")
   }
 
+  /** Streaming chunk-level dedup election (the stateful half of
+    * [[graft.text.ChunkDedup]]): documents arrive continuously, chunks
+    * are cut in the scan stage (stateless), and the only state is one
+    * (16-byte hash → (doc_id, idx)) row per DISTINCT chunk — the
+    * minimum election is order-independent, so the streamed result
+    * converges to the batch election no matter how documents split
+    * across microbatches. Reassembly is a stateless batch join
+    * afterwards (ChunkDedup.assemble), the same
+    * elect-in-stream/finish-in-batch split as q150's verify.
+    */
+  def chunkDedupStream(spark: SparkSession, sfDir: String,
+                       k: Int = 10): DataFrame = {
+    import graft.text.ChunkDedup
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val elected = run(spark,
+      ChunkDedup.elect(ChunkDedup.chunks(stream, "doc_id", "text", k), "doc_id"),
+      "graft_stream_chunk_elect")
+    val docs = graft.Tables.documents(spark, sfDir)
+    ChunkDedup.assemble(docs, ChunkDedup.chunks(docs, "doc_id", "text", k),
+      elected, "doc_id")
+  }
+
   def run(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q = streamed.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()

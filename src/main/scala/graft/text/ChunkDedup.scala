@@ -17,8 +17,62 @@ import org.apache.spark.sql.functions._
   * the chunk text twice), one equi-join back, and one per-doc
   * reassembly groupBy. No windows, no driver-side state; every stage
   * is a plain hash shuffle that scales with corpus size.
+  *
+  * The stages are exposed separately so the election can also run over
+  * a STREAM ([[graft.streaming.DocStreams.chunkDedupStream]]): `min`
+  * is order-independent, so the streamed election converges to the
+  * batch answer regardless of microbatch boundaries.
   */
 object ChunkDedup {
+
+  /** Explode to one row per chunk: (idCol, idx, chunk, h) where h is
+    * the 16-hex-char md5 prefix used as the dedup key. Stateless —
+    * works identically on a batch frame or a streaming source.
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        expr(s"filter(split($textCol, ' '), x -> x != '')").as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, cast((size(__t) + ${k - 1}) / $k as int) - 1), " +
+          s"i -> struct(i as idx, array_join(slice(__t, i * $k + 1, $k), ' ') as chunk))"))
+        .as("c"))
+      .select(col(idCol), col("c.idx").as("idx"),
+        col("c.chunk").as("chunk"),
+        substring(md5(col("c.chunk")), 1, 16).as("h"))
+
+  /** First global occurrence per chunk hash: partial-aggregatable
+    * lexicographic min over (doc_id, idx) — no window sort. On a
+    * stream this is the one stateful operator (state = 16-byte key +
+    * one (long,int) struct per distinct chunk).
+    */
+  def elect(chunksDf: DataFrame, idCol: String): DataFrame =
+    chunksDf.groupBy(col("h").as("kh"))
+      .agg(min(struct(col(idCol), col("idx"))).as("keep"))
+
+  /** Join the election back to the (batch) chunk set and reassemble
+    * each document from its surviving chunks, in order.
+    */
+  def assemble(df: DataFrame, chunksDf: DataFrame, elected: DataFrame,
+               idCol: String): DataFrame = {
+    val kept = chunksDf.join(elected,
+      col("h") === col("kh") &&
+        col(idCol) === col(s"keep.$idCol") && col("idx") === col("keep.idx"))
+      .select(col(idCol), col("idx"), col("chunk"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(struct(idx, chunk))), x -> x.chunk)"),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunksDf.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
+  }
 
   /** Rewrite `df` keeping only globally-first occurrences of each
     * `k`-token chunk.
@@ -29,37 +83,7 @@ object ChunkDedup {
     * downstream length filter is a separate policy decision).
     */
   def rewrite(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
-    val toks = expr(s"filter(split($textCol, ' '), x -> x != '')")
-    val chunks = df
-      .select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) > 0)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, cast((size(__t) + ${k - 1}) / $k as int) - 1), " +
-          s"i -> struct(i as idx, array_join(slice(__t, i * $k + 1, $k), ' ') as chunk))"))
-        .as("c"))
-      .select(col(idCol), col("c.idx").as("idx"),
-        col("c.chunk").as("chunk"),
-        substring(md5(col("c.chunk")), 1, 16).as("h"))
-    // first global occurrence per chunk hash: partial-aggregatable
-    // lexicographic min over (doc_id, idx) — no window sort.
-    val first = chunks.groupBy(col("h").as("kh"))
-      .agg(min(struct(col(idCol), col("idx"))).as("keep"))
-    val kept = chunks.join(first,
-      col("h") === col("kh") &&
-        col(idCol) === col(s"keep.$idCol") && col("idx") === col("keep.idx"))
-      .select(col(idCol), col("idx"), col("chunk"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(
-        array_join(expr("transform(sort_array(collect_list(struct(idx, chunk))), x -> x.chunk)"),
-          " ").as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
-    df.select(col(idCol))
-      .join(totals, Seq(idCol), "left_outer")
-      .join(rebuilt, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_total"), lit(0L)).as("n_total"))
+    val c = chunks(df, idCol, textCol, k)
+    assemble(df, c, elect(c, idCol), idCol)
   }
 }

@@ -93,4 +93,29 @@ class DocStreamsSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("streamed chunk election equals batch rewrite across microbatches") {
+    import graft.text.ChunkDedup
+    val docs = Tables.documents(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/doc_stream_chunk_spec"
+    // duplicates of a chunk land in DIFFERENT microbatches; the
+    // election must still pick the global (doc_id, idx) minimum
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream.schema(DocStreams.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val elected = DocStreams.run(spark,
+      ChunkDedup.elect(ChunkDedup.chunks(streamed, "doc_id", "text", 10), "doc_id"),
+      "doc_stream_chunk_spec")
+    val got = ChunkDedup.assemble(docs,
+        ChunkDedup.chunks(docs, "doc_id", "text", 10), elected, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = ChunkDedup.rewrite(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(want.exists(_._3 != 0))
+  }
 }
