@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.ImageQueries.defs ++
     graft.queries.Round7Queries.defs ++
     graft.queries.Round8Queries.defs ++
-    graft.queries.LayoutQueries.defs
+    graft.queries.LayoutQueries.defs ++
+    graft.queries.Round9Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

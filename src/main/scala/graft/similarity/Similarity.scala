@@ -278,4 +278,42 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): assign every vector to its nearest pretrained
+    * centroid cell, search for duplicates ONLY within the cell, and
+    * keep the lowest-id member of each threshold neighborhood.
+    *
+    * Why this is the 100 TB semantic-dedup route: the quadratic pair
+    * search is confined to a cell (corpus/k rows), cells are processed
+    * independently (one equi-join shuffle on `cell`, pair enumeration
+    * partition-local with the cosine residual evaluated as rows
+    * stream — nothing corpus-wide is ever materialized), and k grows
+    * with the corpus so cell size stays bounded. Contrast q57/q146's
+    * exact all-pairs tiling, which is corpus-quadratic by contract.
+    *
+    * Election rule: a vector is dropped iff SOME lower-id vector in its
+    * cell is ≥ `threshold`-similar (min-id dominance) — deterministic
+    * and single-join, where the paper elects by distance-to-centroid
+    * within an ε-ball; either way one representative per duplicate
+    * neighborhood survives. Similarity is rounded to 6 digits before
+    * the threshold compare (same boundary contract as [[cosinePairs]]).
+    *
+    * Returns (vec_id, cell, kept).
+    */
+  def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", model.cell(col("embedding")).cast("int"))
+    val dominated = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+          graft.functions.Num.rnd(
+            cosine(col("x.embedding"), col("y.embedding")), 6) >= lit(threshold),
+        "left_semi")
+      .select(col("vec_id"))
+    assigned
+      .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
+  }
 }

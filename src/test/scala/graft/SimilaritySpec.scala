@@ -83,4 +83,54 @@ class SimilaritySpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"))
     assert(!physical.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("semDedup matches a driver-side naive computation and keeps one rep per neighborhood") {
+    import graft.similarity.{IVF, IVFCentroids}
+    val e = Tables.embeddings(spark, sf)
+    val model = IVF.Model(IVFCentroids.pretrained)
+    val got = Similarity.semDedup(e, model, 0.4).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+
+    // naive reference: same cell assignment + min-id dominance
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = IVFCentroids.pretrained
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.minBy { j =>
+        val c = cents(j)
+        val d2 = v.map(x => x * x).sum - 2.0 * v.zip(c).map { case (x, y) => x * y }.sum +
+          c.map(x => x * x).sum
+        (d2, j)
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val byCell = vecs.groupBy { case (_, v) => cellOf(v) }
+    val expect = byCell.toSeq.flatMap { case (cell, members) =>
+      members.toSeq.map { case (id, v) =>
+        val dominated = members.exists { case (oid, ov) =>
+          oid < id && rnd6(cos(v, ov)) >= 0.4
+        }
+        id -> ((cell, !dominated))
+      }
+    }.toMap
+    assert(got.size === expect.size)
+    // cells must agree exactly; kept flags may differ only where the
+    // rounded similarity sits exactly on the threshold boundary AND
+    // double summation order differs — require full agreement here
+    // (the oracle gate at sf0.01 enforces the same).
+    expect.foreach { case (id, (cell, kept)) =>
+      assert(got(id)._1 === cell, s"cell mismatch for $id")
+      assert(got(id)._2 === kept, s"kept mismatch for $id")
+    }
+    // at least one duplicate must actually be dropped for the test to bite
+    assert(got.values.exists(!_._2))
+    assert(got.values.exists(_._2))
+    // scale shape: equi-join on cell, never a nested loop
+    val plan = Similarity.semDedup(e, model, 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
