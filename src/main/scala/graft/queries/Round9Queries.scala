@@ -30,6 +30,57 @@ object Round9Queries {
                FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
                  AND round(${sqlCos("x.embedding", "y.embedding")} * 1e6) / 1e6 >= 0.4)
              SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
-             FROM a LEFT JOIN d ON a.vec_id = d.vec_id"""))
+             FROM a LEFT JOIN d ON a.vec_id = d.vec_id"""),
+      headline = true),
+
+    // real BPE tokenization (Sennrich merges, pretrained table) — the
+    // engine runs the rank-order merge kernel (text/Bpe.encodeKernel,
+    // scan-stage, zero shuffles); the oracle applies the IDENTICAL
+    // frozen merge table as delimiter-protected string replaces, which
+    // for a well-formed table is the same algorithm (see Bpe scaladoc;
+    // BpeSpec pins kernel ≡ fold-of-replaces bitwise). md5 of the
+    // delimited representation pins every token boundary.
+    "q217_bpe_tokenize" -> QueryDef(
+      (s, d) => graft.text.Bpe.encodeKernel(
+          Tables.documents(s, d), "doc_id", "text",
+          graft.text.Bpe.Model(graft.text.BpeMerges.pretrained))
+        .select(col("doc_id"), col("n_tok"), md5(col("bpe_repr")).as("bpe_md5")),
+      Some(s"""WITH e AS (SELECT doc_id, $bpeReprSql AS r FROM documents)
+             SELECT doc_id,
+               CAST(len(r) - len(replace(r, '(', '')) AS BIGINT) AS n_tok,
+               md5(r) AS bpe_md5
+             FROM e"""),
+      headline = true),
+
+    // BPE vocabulary usage: corpus-wide token frequencies, top 30 —
+    // the vocab-coverage check a tokenizer rollout runs (complement of
+    // q177's whitespace-token variant). Explode is scan-stage; the agg
+    // is one hashagg shuffle on the (tiny) token vocabulary; top-30 is
+    // TakeOrderedAndProject, no global sort.
+    "q218_bpe_vocab" -> QueryDef(
+      (s, d) => graft.text.Bpe.encodeKernel(
+          Tables.documents(s, d), "doc_id", "text",
+          graft.text.Bpe.Model(graft.text.BpeMerges.pretrained))
+        .select(explode(split(col("bpe_repr"), "[)( ]+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(30),
+      Some(s"""WITH e AS (SELECT doc_id, $bpeReprSql AS r FROM documents),
+             t AS (SELECT unnest(regexp_split_to_array(r, '[)( ]+')) AS tok FROM e)
+             SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+             WHERE len(tok) > 0
+             GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 30"""))
   )
+
+  /** DuckDB twin of Bpe.reprColumn over the frozen merge table: the
+    * identical base representation and fold of replaces.
+    */
+  private def bpeReprSql: String = {
+    val base = "regexp_replace(replace(replace(text, '(', ''), ')', ''), " +
+      "'([^ ])', '(\\1)', 'g')"
+    graft.text.BpeMerges.pretrained.foldLeft(base) { case (r, (x, y)) =>
+      s"replace($r, '($x)($y)', '($x$y)')"
+    }
+  }
 }
