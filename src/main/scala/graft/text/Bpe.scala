@@ -168,6 +168,13 @@ object Bpe {
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // word-level memoization — corpus words follow a Zipf
+        // distribution, so most encodes are cache hits (the standard
+        // tokenizer trick; GPT-2's encoder caches identically). Cache
+        // value = (delimited repr, token count). Bounded: natural-text
+        // vocabularies are small relative to a partition; cleared per
+        // partition.
+        val cache = new java.util.HashMap[String, (String, Int)]()
         it.map { case (id, text) =>
           val clean =
             if (text == null) "" else text.replace("(", "").replace(")", "")
@@ -177,17 +184,25 @@ object Bpe {
           var wi = 0
           while (wi < words.length) {
             if (wi > 0) sb.append(' ')
-            var toks = words(wi).map(_.toString).toArray
-            var mi = 0
-            while (mi < merges.length) {
-              if (toks.length > 1) toks = mergePass(toks, merges(mi)._1, merges(mi)._2)
-              mi += 1
+            val w = words(wi)
+            var enc = cache.get(w)
+            if (enc == null) {
+              var toks = w.map(_.toString).toArray
+              var mi = 0
+              while (mi < merges.length) {
+                if (toks.length > 1) toks = mergePass(toks, merges(mi)._1, merges(mi)._2)
+                mi += 1
+              }
+              val wsb = new StringBuilder
+              var ti = 0
+              while (ti < toks.length) {
+                wsb.append('(').append(toks(ti)).append(')'); ti += 1
+              }
+              enc = (wsb.toString, toks.length)
+              cache.put(w, enc)
             }
-            nTok += toks.length
-            var ti = 0
-            while (ti < toks.length) {
-              sb.append('(').append(toks(ti)).append(')'); ti += 1
-            }
+            sb.append(enc._1)
+            nTok += enc._2
             wi += 1
           }
           (id, sb.toString, nTok)
