@@ -51,7 +51,9 @@ object ScaleSmoke {
       // round 6 (documents-based; events queries need the nanos read
       // path the derived dir doesn't reproduce, and q165's streaming
       // stage expects a single-file corpus)
-      "q160_repetition_filter", "q166_minhash_dedup", "q169_substring_dup")
+      "q160_repetition_filter", "q166_minhash_dedup", "q169_substring_dup",
+      // round 9: BPE encode is scan-stage linear; runs with the frozen table
+      "q217_bpe_tokenize")
     val qmap = SparkEntry.queries
     names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
     val results = names.map { n =>
@@ -90,7 +92,18 @@ object ScaleSmoke {
       }),
       "op_session_window" -> (() =>
         ev10.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1))).count()))
+          .agg(count(lit(1))).count()),
+      // SemDeDup at scale: k grows with the corpus (cell size constant —
+      // the paper's operating point and the reason pair work stays
+      // linear). The frozen k=8 q216 model is the GATE configuration;
+      // here we refit k=8×mult on the scaled corpus, so this times the
+      // real 10× deployment shape: fit-on-sample + assign + in-cell
+      // pairs.
+      "op_semdedup_scaledk" -> (() => {
+        val e10 = Tables.embeddings(spark, out)
+        val model = graft.similarity.IVF.fit(e10, 8 * mult, seed = 42L)
+        graft.similarity.Similarity.semDedup(e10, model, 0.4).count()
+      }))
     val opResults = opSmokes.map { case (n, f) =>
       val t0 = System.nanoTime()
       val rows = try f() catch { case e: Throwable =>
