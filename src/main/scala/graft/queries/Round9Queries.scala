@@ -70,7 +70,55 @@ object Round9Queries {
              t AS (SELECT unnest(regexp_split_to_array(r, '[)( ]+')) AS tok FROM e)
              SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
              WHERE len(tok) > 0
-             GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 30"""))
+             GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 30""")),
+
+    // STREAMING twin of q217: tokenize documents as they arrive. The
+    // transform is a stateless scan-stage map, so streaming output ==
+    // batch output row-for-row (no state/watermark to diverge); same
+    // oracle as q217.
+    "q219_stream_bpe" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.bpeStream(s, d),
+      Some(s"""WITH e AS (SELECT doc_id, $bpeReprSql AS r FROM documents)
+             SELECT doc_id,
+               CAST(len(r) - len(replace(r, '(', '')) AS BIGINT) AS n_tok,
+               md5(r) AS bpe_md5
+             FROM e""")),
+
+    // end-to-end sequence construction: BPE-count every document, lay
+    // the corpus out as one token stream in doc_id order, cut it into
+    // fixed 2048-token context windows (concat-then-chunk, the GPT
+    // pretraining packing; a doc's window is determined by its START
+    // offset). Composition: scan-stage BPE kernel → two-phase global
+    // cumsum (no 1-partition window) → hashagg by window. Token sums
+    // stay < 2^53, so the double-typed scan is exact.
+    "q220_bpe_pack" -> QueryDef(
+      (s, d) => {
+        val counted = graft.text.Bpe.encodeKernel(
+            Tables.documents(s, d), "doc_id", "text",
+            graft.text.Bpe.Model(graft.text.BpeMerges.pretrained))
+          .select(col("doc_id"), col("n_tok"))
+        graft.operators.Cumulative.globalScan(
+            counted, Seq("doc_id"), "n_tok", "cum",
+            graft.operators.Cumulative.SumOp)
+          .withColumn("seq", expr("(CAST(cum AS BIGINT) - n_tok) div 2048"))
+          .groupBy("seq")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tok"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""WITH e AS (SELECT doc_id, $bpeReprSql AS r FROM documents),
+             n AS (SELECT doc_id,
+                     CAST(len(r) - len(replace(r, '(', '')) AS BIGINT) AS n_tok
+                   FROM e),
+             c AS (SELECT doc_id, n_tok,
+                     sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM n)
+             SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+             FROM c GROUP BY 1"""))
   )
 
   /** DuckDB twin of Bpe.reprColumn over the frozen merge table: the

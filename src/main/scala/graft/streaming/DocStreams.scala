@@ -364,6 +364,33 @@ object DocStreams {
     spark.table(name)
   }
 
+  /** Append-mode twin of [[run]] for STATELESS transforms (per-row maps
+    * like tokenization — no aggregation, so "complete" is illegal and
+    * unnecessary; each microbatch appends its rows once).
+    */
+  def runAppend(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming BPE tokenization — the ingest-time twin of batch q217.
+    * Stateless scan-stage map (the merge table rides the closure), so
+    * the result is microbatch-invariant by construction: no state, no
+    * watermark, each doc encoded exactly once on arrival.
+    */
+  def bpeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.{Bpe, BpeMerges}
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val enc = Bpe.encodeKernel(stream, "doc_id", "text",
+        Bpe.Model(BpeMerges.pretrained))
+      .select(col("doc_id"), col("n_tok"),
+        org.apache.spark.sql.functions.md5(col("bpe_repr")).as("bpe_md5"))
+    runAppend(spark, enc, "graft_stream_bpe")
+  }
+
   /** The raw document stream schema, for spec-built sources. */
   def schema: StructType = docSchema
 }

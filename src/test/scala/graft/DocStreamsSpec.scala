@@ -118,4 +118,26 @@ class DocStreamsSpec extends SparkSpec {
     assert(got === want)
     assert(want.exists(_._3 != 0))
   }
+
+  test("streaming BPE encode equals batch encode across microbatches") {
+    import graft.text.{Bpe, BpeMerges}
+    val docs = Tables.documents(spark, sf).cache()
+    val dir = "/root/repo/target/tmp/doc_stream_bpe_spec"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    val streamed = spark.readStream.schema(DocStreams.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val model = Bpe.Model(BpeMerges.pretrained)
+    val got = DocStreams.runAppend(spark,
+        Bpe.encodeKernel(streamed, "doc_id", "text", model),
+        "doc_stream_bpe_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Bpe.encodeKernel(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === docs.count())
+  }
 }
