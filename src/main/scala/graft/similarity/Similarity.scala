@@ -303,9 +303,14 @@ object Similarity {
     * Returns (vec_id, cell, kept).
     */
   def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
+    // `assigned` feeds three consumers (both pair-join sides + the kept
+    // join); cached so the corpus is scanned and cell-assigned once —
+    // at 100 TB this materialization is a checkpoint to storage, same
+    // plan shape (see PLANS.md round 9).
     val assigned = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", model.cell(col("embedding")).cast("int"))
+      .cache()
     val dominated = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
           graft.functions.Num.rnd(
