@@ -161,7 +161,11 @@ object ScaleSmoke {
     // Its bounded twin q198 (w=8 winnow sampling) takes its slot;
     // select q169 explicitly via SPARK_GRAFT_SMOKE_NAMES to reproduce.
     val all = Seq("q55_minhash_lsh", "q138_neardup_prefix", "q166_minhash_dedup",
-      "q54_ngram_jaccard", "q198_substring_dup_winnowed", "q194_incremental_dedup")
+      "q54_ngram_jaccard", "q198_substring_dup_winnowed", "q194_incremental_dedup",
+      // BPE encode: linear scan path; the salt multiplies the VOCAB 100×
+      // (each copy's words are distinct), so this also stresses the
+      // per-partition word cache under vocabulary growth.
+      "q217_bpe_tokenize")
     val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
       .map(_.split(",").toSeq).getOrElse(all)
     // Shuffle files live until their shuffle dependency is GC'd
