@@ -124,7 +124,7 @@ object Round9Queries {
   /** DuckDB twin of Bpe.reprColumn over the frozen merge table: the
     * identical base representation and fold of replaces.
     */
-  private def bpeReprSql: String = {
+  private[queries] def bpeReprSql: String = {
     val base = "regexp_replace(replace(replace(text, '(', ''), ')', ''), " +
       "'([^ ])', '(\\1)', 'g')"
     graft.text.BpeMerges.pretrained.foldLeft(base) { case (r, (x, y)) =>

@@ -168,45 +168,78 @@ object Bpe {
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        // word-level memoization — corpus words follow a Zipf
-        // distribution, so most encodes are cache hits (the standard
-        // tokenizer trick; GPT-2's encoder caches identically). Cache
-        // value = (delimited repr, token count). Bounded: natural-text
-        // vocabularies are small relative to a partition; cleared per
-        // partition.
-        val cache = new java.util.HashMap[String, (String, Int)]()
+        val enc = new PartitionEncoder(merges)
         it.map { case (id, text) =>
-          val clean =
-            if (text == null) "" else text.replace("(", "").replace(")", "")
-          val sb = new StringBuilder
-          val words = clean.split(" ", -1)
-          var nTok = 0L
-          var wi = 0
-          while (wi < words.length) {
-            if (wi > 0) sb.append(' ')
-            val w = words(wi)
-            var enc = cache.get(w)
-            if (enc == null) {
-              var toks = w.map(_.toString).toArray
-              var mi = 0
-              while (mi < merges.length) {
-                if (toks.length > 1) toks = mergePass(toks, merges(mi)._1, merges(mi)._2)
-                mi += 1
-              }
-              val wsb = new StringBuilder
-              var ti = 0
-              while (ti < toks.length) {
-                wsb.append('(').append(toks(ti)).append(')'); ti += 1
-              }
-              enc = (wsb.toString, toks.length)
-              cache.put(w, enc)
-            }
-            sb.append(enc._1)
-            nTok += enc._2
-            wi += 1
-          }
-          (id, sb.toString, nTok)
+          val (repr, nTok) = enc.encode(text)
+          (id, repr, nTok)
         }
       }.toDF(idCol, "bpe_repr", "n_tok")
+  }
+
+  /** [[encodeKernel]] that KEEPS every input column, appending
+    * `bpe_repr` / `n_tok` — for pipelines that need the count next to
+    * the document's other attributes (mixing, packing) without a
+    * join-back shuffle. Same scan-stage shape, Row-based so the schema
+    * passes through.
+    */
+  def encodeWith(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val prepared = df.withColumn(textCol, col(textCol).cast("string"))
+    val merges = model.merges.toArray
+    val ti = prepared.schema.fieldIndex(textCol)
+    val outSchema = prepared.schema
+      .add("bpe_repr", StringType).add("n_tok", LongType)
+    prepared.mapPartitions { it =>
+      val enc = new PartitionEncoder(merges)
+      it.map { r =>
+        val (repr, nTok) = enc.encode(if (r.isNullAt(ti)) null else r.getString(ti))
+        Row.fromSeq(r.toSeq :+ repr :+ nTok)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Partition-local encode state for the kernel paths: the merge loop
+    * plus word-level memoization — corpus words follow a Zipf
+    * distribution, so most encodes are cache hits (the standard
+    * tokenizer trick; GPT-2's encoder caches identically). Cache value =
+    * (delimited repr, token count). Bounded: natural-text vocabularies
+    * are small relative to a partition; one cache per task.
+    */
+  private final class PartitionEncoder(merges: Array[(String, String)]) {
+    private val cache = new java.util.HashMap[String, (String, Int)]()
+
+    def encode(text: String): (String, Long) = {
+      val clean =
+        if (text == null) "" else text.replace("(", "").replace(")", "")
+      val sb = new StringBuilder
+      val words = clean.split(" ", -1)
+      var nTok = 0L
+      var wi = 0
+      while (wi < words.length) {
+        if (wi > 0) sb.append(' ')
+        val w = words(wi)
+        var enc = cache.get(w)
+        if (enc == null) {
+          var toks = w.map(_.toString).toArray
+          var mi = 0
+          while (mi < merges.length) {
+            if (toks.length > 1) toks = mergePass(toks, merges(mi)._1, merges(mi)._2)
+            mi += 1
+          }
+          val wsb = new StringBuilder
+          var ti = 0
+          while (ti < toks.length) {
+            wsb.append('(').append(toks(ti)).append(')'); ti += 1
+          }
+          enc = (wsb.toString, toks.length)
+          cache.put(w, enc)
+        }
+        sb.append(enc._1)
+        nTok += enc._2
+        wi += 1
+      }
+      (sb.toString, nTok)
+    }
   }
 }
