@@ -560,6 +560,58 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(numbered.withColumn(outCol, bucket.cast("int")).drop("__rn"), index)
   }
 
+  // ---- training-data pipeline surface (beyond the reference) ----
+
+  /** Scan-stage quality score (TextStats) rounded to 6dp, appended as
+    * `outCol` — gate with `apply(col(outCol) >= t)`.
+    */
+  def scoreQuality(textCol: String, outCol: String = "quality"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.functions.Num.rnd(
+        graft.text.TextStats.qualityScore(col(textCol)), 6)), index)
+
+  /** Heuristic language ID appended as `outCol` (scan-stage). */
+  def withLangId(textCol: String, outCol: String = "lang_guess"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.text.TextStats.langId(col(textCol))), index)
+
+  /** Real-BPE tokenization: append `bpe_repr` / `n_tok` (scan-stage
+    * kernel, every existing column carried — see Bpe.encodeWith).
+    */
+  def tokenizeBpe(textCol: String, model: graft.text.Bpe.Model): GFrame =
+    GFrame(graft.text.Bpe.encodeWith(df, textCol, model), index)
+
+  /** Remove documents sharing any word n-gram with `eval`'s text
+    * (train/test decontamination — see Decontaminate).
+    */
+  def decontaminate(idCol: String, textCol: String, eval: GFrame,
+                    evalTextCol: String, n: Int): GFrame =
+    GFrame(graft.text.Decontaminate.clean(
+      df, idCol, textCol, eval.df, evalTextCol, n), index)
+
+  /** MinHash-LSH near-duplicate removal: keep each duplicate cluster's
+    * min-id representative (LSH candidates → exact-Jaccard verify →
+    * connected components — the q166 pipeline as an API call).
+    */
+  def dropNearDuplicates(idCol: String, textCol: String, n: Int = 3,
+                         threshold: Double = 0.5): GFrame = {
+    val pairs = graft.text.MinHash.nearDuplicates(df, idCol, textCol, n, threshold)
+    val losers = graft.operators.Components.connected(pairs, "id1", "id2")
+      .filter(col("rep") =!= col("id"))
+      .select(col("id").as(idCol))
+    GFrame(df.join(losers, Seq(idCol), "left_anti"), index)
+  }
+
+  /** SemDeDup over this frame's `vec_id`/`embedding` columns: keep only
+    * cluster-representative embeddings (Similarity.semDedup contract).
+    */
+  def semDedup(model: graft.similarity.IVF.Model,
+               threshold: Double): GFrame = {
+    val kept = graft.similarity.Similarity.semDedup(df, model, threshold)
+      .filter(col("kept")).select("vec_id")
+    GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
+  }
+
   // ---- IO (§2.1) ----
 
   /** Parquet sink that PERSISTS THE INDEX CONTRACT (reference

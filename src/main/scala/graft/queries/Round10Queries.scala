@@ -113,6 +113,66 @@ object Round10Queries {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
              FROM documents)
              SELECT r.doc_id, r.source, r.rk, t.target
-             FROM r JOIN t USING (source) WHERE r.rk <= t.target"""))
+             FROM r JOIN t USING (source) WHERE r.rk <= t.target""")),
+
+    // The assembled curation pipeline through the GFrame API — quality
+    // gate → decontaminate vs the eval split → real-BPE tokenize →
+    // per-source token totals. Exercises the pipeline wrappers
+    // end-to-end (each stage is oracle-proven alone by q102/q221/q217;
+    // this pins their COMPOSITION and the wrapper plumbing). All three
+    // text stages are scan-stage; the only data shuffles are the
+    // decontamination candidate join and the final per-source hashagg.
+    "q224_gframe_curation" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val docs = Tables.documents(s, d)
+        val eval = GFrame(docs.filter(col("source") === "src9"))
+        GFrame(docs.filter(col("source") =!= "src9")
+            .select("doc_id", "source", "text"))
+          .scoreQuality("text")
+          .apply(col("quality") >= 0.5)
+          .decontaminate("doc_id", "text", eval, "text", n = 4)
+          .tokenizeBpe("text", Bpe.Model(BpeMerges.pretrained))
+          .df.groupBy("source")
+          .agg(sum("n_tok").as("tot_tok"), count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, text FROM documents
+               WHERE source <> 'src9'
+                 AND round((${TextQueries.qualitySql}) * 1e6) / 1e6 >= 0.5),
+             tq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM q),
+             shq AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 3),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s FROM tq),
+             tev AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                     FROM documents WHERE source = 'src9'),
+             shev AS (SELECT list_distinct(list_transform(range(len(t) - 3),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s FROM tev),
+             ev AS (SELECT DISTINCT unnest(s) AS g FROM shev),
+             bad AS (SELECT DISTINCT doc_id
+               FROM (SELECT doc_id, unnest(s) AS g FROM shq) c JOIN ev USING (g)),
+             clean AS (SELECT q.* FROM q LEFT JOIN bad ON q.doc_id = bad.doc_id
+                       WHERE bad.doc_id IS NULL),
+             e AS (SELECT doc_id, source,
+               CAST(len(r) - len(replace(r, '(', '')) AS BIGINT) AS n_tok
+             FROM (SELECT doc_id, source, ${Round9Queries.bpeReprSql} AS r FROM clean))
+             SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+               CAST(count(*) AS BIGINT) AS n_docs
+             FROM e GROUP BY 1""")),
+
+    // STREAMING twin of q221: decontaminate documents as they arrive
+    // against the static eval gram set (stateless scan-stage
+    // intersect — see DocStreams.decontaminateStream). Same oracle as
+    // q221; streaming output == batch output row-for-row.
+    "q225_stream_decontaminate" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.decontaminateStream(s, d),
+      Some(s"""WITH $gram4Cte,
+             ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src9'),
+             hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+               FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src9') c
+               JOIN ev USING (g) GROUP BY 1)
+             SELECT d.doc_id,
+               CAST(coalesce(hit_grams, 0) AS BIGINT) AS hit_grams,
+               coalesce(hit_grams, 0) > 0 AS contaminated
+             FROM (SELECT doc_id FROM documents WHERE source <> 'src9') d
+             LEFT JOIN hits USING (doc_id)"""))
   )
 }

@@ -391,6 +391,34 @@ object DocStreams {
     runAppend(spark, enc, "graft_stream_bpe")
   }
 
+  /** Streaming decontamination — the ingest-time twin of batch q221:
+    * each arriving corpus document is checked against the STATIC eval
+    * gram set entirely in the scan stage. The eval set is
+    * benchmark-sized by contract, so its distinct grams collect to a
+    * driver array and ride the plan as one literal (sorted —
+    * deterministic); `array_intersect` against it is exact, so there
+    * are no bloom false positives to kill and no state — a stateless
+    * map, microbatch-invariant by construction. An eval set too large
+    * to collect is the batch q221 shape (bloom gate + verify join),
+    * not this one.
+    */
+  def decontaminateStream(spark: SparkSession, sfDir: String,
+                          n: Int = 4): DataFrame = {
+    import graft.text.Shingles
+    val evalGrams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source") === "src9")
+      .select(explode(Shingles.shingles(col("text"), n)).as("g"))
+      .distinct().orderBy("g")
+      .collect().map(_.getString(0)).toSeq
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("source") =!= "src9")
+    val out = stream.select(col("doc_id"),
+        size(array_intersect(Shingles.shingles(col("text"), n),
+          typedLit(evalGrams))).cast("long").as("hit_grams"))
+      .withColumn("contaminated", col("hit_grams") > 0)
+    runAppend(spark, out, "graft_stream_decontam")
+  }
+
   /** The raw document stream schema, for spec-built sources. */
   def schema: StructType = docSchema
 }

@@ -73,6 +73,35 @@ class Round10Spec extends SparkSpec {
     assert(srcs === docs.select("source").distinct().count())
   }
 
+  test("GFrame.dropNearDuplicates keeps exactly the q166 cluster representatives") {
+    import graft.api.GFrame
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.text.MinHash.nearDuplicates(docs, "doc_id", "text", 3, 0.5)
+    val losers = graft.operators.Components.connected(pairs, "id1", "id2")
+      .filter(col("rep") =!= col("id")).select("id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val kept = GFrame(docs).dropNearDuplicates("doc_id", "text")
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(losers.nonEmpty) // fixture actually has near-dups
+    assert(kept === (all -- losers))
+    // all columns survive
+    assert(GFrame(docs).dropNearDuplicates("doc_id", "text").df.columns.toSeq
+      === docs.columns.toSeq)
+  }
+
+  test("GFrame.semDedup keeps exactly Similarity.semDedup's kept ids") {
+    import graft.api.GFrame
+    import graft.similarity.{IVF, IVFCentroids, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val model = IVF.Model(IVFCentroids.pretrained)
+    val expect = Similarity.semDedup(emb, model, 0.4)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    val got = GFrame(emb).semDedup(model, 0.4)
+      .df.select("vec_id").as[Long].collect().toSet
+    assert(got === expect)
+    assert(expect.size < emb.count()) // some rows actually dropped
+  }
+
   test("encodeWith handles null text as empty (one empty token per word rule)") {
     val df = Seq((1L, Option("ab ab")), (2L, Option.empty[String]))
       .toDF("id", "text")
