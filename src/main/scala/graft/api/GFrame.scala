@@ -461,6 +461,62 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
       cs.tail.map(c => countDistinct(col(c)).as(c)): _*))
   }
 
+  /** pandas melt — wide→long, scan-stage explode (Reshape scaladoc). */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value"): GFrame =
+    GFrame(graft.operators.Reshape.melt(df, idVars, valueVars, varName, valueName))
+
+  /** pandas pivot_table — one hash agg; dictionary caller-supplied or
+    * cardinality-guarded (Reshape scaladoc).
+    */
+  def pivotTable(index: Seq[String], columns: String, values: String,
+                 aggFn: String = "mean",
+                 pivotValues: Option[Seq[String]] = None): GFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val f: Column => Column = aggFn match {
+      case "mean" => F.avg(_)
+      case "sum" => F.sum(_)
+      case "min" => F.min(_)
+      case "max" => F.max(_)
+      case "count" => F.count(_)
+      case other => throw new IllegalArgumentException(other)
+    }
+    GFrame(graft.operators.Reshape.pivotTable(df, index, columns, values, f, pivotValues), index)
+  }
+
+  /** pandas rank(method=average/min/max/dense) in one pass — appends
+    * all four as `<out>_min/_max/_avg/_dense` (RankMethods scaladoc:
+    * distinct-value scan + join-back, never a 1-partition window).
+    */
+  def rank(valueCol: String, out: String = "rank",
+           ascending: Boolean = true): GFrame =
+    GFrame(graft.operators.RankMethods.rank(df, valueCol, out, ascending), index)
+
+  /** Weighted sample WITHOUT replacement, n rows, deterministic
+    * (Efraimidis–Spirakis over md5 uniforms — WeightedSample scaladoc).
+    */
+  def sampleWeighted(n: Int, weightCol: String, idCol: String,
+                     salt: String = "es"): GFrame =
+    GFrame(graft.operators.WeightedSample.take(df, idCol, weightCol, n, salt), index)
+
+  /** pandas expanding().sum()/mean() over the index order — the global
+    * two-phase scan (Cumulative scaladoc), so no single-partition
+    * window.  Exactness: values are scaled to integer `cents` (10^scale)
+    * so the distributed partial sums are associative-exact in doubles up
+    * to 2^53 — the same trick as the decimal window aggregates.
+    */
+  def expanding(valueCol: String, scale: Int = 2): GFrame = {
+    require(index.nonEmpty, "expanding needs an index order")
+    val f = math.pow(10.0, scale)
+    val cents = df.withColumn("__cents", round(col(valueCol) * f))
+    val summed = Cumulative.globalScan(cents, index, "__cents", "__cum", Cumulative.SumOp)
+    val counted = Cumulative.globalRowNumber(summed, index, "__n")
+    GFrame(counted
+      .withColumn(s"${valueCol}_exp_sum", col("__cum") / lit(f))
+      .withColumn(s"${valueCol}_exp_mean", col("__cum") / lit(f) / col("__n"))
+      .drop("__cents", "__cum", "__n"), index)
+  }
+
   // ---- dtypes (§2.8) ----
 
   def astype(types: (String, String)*): GFrame =
@@ -767,6 +823,32 @@ final case class GGroupBy(frame: GFrame, keys: Seq[String]) {
     val out = if (outCol.nonEmpty) outCol else valueCol
     GFrame(graft.operators.Fill.interpolateGrouped(
       frame.df, keys, orderBy, valueCol, out), frame.index)
+  }
+
+  /** groupby(...).nunique(): distinct count per group and column. */
+  def nunique(cols: String*): GFrame = {
+    val cs = if (cols.nonEmpty) cols else
+      frame.df.columns.filterNot(keys.contains).toSeq
+    GFrame(frame.df.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col(cs.head)).as(cs.head),
+        cs.tail.map(c => countDistinct(col(c)).as(c)): _*), keys)
+  }
+
+  /** groupby(...).mode(): most frequent value per group, smallest value
+    * on ties (pandas returns all modes; one deterministic winner keeps
+    * the result a frame).  Two hash aggregations — (keys, value) counts,
+    * then a min(struct(−cnt, value)) election per group; never a window
+    * over raw rows.
+    */
+  def mode(valueCol: String, outCol: String = ""): GFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_mode"
+    val counts = frame.df.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__cnt"))
+    GFrame(counts.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.min(
+        struct((-col("__cnt")).as("nc"), col(valueCol).as("v"))).as("__m"))
+      .select(keys.map(col) :+ col("__m.v").as(out): _*), keys)
   }
 
   /** groupby(...).pct_change(): relative change vs the previous value. */

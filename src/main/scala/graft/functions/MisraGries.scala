@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra–Gries heavy-hitters sketch as a typed mergeable [[Aggregator]]
+  * (Misra & Gries 1982; the mergeable form is Agarwal et al., "Mergeable
+  * Summaries", PODS'12).
+  *
+  * Guarantee: every item with true frequency > N/(k+1) is in the final
+  * candidate set, where N is the total item count.  This is the
+  * scan-stage half of the scale-safe top-k-frequent plan (q232):
+  *
+  *   1. partial MG sketches per partition (bounded: ≤ k counters),
+  *      merged associatively — the exchange carries ≤ k (item, count)
+  *      pairs per partition, NOT one row per distinct item;
+  *   2. the ≤ k candidates broadcast back as a scan filter;
+  *   3. exact counts for candidates only — the groupBy shuffles only
+  *      rows whose item survived the filter.
+  *
+  * At 100 TB with a Zipf-ish vocabulary this replaces a full
+  * shuffle-every-word aggregation with a bounded sketch plus a
+  * candidate-only aggregation.  The sketch alone gives approximate
+  * counts; the verify pass makes the reported top-k EXACT (same
+  * sketch-then-verify shape as BloomGate).
+  *
+  * Buffer: Map[item → counter].  The merge sums counters, then applies
+  * the MG decrement: subtract the (k+1)-largest counter from all and
+  * drop non-positive ones — the standard mergeable-summaries reduction
+  * that preserves the error bound.
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] = {
+    if (x == null) return buf
+    buf.get(x) match {
+      case Some(c) => buf.updated(x, c + 1)
+      case None if buf.size < k => buf.updated(x, 1L)
+      case None => // decrement all; drop zeros (classic MG step)
+        buf.flatMap { case (w, c) => if (c > 1) Some(w -> (c - 1)) else None }
+    }
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (w, c)) =>
+      m.updated(w, m.getOrElse(w, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      val cut = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      sum.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
+    }
+  }
+
+  override def finish(buf: Map[String, Long]): Array[String] =
+    buf.keysIterator.toArray.sorted
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+  override def outputEncoder: Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+}
+
+object MisraGries {
+  /** Column form: `mg(k)(itemCol)` → sorted candidate array. */
+  def mg(k: Int): Column => Column = { c => udaf(new MisraGries(k)).apply(c) }
+
+  /** EXACT top-k most frequent items via the certified-sketch plan:
+    * one bounded-state MG pass (candidates + total count in the same
+    * aggregation), exact counts for candidates only, and a
+    * certification check — the kth candidate count must exceed
+    * N/(sketchK+1), the ceiling on any non-candidate's true count.  If
+    * the guarantee doesn't bind (vocabulary too flat for the sketch
+    * size), falls back to the full exact aggregation, so the result is
+    * exact top-k (count desc, item asc) in every case.
+    */
+  def topKFrequent(items: org.apache.spark.sql.DataFrame, itemCol: String,
+                   k: Int, sketchK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val row = items.agg(
+      mg(sketchK)(org.apache.spark.sql.functions.col(itemCol)).as("cand"),
+      count(org.apache.spark.sql.functions.col(itemCol)).as("n")).collect()(0)
+    val cand = row.getAs[scala.collection.Seq[String]](0).toArray
+    val n = row.getLong(1)
+    val threshold = n.toDouble / (sketchK + 1)
+    val exactAll: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+    val candTop = graft.operators.Sorts.topK(
+      exactAll(items.filter(org.apache.spark.sql.functions.col(itemCol)
+        .isin(cand.toIndexedSeq: _*))),
+      Seq("cnt", itemCol), Seq(false, true), k)
+    val topRows = candTop.collect() // ≤ k rows — the certification input
+    val certified = topRows.length == k &&
+      topRows.map(_.getLong(1)).min > threshold
+    if (certified) candTop
+    else graft.operators.Sorts.topK(exactAll(items),
+      Seq("cnt", itemCol), Seq(false, true), k)
+  }
+}

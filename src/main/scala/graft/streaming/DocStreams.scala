@@ -419,6 +419,29 @@ object DocStreams {
     runAppend(spark, out, "graft_stream_decontam")
   }
 
+  /** Streaming heavy hitters — the ingest-time twin of batch q232's
+    * vocabulary top-k: a stateful streaming word-count (state = one row
+    * per distinct word, hash-partitioned; the streaming analogue of the
+    * batch exact verify pass), with the top-k election done batch-side
+    * over the complete-mode result.  Counts are exact and
+    * microbatch-invariant (pure additive state), so the batch SQL
+    * oracle matches the streaming result bit-for-bit.
+    *
+    * At scale the state-per-word shape is the cost you pay for EXACT
+    * continuous counts; the bounded-memory alternative (a MisraGries
+    * sketch per state shard, candidates re-verified batch-side) is the
+    * batch q232 plan and drops in here unchanged if the vocabulary
+    * outgrows the state store.
+    */
+  def heavyHittersStream(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val counts = stream
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val table = run(spark, counts, "graft_stream_hh")
+    graft.operators.Sorts.topK(table, Seq("cnt", "word"), Seq(false, true), k)
+  }
+
   /** The raw document stream schema, for spec-built sources. */
   def schema: StructType = docSchema
 }
