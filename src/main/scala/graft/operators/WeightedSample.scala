@@ -44,4 +44,50 @@ object WeightedSample {
     val keyed = df.withColumn("__es", esKey(col(idCol), col(weightCol), salt))
     Sorts.topK(keyed, Seq("__es", idCol), Seq(false, true), k).drop("__es")
   }
+
+  /** Stratified weighted sampling: k-per-group A-ES via the GroupTopK
+    * physical operator — partial bounded heaps below the exchange, so
+    * each group moves at most k·numPartitions candidate rows.  The
+    * per-group analogue of [[take]]; same determinism contract.
+    */
+  def takePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                   weightCol: String, k: Int, salt: String = "es"): DataFrame = {
+    val keyed = df.withColumn("__es", esKey(col(idCol), col(weightCol), salt))
+    graft.plans.GroupTopK.topKPerKey(
+      keyed, groupCols, Seq("__es" -> true, idCol -> false), k).drop("__es")
+  }
+}
+
+/** One candidate row in the streaming A-ES reservoir. */
+final case class EsRow(key: Double, docId: Long, source: String, nChars: Long)
+
+/** Bounded top-k-by-A-ES-key reservoir as a typed mergeable
+  * [[Aggregator]] — the STREAMING form of weighted sampling without
+  * replacement.  The buffer is the running sample (≤ k rows, sorted by
+  * key desc / id asc); merge of two reservoirs is the top-k of their
+  * union, so the result is microbatch-invariant and identical to the
+  * batch [[WeightedSample.take]] on the same rows — one state row of
+  * O(k) regardless of stream length.
+  */
+class EsReservoir(k: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[EsRow, Seq[EsRow], Seq[EsRow]] {
+
+  private def better(a: EsRow, b: EsRow): Boolean =
+    a.key > b.key || (a.key == b.key && a.docId < b.docId)
+
+  override def zero: Seq[EsRow] = Seq.empty
+
+  override def reduce(buf: Seq[EsRow], x: EsRow): Seq[EsRow] =
+    merge(buf, Seq(x))
+
+  override def merge(a: Seq[EsRow], b: Seq[EsRow]): Seq[EsRow] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(buf: Seq[EsRow]): Seq[EsRow] = buf
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[EsRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EsRow]]()
+
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[EsRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EsRow]]()
 }

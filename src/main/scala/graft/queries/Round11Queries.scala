@@ -171,6 +171,32 @@ object Round11Queries {
                 cum / 100.0 / n AS o_totalprice_exp_mean
               FROM s""")),
 
+    // Stratified weighted sampling: k-per-source A-ES via the GroupTopK
+    // physical operator (partial bounded heaps below the exchange).
+    "q236_stratified_weighted" -> QueryDef(
+      (s, d) => WeightedSample.takePerGroup(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"), "doc_id", "n_chars", k = 20),
+      Some("""WITH keyed AS (SELECT doc_id, source, n_chars,
+                ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                   / 1152921504606846976.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0)
+              SELECT doc_id, source, n_chars FROM keyed
+              QUALIFY row_number() OVER
+                (PARTITION BY source ORDER BY k DESC, doc_id) <= 20""")),
+
+    // Streaming weighted sampling — one O(k) reservoir state row;
+    // reservoir merge = top-k of union, so the streaming sample equals
+    // the batch q231 selection exactly (same oracle).
+    "q237_stream_weighted_sample" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.weightedSampleStream(s, d, k = 50),
+      Some("""WITH keyed AS (SELECT doc_id, source, n_chars,
+                ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                   / 1152921504606846976.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0)
+              SELECT doc_id, source, n_chars FROM keyed
+              ORDER BY k DESC, doc_id LIMIT 50""")),
+
     // Streaming heavy hitters — stateful exact word counts (additive
     // state, microbatch-invariant), top-k elected batch-side; same
     // oracle as q232.

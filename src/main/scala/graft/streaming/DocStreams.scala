@@ -442,6 +442,32 @@ object DocStreams {
     graft.operators.Sorts.topK(table, Seq("cnt", "word"), Seq(false, true), k)
   }
 
+  /** Streaming weighted sampling — the ingest-time twin of batch q231:
+    * a bounded A-ES reservoir ([[graft.operators.EsReservoir]]) held as
+    * ONE O(k) state row.  Each arriving document's deterministic
+    * ln(u)/w key is computed in the scan stage; the reservoir keeps the
+    * running top-k, and reservoir merge = top-k of union, so the final
+    * sample is microbatch-invariant and equals the batch selection
+    * exactly — the q231 oracle checks it.
+    */
+  def weightedSampleStream(spark: SparkSession, sfDir: String,
+                           k: Int = 50): DataFrame = {
+    import graft.operators.{EsRow, EsReservoir, WeightedSample}
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("n_chars") > 0)
+    val agg = udaf(new EsReservoir(k),
+      org.apache.spark.sql.Encoders.product[EsRow])
+    val sampled = stream.select(
+        WeightedSample.esKey(col("doc_id"), col("n_chars"), "es").as("key"),
+        col("doc_id").as("docId"), col("source"),
+        col("n_chars").as("nChars"))
+      .agg(agg(col("key"), col("docId"), col("source"), col("nChars")).as("top"))
+    val table = run(spark, sampled, "graft_stream_wsample")
+    table.select(explode(col("top")).as("r"))
+      .select(col("r.docId").as("doc_id"), col("r.source"),
+        col("r.nChars").as("n_chars"))
+  }
+
   /** The raw document stream schema, for spec-built sources. */
   def schema: StructType = docSchema
 }

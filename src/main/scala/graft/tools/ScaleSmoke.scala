@@ -229,6 +229,58 @@ object ScaleSmoke {
     }
     val ev10 = evTimes(10)
     val ev100 = evTimes(100)
+
+    // SemDeDup bounded tier: replicating embeddings VERBATIM (the 10×
+    // tier's staging) makes every clone pair an exact semantic dup —
+    // quadratic pair density inside clone cells, a harness artifact.
+    // Here each copy gets a copy-specific ORTHOGONAL transform (cyclic
+    // dimension shift + hash-derived ±1 diagonal): within-copy cosines
+    // are preserved EXACTLY (orthogonal maps preserve inner products
+    // and norms), while cross-copy cosines are generic-small, so
+    // duplication density stays constant as volume scales — the same
+    // construction idea as the salted-vocabulary document tier.  k
+    // grows with the corpus (8×mult — constant cell size, the paper's
+    // operating point), so this times fit + assign + in-cell pairs at
+    // true 10×/100× deployment shape.
+    def stageEmb(m: Int): String = {
+      val p = s"/root/repo/target/tmp/emb_rot_$m"
+      if (!new java.io.File(s"$p/embeddings.parquet").exists()) {
+        val e1 = Tables.embeddings(spark, src)
+        val dim = 64
+        val copies = (0 until m).map { k =>
+          val shift = k % dim
+          val signs = Array.tabulate(dim)(j =>
+            if ((((k * 2654435761L + j * 40503L) >> 16) & 1L) == 0L) 1.0f else -1.0f)
+          val shifted =
+            if (shift == 0) col("embedding")
+            else concat(slice(col("embedding"), shift + 1, dim - shift),
+              slice(col("embedding"), 1, shift))
+          e1.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+            .withColumn("embedding",
+              zip_with(shifted, typedlit(signs), (a, b) => a * b))
+        }
+        copies.reduce(_.unionByName(_)).repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$p/embeddings.parquet")
+      }
+      p
+    }
+    val semTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stageEmb(m)
+      val f = () => {
+        val em = Tables.embeddings(spark, dir)
+        val model = graft.similarity.IVF.fit(em, 8 * m, seed = 42L)
+        graft.similarity.Similarity.semDedup(em, model, 0.4).count()
+      }
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_semdedup_rotated@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_semdedup_rotated@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
+
     println("== scaling factors (100x time / 10x time; data grew 10x) ==")
     bounded.foreach { n =>
       println(f"$n: ${times((n, 100)) / times((n, 10))}%.1fx")
@@ -236,5 +288,6 @@ object ScaleSmoke {
     ev10.zip(ev100).foreach { case ((n, a), (_, b)) =>
       println(f"$n: ${b / a}%.1fx")
     }
+    println(f"op_semdedup_rotated: ${semTimes(100) / semTimes(10)}%.1fx")
   }
 }

@@ -108,6 +108,42 @@ class Round11Spec extends SparkSpec {
     assert(got.count(_ <= 50) > 30) // heavy ids dominate the sample
   }
 
+  test("EsReservoir merge is batching-invariant and equals the batch selection") {
+    import graft.operators.{EsRow, EsReservoir, WeightedSample}
+    val docs = Tables.documents(spark, sf)
+      .filter($"n_chars" > 0).select("doc_id", "source", "n_chars")
+    val rows = docs.withColumn("k",
+        WeightedSample.esKey($"doc_id", $"n_chars", "es"))
+      .collect().map(r => EsRow(r.getDouble(3), r.getLong(0), r.getString(1), r.getLong(2)))
+    val res = new EsReservoir(25)
+    val whole = rows.foldLeft(res.zero)(res.reduce)
+    // three different batchings must merge to the same reservoir
+    Seq(7, 50, 173).foreach { b =>
+      val merged = rows.grouped(b).map(_.foldLeft(res.zero)(res.reduce))
+        .reduce(res.merge)
+      assert(merged == whole, s"batch size $b")
+    }
+    val batch = WeightedSample.take(docs, "doc_id", "n_chars", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(whole.map(_.docId).toSet == batch)
+  }
+
+  test("takePerGroup equals per-group brute force") {
+    import graft.operators.WeightedSample
+    val docs = Tables.documents(spark, sf)
+      .filter($"n_chars" > 0).select("doc_id", "source", "n_chars")
+    val got = WeightedSample.takePerGroup(docs, Seq("source"), "doc_id", "n_chars", 5)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val keyed = docs.withColumn("k",
+        WeightedSample.esKey($"doc_id", $"n_chars", "es"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(3)))
+    val exp = keyed.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, id, k) => (-k, id) }.take(5).map(_._2).toSet).toMap
+    assert(got == exp)
+  }
+
   // ---- heavy hitters ----
 
   test("MisraGries candidates contain every item above N/(k+1)") {
