@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bm25
+import graft.operators.Profile
+
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("Bm25.topK equals a driver-side BM25 computation on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark join window hash spark"),
+      (2L, "the quick brown fox"),
+      (3L, "join join join"),
+      (4L, "window hash"),
+      (5L, "spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "window", "hash")
+    val k1 = 1.2; val b = 0.75
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = texts.size.toDouble
+    val dls = texts.map { case (id, t) => id -> t.split(" ", -1).length.toDouble }
+    val avgdl = dls.values.sum / n
+    def tf(id: Long, t: String) = texts(id).split(" ", -1).count(_ == t).toDouble
+    val dfs = terms.map(t => t -> texts.keys.count(id => tf(id, t) > 0).toDouble).toMap
+    def score(id: Long) = terms.map { t =>
+      val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+      idf * (tf(id, t) * (k1 + 1.0)) /
+        (tf(id, t) + k1 * ((1.0 - b) + b * dls(id) / avgdl))
+    }.reduce(_ + _)
+    val expect = texts.keys.toSeq.map(id => id -> math.round(score(id) * 1e6) / 1e6)
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }
+    val got = Bm25.topK(docs, "doc_id", "text", terms, k = 10, k1 = k1, b = b)
+      .orderBy("rn").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === expect)
+    // rn is 1..n in score order
+    val rns = Bm25.topK(docs, "doc_id", "text", terms, k = 10)
+      .orderBy("rn").select("rn").as[Long].collect()
+    assert(rns.toSeq === (1L to rns.length).toSeq)
+  }
+
+  test("Profile.report counts rows, nulls, distincts and numeric stats") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 2.0, "a"), (2L, null, "b"), (3L, 4.0, null),
+      (3L, 6.0, "a"), (null, 8.0, "b"))
+      .toDF("id", "v", "s")
+    val rep = Profile.report(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = rep("id")
+    assert(id.getLong(1) === 5L && id.getLong(2) === 1L && id.getLong(3) === 3L)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 3.0)
+    val v = rep("v")
+    assert(v.getLong(2) === 1L && v.getLong(3) === 4L)
+    assert(v.getDouble(4) === 2.0 && v.getDouble(5) === 8.0 && v.getDouble(6) === 5.0)
+    val s = rep("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
+  }
+
+  test("Profile.report is a single pass: one scan feeds every statistic") {
+    val rep = Profile.report(Tables.lineitem(spark, sf),
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    val scans = rep.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected one parquet scan, got $scans")
+    assert(rep.count() === 3)
+  }
+}
