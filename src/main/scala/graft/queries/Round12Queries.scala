@@ -98,6 +98,32 @@ object Round12Queries {
         QUALIFY rn <= 20"""
   }
 
+  private def pqEncodeSelectSql: String = {
+    val codes = (0 until pq.m)
+      .map(sp => s"${codeSql("embedding", sp)} AS code_$sp").mkString(", ")
+    s"SELECT vec_id, $codes FROM embeddings"
+  }
+
+  private def ivfPqOracleSql: String = {
+    val codeCols = (0 until pq.m)
+      .map(sp => s"${codeSql("embedding", sp)} AS c_$sp").mkString(", ")
+    val adc = (0 until pq.m)
+      .map(sp => adcTermSql("q.qv", s"c.c_$sp", sp)).mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS vid, ${cellSql("embedding")} AS cell,
+            $codeCols FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv,
+            ${probesSql("embedding", 4)} AS probes
+          FROM embeddings WHERE vec_id < 16),
+        cand AS (SELECT q.qid, c.vid,
+            round(($adc) * 1e6) / 1e6 AS dist
+          FROM q JOIN c ON list_contains(q.probes, c.cell) AND c.vid != q.qid)
+        SELECT qid, vid, dist, rn FROM (
+          SELECT qid, vid, dist,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY dist ASC, vid ASC) AS BIGINT) AS rn
+          FROM cand) WHERE rn <= 5"""
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // PQ encode: every corpus vector → m=8 sub-codes against the
@@ -110,11 +136,7 @@ object Round12Queries {
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id") +:
           (0 until pq.m).map(sp => pq.code(col("embedding"), sp).as(s"code_$sp")): _*),
-      Some {
-        val codes = (0 until pq.m)
-          .map(sp => s"${codeSql("embedding", sp)} AS code_$sp").mkString(", ")
-        s"SELECT vec_id, $codes FROM embeddings"
-      }),
+      Some(pqEncodeSelectSql)),
 
     // IVF-PQ ADC top-k: the full billion-scale ANN layout — coarse
     // cells from the frozen IVF quantizer, candidates scored by the
@@ -127,25 +149,7 @@ object Round12Queries {
         val e = Tables.embeddings(s, d)
         PQ.ivfPqTopK(e.filter(col("vec_id") < 16), e, coarse, pq, k = 5, nprobe = 4)
       },
-      Some {
-        val codeCols = (0 until pq.m)
-          .map(sp => s"${codeSql("embedding", sp)} AS c_$sp").mkString(", ")
-        val adc = (0 until pq.m)
-          .map(sp => adcTermSql("q.qv", s"c.c_$sp", sp)).mkString(" + ")
-        s"""WITH c AS (SELECT vec_id AS vid, ${cellSql("embedding")} AS cell,
-                $codeCols FROM embeddings),
-            q AS (SELECT vec_id AS qid, embedding AS qv,
-                ${probesSql("embedding", 4)} AS probes
-              FROM embeddings WHERE vec_id < 16),
-            cand AS (SELECT q.qid, c.vid,
-                round(($adc) * 1e6) / 1e6 AS dist
-              FROM q JOIN c ON list_contains(q.probes, c.cell) AND c.vid != q.qid)
-            SELECT qid, vid, dist, rn FROM (
-              SELECT qid, vid, dist,
-                CAST(row_number() OVER (PARTITION BY qid
-                  ORDER BY dist ASC, vid ASC) AS BIGINT) AS rn
-              FROM cand) WHERE rn <= 5"""
-      }),
+      Some(ivfPqOracleSql)),
 
     // IVF-PQ with EXACT RERANK — the production refinement: ADC
     // shortlists 20 candidates per query from the code table, then
@@ -224,6 +228,42 @@ object Round12Queries {
           row("l_linenumber", numeric = true),
           row("l_returnflag", numeric = false),
           row("l_shipdate", numeric = false)).mkString(" UNION ALL ")
-      })
+      }),
+
+    // PERSISTED IVFPQ index: the code table written partitionBy(cell)
+    // (the on-disk inverted-list layout), then searched with the
+    // probed cells pushed as a PARTITION FILTER — the scan reads only
+    // nprobe/k of the index directories however large the corpus.
+    // Same result contract as q239, so the same oracle gates it.
+    "q243_ivfpq_index" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/pq_index_$safe"
+        PQ.writeCodeIndex(e, coarse, pq, path)
+        PQ.searchCodeIndex(s, path, e.filter(col("vec_id") < 16), coarse, pq,
+          k = 5, nprobe = 4)
+      },
+      Some(ivfPqOracleSql)),
+
+    // STREAMING PQ encode (ingest-time vector coding — the vector twin
+    // of the BPE stream): stateless scan-stage map, append mode,
+    // microbatch-invariant; same output shape and oracle as q238.
+    "q244_stream_pq_encode" -> QueryDef(
+      (s, d) => graft.streaming.EmbedStreams.pqEncodeStream(s, d),
+      Some(pqEncodeSelectSql)),
+
+    // STREAMING data-quality monitor: per-event_type running profile
+    // (complete mode, one state row per group); decimal discipline
+    // makes the result the exact batch answer at any microbatch split.
+    "q245_stream_profile" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.profileStream(s, d),
+      Some("""SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(min(CAST(round(value * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS min_v,
+             CAST(max(CAST(round(value * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS max_v,
+             round(CAST(sum(CAST(round(value * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+               / count(value) * 1e6) / 1e6 AS mean_v
+             FROM events GROUP BY event_type"""))
   )
 }

@@ -165,4 +165,47 @@ object PQ {
       .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
     exact.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
+
+  /** Persist the IVFPQ layout: (vid, codes) parquet PARTITIONED BY the
+    * coarse cell — the on-disk billion-scale index (FAISS IVFPQ's
+    * inverted lists as cell directories). Encoding is one codegen'd
+    * scan; the write shuffles on cell so each cell directory is a few
+    * contiguous files.
+    */
+  def writeCodeIndex(corpus: DataFrame, coarse: IVF.Model, pq: Model, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(
+        col(idCol).as("vid"),
+        coarse.cell(col(vecCol)).as("cell"),
+        pq.encode(col(vecCol)).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN over a persisted [[writeCodeIndex]] index: the probed cells are
+    * collected driver-side (|Q|·nprobe ints — a point list, same scale
+    * contract as a partition predicate) and pushed as a PARTITION
+    * FILTER, so the scan reads only the probed cell directories —
+    * nprobe/k of the index, however large the corpus. Everything after
+    * the pruned scan is the [[ivfPqTopK]] plan.
+    */
+  def searchCodeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, coarse: IVF.Model, pq: Model,
+                      k: Int, nprobe: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("qid"),
+      explode(coarse.probeCells(col(vecCol), nprobe)).as("cell"),
+      pq.lut(col(vecCol)).as("lut"))
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val cand = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        graft.functions.Num.rnd(pq.adcDist(col("lut"), col("codes")), 6).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    cand.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
 }

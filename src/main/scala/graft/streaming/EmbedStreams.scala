@@ -71,6 +71,26 @@ object EmbedStreams {
     centroids(spark.table(name))
   }
 
+  /** Ingest-time PQ encoding (the vector twin of the BPE stream): each
+    * arriving vector is coded against the FROZEN codebooks — a pure
+    * stateless scan-stage map, append mode, microbatch-invariant by
+    * construction. Output matches q238's batch shape so the same
+    * oracle gates both.
+    */
+  def pqEncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.readStream.schema(embSchema).parquet(stageDir(sfDir))
+    val pq = graft.similarity.PQ.Model(graft.similarity.PQCodebooks.pretrained)
+    val name = "graft_stream_pq_encode"
+    val out = emb.select(
+      col("vec_id") +:
+        (0 until pq.m).map(s => pq.code(col("embedding"), s).as(s"code_$s")): _*)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** (cell, dim, n, s) → (cell, dim, n, centroid = s/n rounded). */
   def centroids(counts: DataFrame): DataFrame =
     counts.select(col("cell").cast("long").as("cell"),

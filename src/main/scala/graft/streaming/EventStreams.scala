@@ -46,6 +46,36 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming data-quality monitor (the incremental twin of
+    * operators/Profile): per event_type running row/null counts and
+    * min/max/mean of `value`, maintained in complete mode — the state
+    * is one row per group. The mean follows the cross-engine decimal
+    * discipline (round 6dp per element, DECIMAL sum, divide at the
+    * end) so the result is the exact batch answer no matter how
+    * microbatches split, and the DuckDB oracle replays it.
+    */
+  def profileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .select(col("event_type"),
+        col("value").isNull.as("vnull"),
+        graft.functions.Num.rnd(col("value"), 6).cast("decimal(28,6)").as("vr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vnull"), 1L).otherwise(0L)).as("n_nulls"),
+        min(col("vr")).cast("double").as("min_v"),
+        max(col("vr")).cast("double").as("max_v"),
+        count(col("vr")).as("nv"), sum(col("vr")).as("sv"))
+    val name = "graft_stream_profile"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("event_type"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        graft.functions.Num.rnd(col("sv").cast("double") / col("nv"), 6).as("mean_v"))
+  }
+
   /** Tumbling-window aggregation (complete mode → memory sink): per
     * (hour, event_type) counts and value sums. With a live unbounded
     * source this would run in append mode with the watermark bounding

@@ -56,6 +56,56 @@ class Round12Spec extends SparkSpec {
     assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
   }
 
+  test("searchCodeIndex prunes to the probed cell partitions only") {
+    import graft.similarity.{IVF, IVFCentroids, PQ, PQCodebooks}
+    val pq = PQ.Model(PQCodebooks.pretrained)
+    val coarse = IVF.Model(IVFCentroids.pretrained)
+    val e = Tables.embeddings(spark, sf)
+    val path = "/root/repo/target/tmp/pq_index_spec"
+    PQ.writeCodeIndex(e, coarse, pq, path)
+    val queries = e.filter(col("vec_id") < 4)
+    val res = PQ.searchCodeIndex(spark, path, queries, coarse, pq, k = 3, nprobe = 2)
+    // the scan must carry a partition filter on cell — only probed
+    // directories are read (4 queries × nprobe 2 → at most 8 of the
+    // coarse.k cells, typically fewer)
+    val scan = res.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Scan parquet")).mkString("\n")
+    assert(scan.contains("cell"), s"no partition filter on cell:\n$scan")
+    // results agree with the non-persisted path
+    val direct = PQ.ivfPqTopK(queries, e, coarse, pq, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === direct)
+  }
+
+  test("streaming PQ encode and profile equal their batch twins") {
+    import graft.similarity.{PQ, PQCodebooks}
+    val pq = PQ.Model(PQCodebooks.pretrained)
+    val stream = graft.streaming.EmbedStreams.pqEncodeStream(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    val batch = Tables.embeddings(spark, sf).select(
+        col("vec_id") +:
+          (0 until pq.m).map(s => pq.code(col("embedding"), s).as(s"code_$s")): _*)
+      .collect().map(r => r.toSeq).toSet
+    assert(stream === batch)
+
+    val prof = graft.streaming.EventStreams.profileStream(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    val batchProf = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").isNull.as("vnull"),
+        graft.functions.Num.rnd(col("value"), 6).cast("decimal(28,6)").as("vr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vnull"), 1L).otherwise(0L)).as("n_nulls"),
+        min(col("vr")).cast("double").as("min_v"),
+        max(col("vr")).cast("double").as("max_v"),
+        graft.functions.Num.rnd(
+          sum(col("vr")).cast("double") / count(col("vr")), 6).as("mean_v"))
+      .collect().map(r => r.toSeq).toSet
+    assert(prof === batchProf)
+  }
+
   test("Profile.report is a single pass: one scan feeds every statistic") {
     val rep = Profile.report(Tables.lineitem(spark, sf),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))
