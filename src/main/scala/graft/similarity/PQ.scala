@@ -135,9 +135,20 @@ object PQ {
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         graft.functions.Num.rnd(pq.adcDist(col("lut"), col("codes")), 6).as("dist"))
+    rankTopK(cand, k)
+  }
+
+  /** Bounded-heap top-k + rank: GroupTopK keeps k rows per query below
+    * the exchange (partial heaps map-side — the candidate stream never
+    * sorts or shuffles whole), then the rn window touches only |Q|·k
+    * rows.
+    */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.GroupTopK.topKPerKey(cand, Seq("qid"),
+      Seq(("dist", false), ("vid", false)), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
-    cand.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+    top.withColumn("rn", row_number().over(w).cast("long"))
   }
 
   /** IVF-PQ with EXACT RERANK (the production refinement step): ADC
@@ -161,9 +172,7 @@ object PQ {
           Similarity.dot(col("cv"), col("cv")) -
             lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
             Similarity.dot(col("qv"), col("qv")), 6).as("dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
-    exact.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+    rankTopK(exact, k)
   }
 
   /** Persist the IVFPQ layout: (vid, codes) parquet PARTITIONED BY the
@@ -204,8 +213,6 @@ object PQ {
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         graft.functions.Num.rnd(pq.adcDist(col("lut"), col("codes")), 6).as("dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
-    cand.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+    rankTopK(cand, k)
   }
 }

@@ -168,3 +168,56 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): QualityScoreExpr =
     copy(child = c)
 }
+
+/** One-pass per-term token counts + document length — the BM25 scan
+  * kernel. Output array = [tf(terms(0)) … tf(terms(k-1)), dl] as
+  * doubles, with the exact split(' ') token convention (empty tokens
+  * count toward dl, never toward a tf). One tokenization however many
+  * terms; the composed twin (size(filter(split…)) per term) allocates
+  * the token array per term per use and is CodegenFallback — this is
+  * a single codegen'd pass with zero intermediate allocation.
+  */
+case class TermCountsExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("termCounts", this, classOf[TermCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val out = new Array[Double](terms.size + 1)
+    var nTok = 1
+    var start = 0
+    var i = 0
+    def token(end: Int): Unit = {
+      if (end > start) {
+        val j = idx.get(s.substring(start, end))
+        if (j != null) out(j.intValue) += 1.0
+      }
+    }
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { token(i); nTok += 1; start = i + 1 }
+      i += 1
+    }
+    token(s.length)
+    out(terms.size) = nTok.toDouble
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCountsExpr =
+    copy(child = c)
+}

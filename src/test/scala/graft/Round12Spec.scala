@@ -38,6 +38,26 @@ class Round12Spec extends SparkSpec {
     assert(rns.toSeq === (1L to rns.length).toSeq)
   }
 
+  test("TermCountsExpr matches its composed split/filter twin on adversarial strings") {
+    // (no empty-string term: the kernel never counts empty tokens as a
+    // tf by design — they only contribute to dl)
+    val terms = Seq("spark", "a", "join")
+    val rng = new scala.util.Random(7)
+    val vocab = Array("spark", "a", "b", "join", "", " ")
+    val strs = (Seq("", " ", "  ", "a", "spark spark", " spark", "spark ",
+      "a  a", "spark a spark") ++
+      (1 to 200).map(_ => (0 until rng.nextInt(12))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val df = strs.toDF("t")
+    val rows = df.select(
+        graft.text.Bm25.termCounts(col("t"), terms).as("n"),
+        graft.text.Bm25.termCountsComposed(col("t"), terms).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1), s"on ${r}")
+    }
+  }
+
   test("Profile.report counts rows, nulls, distincts and numeric stats") {
     val df = Seq[(java.lang.Long, java.lang.Double, String)](
       (1L, 2.0, "a"), (2L, null, "b"), (3L, 4.0, null),
