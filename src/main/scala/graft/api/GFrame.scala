@@ -668,6 +668,14 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
   }
 
+  /** Column-profiling report (describe-style; see operators/Profile). */
+  def profile(cols: String*): GFrame =
+    GFrame(graft.operators.Profile.report(df, cols))
+
+  /** BM25 keyword top-k over a text column (see text/Bm25). */
+  def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): GFrame =
+    GFrame(graft.text.Bm25.topK(df, idCol, textCol, terms, k))
+
   // ---- IO (§2.1) ----
 
   /** Parquet sink that PERSISTS THE INDEX CONTRACT (reference

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Num
-import graft.similarity.{IVF, IVFCentroids, PQ, PQCodebooks}
+import graft.similarity.{IVF, IVFCentroids, PQ, PQCodebooks, Similarity}
 import graft.text.Bm25
 
 /** Round-12 surface: product quantization (the billion-scale ANN code
@@ -136,7 +136,7 @@ object Round12Queries {
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id") +:
           (0 until pq.m).map(sp => pq.code(col("embedding"), sp).as(s"code_$sp")): _*),
-      Some(pqEncodeSelectSql)),
+      Some(pqEncodeSelectSql), headline = true),
 
     // IVF-PQ ADC top-k: the full billion-scale ANN layout — coarse
     // cells from the frozen IVF quantizer, candidates scored by the
@@ -149,7 +149,7 @@ object Round12Queries {
         val e = Tables.embeddings(s, d)
         PQ.ivfPqTopK(e.filter(col("vec_id") < 16), e, coarse, pq, k = 5, nprobe = 4)
       },
-      Some(ivfPqOracleSql)),
+      Some(ivfPqOracleSql), headline = true),
 
     // IVF-PQ with EXACT RERANK — the production refinement: ADC
     // shortlists 20 candidates per query from the code table, then
@@ -252,6 +252,67 @@ object Round12Queries {
     "q244_stream_pq_encode" -> QueryDef(
       (s, d) => graft.streaming.EmbedStreams.pqEncodeStream(s, d),
       Some(pqEncodeSelectSql)),
+
+    // SEMANTIC decontamination: flag corpus vectors whose cosine to ANY
+    // eval-set vector clears the threshold (the embedding-space twin of
+    // q161's n-gram decontamination). The eval side is small by nature,
+    // so the right 100 TB plan is a broadcast of the eval vectors and
+    // ONE linear corpus scan (per-row max over the broadcast side) —
+    // no LSH needed for exactness, no corpus×corpus blow-up.
+    "q246_semantic_decontam" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val eval = e.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+        e.filter(col("vec_id") % 37 =!= 0)
+          .crossJoin(broadcast(eval))
+          .select(col("vec_id"),
+            Num.rnd(Similarity.cosine(col("embedding"), col("ev")), 6).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))
+          .filter(col("max_sim") >= 0.4)
+      },
+      Some(s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ev
+                 FROM embeddings WHERE vec_id % 37 = 0),
+             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 != 0)
+             SELECT vec_id, max_sim FROM (
+               SELECT c.vec_id,
+                 max(round(${SimilarityQueries.sqlCos("c.embedding", "ev.ev")} * 1e6) / 1e6) AS max_sim
+               FROM c, ev GROUP BY c.vec_id)
+             WHERE max_sim >= 0.4""")),
+
+    // Equi-width histogram (the profiling companion): exact min/max in
+    // one aggregate, broadcast back as a 1-row join, bucket assignment
+    // as a pure scan expression, counts as a hash aggregate over ≤nb
+    // groups — two linear passes at any scale. Bucket arithmetic is
+    // the identical IEEE expression on both engines, so boundary ulps
+    // can't diverge.
+    "q247_histogram" -> QueryDef(
+      (s, d) => {
+        val nb = 20
+        val li = Tables.lineitem(s, d)
+        val stats = li.agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(stats))
+          .select(col("l_extendedprice").as("v"), col("mn"),
+            ((col("mx") - col("mn")) / lit(nb.toDouble)).as("w"))
+          .select(least(floor((col("v") - col("mn")) / col("w")),
+            lit(nb - 1L)).as("bucket"), col("mn"), col("w"))
+          .groupBy("bucket", "mn", "w")
+          .agg(count(lit(1)).as("n"))
+          .select(col("bucket"),
+            (col("mn") + col("bucket").cast("double") * col("w")).as("lo"),
+            (col("mn") + (col("bucket") + lit(1L)).cast("double") * col("w")).as("hi"),
+            col("n"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                FROM lineitem),
+            b AS (SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
+                  19) AS BIGINT) AS bucket,
+                mn, (mx - mn) / 20.0 AS w
+              FROM lineitem, s)
+            SELECT bucket, mn + CAST(bucket AS DOUBLE) * w AS lo,
+              mn + CAST(bucket + 1 AS DOUBLE) * w AS hi, count(*) AS n
+            FROM b GROUP BY bucket, mn, w""")),
 
     // STREAMING data-quality monitor: per-event_type running profile
     // (complete mode, one state row per group); decimal discipline

@@ -126,6 +126,18 @@ class Round12Spec extends SparkSpec {
     assert(prof === batchProf)
   }
 
+  test("GFrame.profile and GFrame.bm25TopK wrap their operators") {
+    import graft.api.GFrame
+    val docs = Tables.documents(spark, sf)
+    val viaApi = GFrame(docs).bm25TopK("doc_id", "text", Seq("spark"), 5).df
+      .collect().map(_.toSeq).toSet
+    val direct = graft.text.Bm25.topK(docs, "doc_id", "text", Seq("spark"), 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaApi === direct)
+    val prof = GFrame(Tables.lineitem(spark, sf)).profile("l_orderkey").df.collect()
+    assert(prof.length === 1 && prof.head.getString(0) === "l_orderkey")
+  }
+
   test("Profile.report is a single pass: one scan feeds every statistic") {
     val rep = Profile.report(Tables.lineitem(spark, sf),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))

@@ -20,7 +20,8 @@ HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
             "q70_gframe_pipeline", "q97_group_topk", "q87_etl_pipeline",
             "q88_embed_centroid", "q102_curation_pipeline",
             "q166_minhash_dedup", "q203_tpch_q9", "q213_chunk_dedup",
-            "q216_semdedup", "q217_bpe_tokenize", "q221_decontaminate"]
+            "q216_semdedup", "q217_bpe_tokenize", "q221_decontaminate",
+            "q238_pq_encode", "q239_ann_ivfpq"]
 # heavy non-headline operators whose scale evidence lives in BASELINE.md
 HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
          "q166_minhash_dedup", "q167_range_join", "q169_substring_dup"]
