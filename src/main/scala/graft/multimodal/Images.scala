@@ -93,3 +93,46 @@ object SyntheticImages {
     bos.toByteArray
   }
 }
+
+/** REAL-decode perceptual fingerprint support: nearest-neighbor 8×8
+  * grid sample of the decoded raster, one luma (= r+g+b, 0..765) per
+  * cell. Features = [w, h, luma(0,0) … luma(7,7)] (row-major), all
+  * integer-exact doubles — the aHash derived from them
+  * (bit i = luma_i·64 > Σluma, no division) is therefore identical to
+  * what the pixel FORMULA predicts, so the DuckDB oracle can recompute
+  * the fingerprint without decoding (q248), while the engine-side
+  * value passes through genuine PNG decode.
+  *
+  * The grid sample IS the resize step of the standard aHash recipe
+  * (nearest-neighbor to 8×8); averaging-based resamplers differ per
+  * library, integer grid sampling is reproducible everywhere.
+  */
+object GridLumaDecoder extends MediaDecoder {
+  val grid = 8
+  val featureDim: Int = 2 + grid * grid
+  def decode(bytes: Array[Byte]): Array[Double] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) Array.fill(featureDim)(-1.0)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Double](featureDim)
+      out(0) = w.toDouble
+      out(1) = h.toDouble
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val p = img.getRGB(gx * w / grid, gy * h / grid)
+          out(2 + gy * grid + gx) =
+            (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)).toDouble
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+}

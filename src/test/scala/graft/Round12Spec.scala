@@ -138,6 +138,22 @@ class Round12Spec extends SparkSpec {
     assert(prof.length === 1 && prof.head.getString(0) === "l_orderkey")
   }
 
+  test("GridLumaDecoder samples the formula raster exactly; corrupt payload yields sentinel") {
+    import graft.multimodal.{GridLumaDecoder, SyntheticImages}
+    val d = 42L
+    val w = SyntheticImages.widthFor(d); val h = SyntheticImages.heightFor(d)
+    val got = GridLumaDecoder.decode(SyntheticImages.pngFor(d))
+    assert(got(0) === w.toDouble && got(1) === h.toDouble)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val sx = gx * w / 8; val sy = gy * h / 8
+      val expect = ((31 * d + 7 * sx + 13 * sy) % 256 +
+        (17 * d + 3 * sx + 5 * sy) % 256 +
+        (23 * d + 11 * sx + 2 * sy) % 256).toDouble
+      assert(got(2 + gy * 8 + gx) === expect, s"cell ($gx,$gy)")
+    }
+    assert(GridLumaDecoder.decode(Array[Byte](1, 2, 3)).forall(_ === -1.0))
+  }
+
   test("Profile.report is a single pass: one scan feeds every statistic") {
     val rep = Profile.report(Tables.lineitem(spark, sf),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))
