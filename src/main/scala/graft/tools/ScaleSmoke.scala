@@ -281,6 +281,48 @@ object ScaleSmoke {
       m -> dt
     }.toMap
 
+    // IVFPQ bounded tier (round 12): encode is volume-linear (scan
+    // stage); search candidates grow linearly with the corpus at a
+    // fixed query count (probes cover a constant cell fraction). The
+    // rotated-copy staging reuses stageEmb — orthogonal maps preserve
+    // L2, so code distortion per copy matches the base corpus.
+    val pqm = graft.similarity.PQ.Model(graft.similarity.PQCodebooks.pretrained)
+    val cm = graft.similarity.IVF.Model(graft.similarity.IVFCentroids.pretrained)
+    val pqTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stageEmb(m)
+      val f = () => {
+        val em = Tables.embeddings(spark, dir)
+        em.select(col("vec_id"), pqm.encode(col("embedding")).as("codes")).count() +
+          graft.similarity.PQ.ivfPqTopK(
+            em.filter(col("vec_id") < 16), em, cm, pqm, 5, 4).count()
+      }
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_ivfpq@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_ivfpq@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
+
+    // BM25 bounded tier: tokenize-once + stats + score are all linear
+    // scans of the salted docs (term tfs only survive in copy 0 — the
+    // cost is tokenization, which the salt doesn't change).
+    val bmTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stage(m)
+      val f = () => graft.text.Bm25.topK(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("spark", "join", "window", "hash"), 20).count()
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_bm25@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_bm25@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
+
     println("== scaling factors (100x time / 10x time; data grew 10x) ==")
     bounded.foreach { n =>
       println(f"$n: ${times((n, 100)) / times((n, 10))}%.1fx")
@@ -289,5 +331,7 @@ object ScaleSmoke {
       println(f"$n: ${b / a}%.1fx")
     }
     println(f"op_semdedup_rotated: ${semTimes(100) / semTimes(10)}%.1fx")
+    println(f"op_ivfpq: ${pqTimes(100) / pqTimes(10)}%.1fx")
+    println(f"op_bm25: ${bmTimes(100) / bmTimes(10)}%.1fx")
   }
 }
