@@ -24,8 +24,18 @@ object Profile {
   /** Profile `cols` (default: all) of `df`. Output columns:
     * col_name, n_rows, n_nulls, n_distinct, min_d, max_d, mean_d
     * (the *_d stats are null for non-numeric columns).
+    *
+    * `approxDistinct = true` swaps exact count_distinct for the HLL++
+    * sketch (`approx_count_distinct`, rsd 5%): the exact form plans a
+    * per-column EXPAND (rows × columns before the partial aggregate),
+    * which at 100 TB multiplies the shuffle by the column count — the
+    * sketch keeps the scan single-pass with O(columns) state per
+    * partition and no expand. The oracle-gated q241 uses the exact
+    * form; the sketch path is the production default at scale
+    * (error envelope pinned in Round12Spec).
     */
-  def report(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def report(df: DataFrame, cols: Seq[String] = Nil,
+             approxDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs = names.flatMap { c =>
@@ -33,7 +43,8 @@ object Profile {
       Seq(
         count(lit(1)).as(s"${c}__rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct")) ++
+        (if (approxDistinct) approx_count_distinct(col(c), 0.05)
+         else count_distinct(col(c))).as(s"${c}__distinct")) ++
       (if (numeric) Seq(
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),

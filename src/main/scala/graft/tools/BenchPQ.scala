@@ -36,6 +36,20 @@ object BenchPQ {
       time(s"full-$i") {
         PQ.ivfPqTopK(q, e, coarse, pq, 5, 4).count()
       }
+      time(s"rank-window-$i") {
+        val codes = e.select(col("vec_id").as("vid"),
+          coarse.cell(col("embedding")).as("cell"), pq.encode(col("embedding")).as("codes"))
+        val qq = q.select(col("vec_id").as("qid"),
+          explode(coarse.probeCells(col("embedding"), 4)).as("cell"),
+          pq.lut(col("embedding")).as("lut"))
+        val cand = codes.join(broadcast(qq), Seq("cell")).filter(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            graft.functions.Num.rnd(pq.adcDist(col("lut"), col("codes")), 6).as("dist"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+        cand.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5).count()
+      }
     }
     spark.stop()
   }

@@ -154,6 +154,25 @@ class Round12Spec extends SparkSpec {
     assert(GridLumaDecoder.decode(Array[Byte](1, 2, 3)).forall(_ === -1.0))
   }
 
+  test("approx-distinct profile stays within the sketch error envelope and drops the expand") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity")
+    val exact = Profile.report(li, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.report(li, cols, approxDistinct = true)
+    approx.collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getLong(3).toDouble
+      assert(math.abs(a - e) / e < 0.15, s"${r.getString(0)}: $a vs $e")
+    }
+    // the sketch path must not plan the per-column Expand the exact
+    // multi-distinct needs
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"unexpected expand:\n$plan")
+    assert(Profile.report(li, cols).queryExecution.executedPlan.toString
+      .contains("Expand"))
+  }
+
   test("Profile.report is a single pass: one scan feeds every statistic") {
     val rep = Profile.report(Tables.lineitem(spark, sf),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))
