@@ -36,7 +36,15 @@ object Reshape {
            varName: String = "variable", valueName: String = "value"): DataFrame = {
     require(valueVars.nonEmpty, "melt needs at least one value column")
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val lub = valueVars.map(fields).reduce { (a, b) =>
+    val vTypes = valueVars.map(fields)
+    // heterogeneous value columns only widen when ALL are numeric —
+    // a string+double melt would silently null unparsable strings,
+    // indistinguishable from pandas' kept nulls, so it fails instead
+    require(vTypes.distinct.size == 1 ||
+      vTypes.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"melt value columns have no numeric LUB: ${
+        valueVars.zip(vTypes).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
+    val lub = vTypes.reduce { (a, b) =>
       if (a == b) a
       else org.apache.spark.sql.types.DoubleType // numeric melt widens
     }

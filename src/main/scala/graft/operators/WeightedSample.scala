@@ -26,8 +26,10 @@ object WeightedSample {
 
   private val Space = math.pow(16.0, 15) // 60 bits — exact in a double
 
-  /** The A-ES key column: ln(u)/w, null-weight/≤0-weight rows excluded
-    * by giving them -∞ (never sampled).
+  /** The A-ES key column: ln(u)/w. Null-weight/≤0-weight rows get -∞
+    * as a belt — but [[take]]/[[takePerGroup]] FILTER them out first,
+    * because -∞ still ranks (and would be emitted whenever k exceeds
+    * the positive-weight population), violating "never sampled".
     */
   def esKey(idExpr: Column, weight: Column, salt: String): Column = {
     val u = (conv(substring(md5(concat(lit(salt), idExpr.cast("string"))), 1, 15),
@@ -41,7 +43,8 @@ object WeightedSample {
     */
   def take(df: DataFrame, idCol: String, weightCol: String, k: Int,
            salt: String = "es"): DataFrame = {
-    val keyed = df.withColumn("__es", esKey(col(idCol), col(weightCol), salt))
+    val keyed = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", esKey(col(idCol), col(weightCol), salt))
     Sorts.topK(keyed, Seq("__es", idCol), Seq(false, true), k).drop("__es")
   }
 
@@ -52,7 +55,8 @@ object WeightedSample {
     */
   def takePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                    weightCol: String, k: Int, salt: String = "es"): DataFrame = {
-    val keyed = df.withColumn("__es", esKey(col(idCol), col(weightCol), salt))
+    val keyed = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", esKey(col(idCol), col(weightCol), salt))
     graft.plans.GroupTopK.topKPerKey(
       keyed, groupCols, Seq("__es" -> true, idCol -> false), k).drop("__es")
   }

@@ -22,13 +22,29 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * use), and the final top-k is a TakeOrdered. At 100 TB: one stats
   * pass + one scoring pass, no pair blow-up anywhere.
   *
+  * Cache contract: [[topK]]/[[topKBatch]] are self-contained — they
+  * cache the (id, counts) projection so the raw text is tokenized
+  * once, materialize the (bounded, ≤ k·|Q| rows) result, and unpersist
+  * before returning. A long-lived session scoring MANY queries against
+  * a FIXED vocabulary should instead build [[countsTable]] once, cache
+  * it itself, and call [[topKFromCounts]] per query — the steady-state
+  * path (what BenchBm25 measures as bm25-steady).
+  *
   * The reference has no retrieval surface (beyond-parity tooling).
   */
 object Bm25 {
 
-  /** [tf(term_0) … tf(term_{k-1}), dl] in one codegen'd pass. */
-  def termCounts(text: Column, terms: Seq[String]): Column =
+  /** [tf(term_0) … tf(term_{k-1}), dl] in one codegen'd pass.
+    * Terms must be distinct: the kernel keys a term→slot map, so a
+    * duplicated term would silently fold into one slot (while the
+    * composed twin counts each positional duplicate — a differential
+    * divergence we forbid instead of risking).
+    */
+  def termCounts(text: Column, terms: Seq[String]): Column = {
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms: ${terms.diff(terms.distinct).distinct.mkString(", ")}")
     ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(text), terms))
+  }
 
   /** Composed twin of [[termCounts]] (interpreted; differential tests). */
   def termCountsComposed(text: Column, terms: Seq[String]): Column = {
@@ -44,28 +60,37 @@ object Bm25 {
   /** dl from a [[termCounts]] array (last slot). */
   def dl(tc: Column, nTerms: Int): Column = element_at(tc, nTerms + 1)
 
-  /** Per-term document frequency + N + avgdl, as one 1-row DataFrame
-    * (columns: n_docs, avgdl, df_0 … df_{k-1} in `terms` order).
+  /** The tokenize-once projection: (id, __tc) with __tc =
+    * [tf_0 … tf_{n-1}, dl]. ~8·(n+1) bytes/doc — at 100 TB this is the
+    * table to materialize, not the corpus. Caller owns caching.
     */
-  def corpusStats(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
-    val tc = termCounts(col(textCol), terms)
+  def countsTable(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String]): DataFrame =
+    docs.select(col(idCol), termCounts(col(textCol), terms).as("__tc"))
+
+  /** Corpus statistics over a [[countsTable]]: one 1-row DataFrame with
+    * columns (n_docs, avgdl, df_0 … df_{n-1}) — the single source of
+    * truth for both [[topKFromCounts]] and [[topKBatch]].
+    */
+  def corpusStats(tcTab: DataFrame, nTerms: Int): DataFrame = {
+    val tc = col("__tc")
     val aggs =
       count(lit(1)).cast("double").as("n_docs") +:
-      avg(dl(tc, terms.size)).as("avgdl") +:
-      terms.indices.map { i =>
-        sum(when(tf(tc, i) > 0, 1.0).otherwise(0.0)).as(s"df_$i")
-      }
-    docs.agg(aggs.head, aggs.tail: _*)
+      avg(dl(tc, nTerms)).as("avgdl") +:
+      (0 until nTerms).map(i =>
+        sum(when(tf(tc, i) > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    tcTab.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** BM25 score column given the (broadcast) stats columns in scope and
-    * a [[termCounts]] array column. The per-term contributions sum
-    * left-to-right in `terms` order — a fixed association order the
-    * oracle replays exactly.
+  /** BM25 score from an arbitrary subset of vocabulary slots — the
+    * batch form, where one shared [[termCounts]] array over the UNION
+    * vocabulary serves every query. Contributions sum left-to-right in
+    * `slots` order — a fixed association order the oracle replays.
     */
-  def score(tc: Column, nTerms: Int, k1: Double = 1.2, b: Double = 0.75): Column = {
-    val len = dl(tc, nTerms)
-    (0 until nTerms).map { i =>
+  def scoreSlots(tc: Column, slots: Seq[Int], nVocab: Int,
+                 k1: Double = 1.2, b: Double = 0.75): Column = {
+    val len = dl(tc, nVocab)
+    slots.map { i =>
       val f = tf(tc, i)
       val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) /
         (col(s"df_$i") + lit(0.5)))
@@ -74,34 +99,90 @@ object Bm25 {
     }.reduce(_ + _)
   }
 
-  /** Top-k documents for the query terms: stats pass → broadcast 1-row
-    * join → scan-stage score → TakeOrdered. Rounded to 6 dp before
-    * ranking; ties break on doc id.
+  /** BM25 score column given the (broadcast) stats columns in scope and
+    * a [[termCounts]] array column over exactly the query terms.
     */
-  def topK(docs: DataFrame, idCol: String, textCol: String,
-           terms: Seq[String], k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // tokenize ONCE: the (id, counts) projection is ~40 bytes/doc —
-    // caching it means the raw text is scanned a single time and both
-    // the stats pass and the scoring pass read the tiny counts table
-    // (at 100 TB: materialize the projection, not the corpus).
-    val tcTab = docs
-      .select(col(idCol), termCounts(col(textCol), terms).as("__tc"))
-      .cache()
-    val tc = col("__tc")
-    val aggs =
-      count(lit(1)).cast("double").as("n_docs") +:
-      avg(dl(tc, terms.size)).as("avgdl") +:
-      terms.indices.map(i => sum(when(tf(tc, i) > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
-    val stats = tcTab.agg(aggs.head, aggs.tail: _*)
+  def score(tc: Column, nTerms: Int, k1: Double = 1.2, b: Double = 0.75): Column =
+    scoreSlots(tc, 0 until nTerms, nTerms, k1, b)
+
+  /** Top-k over a prepared [[countsTable]] (cached or not — caller's
+    * choice): stats pass → broadcast 1-row join → scan-stage score →
+    * TakeOrdered. Rounded to 6 dp before ranking; ties break on id.
+    */
+  def topKFromCounts(tcTab: DataFrame, idCol: String, nTerms: Int, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = corpusStats(tcTab, nTerms)
     val scored = tcTab.crossJoin(broadcast(stats))
       .select(col(idCol),
-        graft.functions.Num.rnd(score(col("__tc"), terms.size, k1, b), 6).as("bm25"))
+        graft.functions.Num.rnd(score(col("__tc"), nTerms, k1, b), 6).as("bm25"))
       .filter(col("bm25") > 0)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25").desc, col(idCol).asc)
     // global top-k: orderBy+limit compiles to TakeOrderedAndProject
     scored.orderBy(col("bm25").desc, col(idCol).asc).limit(k)
       .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Top-k documents for the query terms, self-contained: builds and
+    * caches the counts table, materializes the ≤ k result rows, and
+    * unpersists before returning (no cached table outlives the call).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tcTab = countsTable(docs, idCol, textCol, terms).cache()
+    try materialize(topKFromCounts(tcTab, idCol, terms.size, k, k1, b))
+    finally tcTab.unpersist(blocking = false)
+  }
+
+  /** MULTI-QUERY BM25: score every (qid, terms) query in ONE corpus
+    * pass. Plan: union vocabulary → one [[TermCountsExpr]] scan → one
+    * stats aggregate over the union (broadcast back) → per-query score
+    * columns from shared slots, exploded to (qid, id, bm25) rows still
+    * inside the scan stage → [[graft.plans.GroupTopK]] per qid, so the
+    * exchange carries ≤ |Q|·k rows per map partition however large the
+    * corpus. A curation pipeline with hundreds of probe queries pays
+    * one tokenization + one shuffle of |Q|·k rows total.
+    *
+    * Output: (qid, id, bm25, rn) with rn = 1..≤k per qid by
+    * (bm25 desc, id asc) — each query's rows identical to running
+    * [[topK]] with its own terms (same stats: df/avgdl are corpus
+    * properties, independent of the query set).
+    */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(Long, Seq[String])], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "topKBatch needs at least one query")
+    val vocab = queries.flatMap(_._2).distinct
+    val slot = vocab.zipWithIndex.toMap
+    val tcTab = countsTable(docs, idCol, textCol, vocab).cache()
+    try {
+      val stats = corpusStats(tcTab, vocab.size)
+      val qStructs = queries.map { case (qid, terms) =>
+        struct(lit(qid).as("qid"),
+          graft.functions.Num.rnd(
+            scoreSlots(col("__tc"), terms.map(slot), vocab.size, k1, b), 6).as("bm25"))
+      }
+      val scored = tcTab.crossJoin(broadcast(stats))
+        .select(col(idCol), explode(array(qStructs: _*)).as("qs"))
+        .select(col("qs.qid").as("qid"), col(idCol), col("qs.bm25").as("bm25"))
+        .filter(col("bm25") > 0)
+      val top = graft.plans.GroupTopK.topKPerKey(
+        scored, Seq("qid"), Seq("bm25" -> true, idCol -> false), k)
+      // rank within the ≤ |Q|·k survivors (already clustered by qid —
+      // the window adds no exchange)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("bm25").desc, col(idCol).asc)
+      materialize(top.withColumn("rn", row_number().over(w).cast("long")))
+    } finally tcTab.unpersist(blocking = false)
+  }
+
+  /** Collect a BOUNDED result (top-k outputs only) and rebuild it as a
+    * local DataFrame so the backing cache can be released eagerly.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 }

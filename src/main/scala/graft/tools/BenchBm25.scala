@@ -13,16 +13,22 @@ object BenchBm25 {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
+    val terms = Seq("spark", "join", "window", "hash")
     Seq(10, 100).foreach { m =>
       val dir = s"/root/repo/target/tmp/docs_salted_$m"
-      val run = () => graft.text.Bm25.topK(Tables.documents(spark, dir),
-        "doc_id", "text", Seq("spark", "join", "window", "hash"), 20).count()
-      run() // warm jit/codegen
-      spark.sqlContext.clearCache()
-      time(s"bm25-cold-$m" + "x") { spark.sqlContext.clearCache(); run() }
-      run() // populate cache
-      time(s"bm25-steady-$m" + "x") { run() }
-      spark.sqlContext.clearCache()
+      val docs = Tables.documents(spark, dir)
+      // cold: self-contained topK (caches + unpersists internally)
+      val cold = () => graft.text.Bm25.topK(docs, "doc_id", "text", terms, 20).count()
+      cold() // warm jit/codegen
+      time(s"bm25-cold-$m" + "x") { cold() }
+      // steady: caller-cached counts table + topKFromCounts per query —
+      // the long-lived-session contract from the Bm25 scaladoc
+      val tc = graft.text.Bm25.countsTable(docs, "doc_id", "text", terms).cache()
+      tc.count() // populate
+      time(s"bm25-steady-$m" + "x") {
+        graft.text.Bm25.topKFromCounts(tc, "doc_id", terms.size, 20).count()
+      }
+      tc.unpersist(blocking = true)
     }
     spark.stop()
   }

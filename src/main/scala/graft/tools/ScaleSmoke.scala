@@ -312,13 +312,11 @@ object ScaleSmoke {
     val bmTimes = Seq(10, 100).map { m =>
       reclaim()
       val dir = stage(m)
-      // clearCache inside the op: topK caches its (id, counts) table,
-      // so without this the timed pass reads the warm pass's cache and
-      // measures the steady-state path, not the corpus scan. (The
-      // salted vocabulary also zeroes every tf — rows=0 — which is
+      // topK caches + unpersists its counts table per call, so every
+      // timed pass pays the full corpus scan — no clearCache needed.
+      // (The salted vocabulary also zeroes every tf — rows=0 — which is
       // fine: the cost under test is tokenize + stats + score.)
       val f = () => {
-        spark.sqlContext.clearCache()
         graft.text.Bm25.topK(Tables.documents(spark, dir),
           "doc_id", "text", Seq("spark", "join", "window", "hash"), 20).count()
       }
