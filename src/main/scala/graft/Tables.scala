@@ -30,17 +30,33 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as int64 nanos (legacy conf) and convert to
-    * a µs TimestampType — the same ns→truncation the reference's int64
-    * timestamps imply (reference `legate/pandas/common/types.py:112-121`
-    * stores datetime64[ns] as int64).
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) (older
+    * corpus drops) or TIMESTAMP(MICROS) (current). Branch on the dtype
+    * the scan actually produces rather than assuming a unit:
+    *  - int64 (ns under the legacy nanosAsLong conf) → truncate to µs,
+    *    the same ns→µs truncation the reference's int64 timestamps imply
+    *    (reference `legate/pandas/common/types.py:112-121` stores
+    *    datetime64[ns] as int64);
+    *  - TIMESTAMP / TIMESTAMP_NTZ (µs) → cast to the session type
+    *    (session TZ is pinned to UTC, so the cast is value-stable).
+    * Anything else fails loudly — a silently mis-scaled timestamp must
+    * never reach a query.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported dtype $other (expected int64-ns, " +
+          "TIMESTAMP or TIMESTAMP_NTZ) — refusing to guess the time unit")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -44,14 +44,45 @@ object Reshape {
       vTypes.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]),
       s"melt value columns have no numeric LUB: ${
         valueVars.zip(vTypes).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
-    val lub = vTypes.reduce { (a, b) =>
-      if (a == b) a
-      else org.apache.spark.sql.types.DoubleType // numeric melt widens
-    }
+    val lub = vTypes.reduce(numericLub)
     val pairs = array(valueVars.map(v =>
       struct(lit(v).as("k"), col(v).cast(lub).as("v"))): _*)
     df.select(idVars.map(col) :+ explode(pairs).as("kv"): _*)
       .select(idVars.map(col) :+ col("kv.k").as(varName) :+ col("kv.v").as(valueName): _*)
+  }
+
+  /** Least upper bound of two numeric types that loses no values:
+    * int+long→long, long+decimal→wide-enough decimal, anything with a
+    * float/double→double — NOT the old unconditional double, which
+    * silently lost precision for long/decimal beyond 2^53.
+    */
+  private def numericLub(a: org.apache.spark.sql.types.DataType,
+                         b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    // rank: position in the widening chain; digits: max base-10 integer
+    // digits the type can hold (for the decimal LUB)
+    val integral: Map[DataType, (Int, Int)] = Map(
+      ByteType -> (1, 3), ShortType -> (2, 5),
+      IntegerType -> (3, 10), LongType -> (4, 20))
+    if (a == b) a
+    else (a, b) match {
+      case (d: DecimalType, e: DecimalType) =>
+        val s = math.max(d.scale, e.scale)
+        val i = math.max(d.precision - d.scale, e.precision - e.scale)
+        DecimalType(math.min(i + s, DecimalType.MAX_PRECISION), s)
+      case (d: DecimalType, i) if integral.contains(i) =>
+        DecimalType(math.min(
+          math.max(d.precision - d.scale, integral(i)._2) + d.scale,
+          DecimalType.MAX_PRECISION), d.scale)
+      case (i, d: DecimalType) if integral.contains(i) => numericLub(d, i)
+      // any float/double participant → double (matches Spark's own
+      // fractional promotion; decimals were handled above)
+      case (FloatType | DoubleType, _) | (_, FloatType | DoubleType) => DoubleType
+      case (x, y) if integral.contains(x) && integral.contains(y) =>
+        if (integral(x)._1 >= integral(y)._1) x else y
+      case other => throw new IllegalArgumentException(
+        s"melt: no numeric LUB for $other")
+    }
   }
 
   /** pandas `pivot_table(index=, columns=, values=, aggfunc=)`.

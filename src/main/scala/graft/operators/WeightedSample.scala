@@ -26,24 +26,33 @@ object WeightedSample {
 
   private val Space = math.pow(16.0, 15) // 60 bits — exact in a double
 
-  /** The A-ES key column: ln(u)/w. Null-weight/≤0-weight rows get -∞
+  /** The A-ES key column: ln(u)/w. Null/NaN/≤0-weight rows get -∞
     * as a belt — but [[take]]/[[takePerGroup]] FILTER them out first,
     * because -∞ still ranks (and would be emitted whenever k exceeds
     * the positive-weight population), violating "never sampled".
+    * NaN needs its own check: Spark's nan-safe ordering treats NaN as
+    * greater than everything, so a NaN weight passes `> 0` and would
+    * otherwise yield a NaN key that sorts FIRST in the descending top-k.
     */
   def esKey(idExpr: Column, weight: Column, salt: String): Column = {
     val u = (conv(substring(md5(concat(lit(salt), idExpr.cast("string"))), 1, 15),
       16, 10).cast("double") + lit(0.5)) / lit(Space) // (0,1), never exactly 0
-    when(weight.isNull || weight <= 0, lit(Double.NegativeInfinity))
-      .otherwise(log(u) / weight.cast("double"))
+    val w = weight.cast("double")
+    when(weight.isNull || isnan(w) || weight <= 0, lit(Double.NegativeInfinity))
+      .otherwise(log(u) / w)
   }
+
+  /** Rows eligible for sampling: non-null, non-NaN, strictly positive. */
+  private def validWeight(weightCol: String): Column =
+    col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
+      col(weightCol) > 0
 
   /** Top-k rows by the A-ES key (largest first).  The extra `__es`
     * column is dropped from the result; row set is the sample.
     */
   def take(df: DataFrame, idCol: String, weightCol: String, k: Int,
            salt: String = "es"): DataFrame = {
-    val keyed = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val keyed = df.filter(validWeight(weightCol))
       .withColumn("__es", esKey(col(idCol), col(weightCol), salt))
     Sorts.topK(keyed, Seq("__es", idCol), Seq(false, true), k).drop("__es")
   }
@@ -55,7 +64,7 @@ object WeightedSample {
     */
   def takePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                    weightCol: String, k: Int, salt: String = "es"): DataFrame = {
-    val keyed = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val keyed = df.filter(validWeight(weightCol))
       .withColumn("__es", esKey(col(idCol), col(weightCol), salt))
     graft.plans.GroupTopK.topKPerKey(
       keyed, groupCols, Seq("__es" -> true, idCol -> false), k).drop("__es")

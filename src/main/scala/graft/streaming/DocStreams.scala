@@ -32,10 +32,14 @@ object DocStreams {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(s"/root/repo/target/tmp/stream_docs_$safe")
     Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/documents.parquet")
     val dst = dir.resolve("documents.parquet")
-    if (!Files.exists(dst))
-      Files.copy(Paths.get(s"$sfDir/documents.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
 

@@ -35,10 +35,14 @@ object EmbedStreams {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(s"/root/repo/target/tmp/stream_emb_$safe")
     Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/embeddings.parquet")
     val dst = dir.resolve("embeddings.parquet")
-    if (!Files.exists(dst))
-      Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
 

@@ -19,31 +19,58 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet → stream-read as long then
-    * convert (same convention as graft.Tables.events).
+  /** Stream-source schema with `ts` as the given type — the file source
+    * requires an explicit schema, so the ts dtype is probed from the
+    * staged file (see [[readEventStream]]) instead of hardcoded.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Copy the single events.parquet into a directory so the file source
-    * can watch it (repo-local tmp; no testdata mutation).
+    * can watch it (repo-local tmp; no testdata mutation). Re-copies when
+    * the source's size or mtime differs from the staged copy, so a
+    * regenerated corpus can never silently pair a stale stream input
+    * with a fresh oracle.
     */
   private def stageDir(sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(s"/root/repo/target/tmp/stream_events_$safe")
     Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst))
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
 
+  /** Stream reader for events. The parquet ts unit has changed across
+    * corpus drops (int64-ns → TIMESTAMP(MICROS)), and a wrong guess is
+    * the *silent* 1000×-mis-scale failure mode — so probe the staged
+    * file's batch-read schema, declare exactly that dtype to the stream
+    * source, and branch (mirrors graft.Tables.events). Unknown dtypes
+    * fail loudly.
+    */
   private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageDir(sfDir)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"staged events.ts read as unsupported dtype $other (expected " +
+          "int64-ns, TIMESTAMP or TIMESTAMP_NTZ) — refusing to guess the time unit")
+    }
   }
 
   /** Streaming data-quality monitor (the incremental twin of

@@ -153,6 +153,15 @@ object Bm25 {
                 queries: Seq[(Long, Seq[String])], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "topKBatch needs at least one query")
+    // same contract as termCounts/topK: a term duplicated WITHIN one
+    // query would map to the same slot twice and double its
+    // contribution (the union vocab is deduped, so termCounts' own
+    // require can't catch it here)
+    queries.foreach { case (qid, terms) =>
+      require(terms.distinct.size == terms.size,
+        s"query $qid has duplicate terms: " +
+          terms.diff(terms.distinct).distinct.mkString(", "))
+    }
     val vocab = queries.flatMap(_._2).distinct
     val slot = vocab.zipWithIndex.toMap
     val tcTab = countsTable(docs, idCol, textCol, vocab).cache()
