@@ -672,7 +672,15 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))
 
-  /** BM25 keyword top-k over a text column (see text/Bm25). */
+  /** BM25 keyword top-k over a text column (see text/Bm25).
+    *
+    * EAGER: executes the corpus passes at call time (Bm25.topK caches
+    * the counts projection, collects the bounded ≤k result, and
+    * unpersists before returning). The returned GFrame wraps a small
+    * local result, not a lazy plan — callers composing a larger lazy
+    * pipeline should use Bm25.countsTable + Bm25.topKFromCounts
+    * directly (the steady-state path).
+    */
   def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): GFrame =
     GFrame(graft.text.Bm25.topK(df, idCol, textCol, terms, k))
 
@@ -684,10 +692,13 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     * field metadata, which Spark serializes into the parquet footer
     * (`org.apache.spark.sql.parquet.row.metadata`) and restores on
     * read — [[GFrame.readParquet]] reconstructs the same
-    * StoredIndex/MultiIndex without a sidecar file. Divergence note:
-    * pyarrow's `pandas` footer key is not written (Spark's writer has
-    * no arbitrary-footer-key hook); the contract rides Spark's own
-    * schema-metadata channel instead.
+    * StoredIndex/MultiIndex without a sidecar file. For PANDAS
+    * consumers, a `_common_metadata` footer-only file additionally
+    * carries pyarrow's `pandas` key (Spark's writer has no
+    * arbitrary-footer-key hook, so it rides the sidecar — which
+    * pandas/pyarrow's directory reader honors): `pd.read_parquet(dir)`
+    * auto-recovers the index exactly like the reference
+    * (`core/io.py:56-68`).
     */
   def toParquet(path: String): Unit = {
     // Rebuild EVERY column's metadata: tag current index columns and
@@ -707,6 +718,7 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
       df.select(cols.toSeq: _*)
     }
     out.write.mode("overwrite").parquet(path)
+    GFrame.writePandasCommonMetadata(df.sparkSession, path, df.schema, index)
   }
 
   def toCsv(path: String, singleFile: Boolean = false): Unit =
@@ -746,6 +758,82 @@ object GFrame {
   /** concat(axis=0) — union semantics (README.md:194-196). */
   def concat(frames: Seq[GFrame]): GFrame =
     GFrame(SetOps.concatRows(frames.map(_.df)), frames.head.index)
+
+  /** Write a footer-only `_common_metadata` file next to the part files
+    * carrying pyarrow's `pandas` key, so `pd.read_parquet(dir)`
+    * auto-recovers the index (the reference writes the same key
+    * per-file, `core/table.py:1184-1288`; Spark's writer has no
+    * footer-key hook, so the sidecar — honored by pandas/pyarrow's
+    * directory reader — carries it). Footer-only: no row groups, a few
+    * KB regardless of data size. The parquet MessageType and existing
+    * key-value metadata are cloned from the first written part file so
+    * the sidecar always agrees with the physical schema.
+    */
+  private[graft] def writePandasCommonMetadata(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, index: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .foreach { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        val (msgType, kv) =
+          try {
+            val fmd = reader.getFooter.getFileMetaData
+            (fmd.getSchema, fmd.getKeyValueMetaData)
+          } finally reader.close()
+        val merged = new java.util.HashMap[String, String](kv)
+        merged.put("pandas", pandasMetaJson(schema, index))
+        val w = new ParquetFileWriter(
+          HadoopOutputFile.fromPath(new HPath(dir, "_common_metadata"), conf),
+          msgType, ParquetFileWriter.Mode.OVERWRITE,
+          128L * 1024 * 1024, 8 * 1024 * 1024)
+        w.start()
+        w.end(merged)
+      }
+  }
+
+  /** The `pandas` footer value (pyarrow's pandas-metadata spec): enough
+    * for index recovery — index_columns + per-column name/type entries.
+    */
+  private def pandasMetaJson(schema: org.apache.spark.sql.types.StructType,
+                             index: Seq[String]): String = {
+    import org.apache.spark.sql.types._
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def types(dt: DataType): (String, String) = dt match {
+      case ByteType => ("int8", "int8")
+      case ShortType => ("int16", "int16")
+      case IntegerType => ("int32", "int32")
+      case LongType => ("int64", "int64")
+      case FloatType => ("float32", "float32")
+      case DoubleType => ("float64", "float64")
+      case BooleanType => ("bool", "bool")
+      case StringType => ("unicode", "object")
+      case BinaryType => ("bytes", "object")
+      case DateType => ("date", "object")
+      case TimestampType | TimestampNTZType => ("datetime", "datetime64[ns]")
+      case _ => ("object", "object")
+    }
+    val cols = schema.fields.map { f =>
+      val (pt, nt) = types(f.dataType)
+      s"""{"name": "${esc(f.name)}", "field_name": "${esc(f.name)}", """ +
+        s""""pandas_type": "$pt", "numpy_type": "$nt", "metadata": null}"""
+    }.mkString(", ")
+    val idx = index.map(n => s""""${esc(n)}"""").mkString(", ")
+    s"""{"index_columns": [$idx], "column_indexes": [], """ +
+      s""""columns": [$cols], "creator": {"library": "graft"}, """ +
+      s""""pandas_version": "2.0.0"}"""
+  }
 }
 
 /** Lazy groupby handle (`frontend/groupby.py:22-86`). */

@@ -26,6 +26,15 @@ object CsvPandas {
       falseValues: Seq[String] = Seq(),
       parseDatesFmt: Option[String] = None, // timestampFormat
       quotechar: String = "\"",
+      // pandas doublequote=True (RFC4180: "" escapes a quote inside a
+      // quoted field — pandas' writer/reader dialect); false = Spark's
+      // backslash escaping
+      doublequote: Boolean = true,
+      // quoted fields may span lines (embedded newlines). SCALE NOTE:
+      // multiLine disables byte-range splitting — each FILE becomes one
+      // task — so keep it off (default) unless the data needs it, and
+      // write many part files when it does.
+      multiLine: Boolean = false,
       compression: Option[String] = None,  // gzip/bz2 inferred by extension
       nrows: Option[Int] = None,
       // schema-inference sample size when no schema is given — the
@@ -54,6 +63,8 @@ object CsvPandas {
       .option("sep", o.sep)
       .option("header", o.header.toString)
       .option("quote", o.quotechar)
+      .option("escape", if (o.doublequote) o.quotechar else "\\")
+      .option("multiLine", o.multiLine.toString)
     o.naValues.headOption.foreach(v => r = r.option("nullValue", v))
     o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
     readSchema match {
@@ -110,6 +121,7 @@ object CsvPandas {
       .option("sep", o.sep)
       .option("header", o.header.toString)
       .option("quote", o.quotechar)
+      .option("escape", if (o.doublequote) o.quotechar else "\\")
       .option("inferSchema", "true")
     o.naValues.headOption.foreach(v => r = r.option("nullValue", v))
     o.parseDatesFmt.foreach(f => r = r.option("timestampFormat", f))
@@ -149,10 +161,13 @@ object CsvPandas {
   def write(df: DataFrame, path: String, header: Boolean = true,
             sep: String = ",", singleFile: Boolean = false,
             compression: Option[String] = None,
-            naRep: String = "", lineTerminator: Option[String] = None): Unit = {
+            naRep: String = "", lineTerminator: Option[String] = None,
+            doublequote: Boolean = true): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     var w = out.write.mode("overwrite")
       .option("header", header.toString).option("sep", sep)
+      // pandas doublequote=True dialect (RFC4180 "" escaping)
+      .option("escape", if (doublequote) "\"" else "\\")
     // pandas na_rep / line_terminator (reference frontend/frame.py:1009-1049)
     if (naRep.nonEmpty) w = w.option("nullValue", naRep)
     lineTerminator.foreach(t => w = w.option("lineSep", t))
