@@ -60,8 +60,20 @@ object PQ {
       array_min(pairs).getField("j")
     }
 
-    /** Full m-code encoding as array<int>. */
-    def encode(vec: Column): Column = array((0 until m).map(code(vec, _)): _*)
+    /** Full m-code encoding as array<int> — the native one-pass kernel
+      * ([[PqEncode]]; bit-identical to [[encodeComposed]], which the
+      * differential spec pins).
+      */
+    def encode(vec: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+    }
+
+    /** Composed-expression twin of [[encode]] (spec differential only —
+      * m·ksub struct/dot nodes per row, JIT-hostile at any scale).
+      */
+    def encodeComposed(vec: Column): Column =
+      array((0 until m).map(code(vec, _)): _*)
 
     /** Decode: the reconstructed vector (concatenated centroids). */
     def decode(codes: Column): Column =

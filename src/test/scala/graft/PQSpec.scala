@@ -41,6 +41,18 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("native encode kernel is bit-identical to the composed expression twin") {
+    // real corpus floats: the native PqEncode loop and the
+    // array_min-over-structs tree must agree code-for-code (same
+    // arithmetic in the same fold order — PqEncodeExpr's contract)
+    val df = Tables.embeddings(spark, sf).filter(col("vec_id") < 256)
+      .select(col("vec_id"),
+        pq.encode(col("embedding")).as("native"),
+        pq.encodeComposed(col("embedding")).as("composed"))
+    assert(df.filter(col("native") =!= col("composed")).count() == 0)
+    assert(df.count() > 0)
+  }
+
   test("ADC distance equals the exact sub-distance sum of the assigned codes") {
     val sample = corpusSample(16)
     val q = sample.head._2
