@@ -75,5 +75,47 @@ object Round14Queries {
       Some("""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(length(o_orderpriority || '"x,' || chr(10) || o_orderstatus)) AS BIGINT) AS chars,
              CAST(count(*) AS BIGINT) AS quoted
-             FROM orders GROUP BY 1""")))
+             FROM orders GROUP BY 1""")),
+
+    // Fuzzy-dedup VERIFY stage: LSH candidates (recall 1.0 at these SFs
+    // vs the exact inverted index — the q55 contract) confirmed by
+    // exact character-level Levenshtein ≤ 5. Edit distance runs ONLY on
+    // the bounded candidate set after a point-lookup text fetch — never
+    // all pairs. Oracle: the q54 exact-pair CTEs + DuckDB's levenshtein
+    // (same classic insert/delete/substitute metric as Spark's).
+    "q253_editdist_verify" -> QueryDef(
+      (s, d) => graft.text.EditVerify.nearDuplicates(
+        Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, maxEdit = 5),
+      Some(s"""WITH ${TextQueries.pairsOracleCtes}
+             SELECT p.id1, p.id2, p.jaccard,
+               CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit
+             FROM pairs p
+             JOIN documents d1 ON p.id1 = d1.doc_id
+             JOIN documents d2 ON p.id2 = d2.doc_id
+             WHERE levenshtein(d1.text, d2.text) <= 5""")),
+
+    // §2.10 bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    // (key state EVICTED at the watermark — the unbounded-source-safe
+    // twin of q68's dropDuplicates). Bounded replay ⇒ equals batch
+    // DISTINCT, which the oracle replays.
+    "q254_stream_dedup_bounded" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.dedupCountsBounded(s, d),
+      Some("""SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+             FROM events GROUP BY 1""")),
+
+    // §2.10 stream-stream LEFT OUTER interval join (append mode,
+    // watermark-bounded state, multi-batch chronological replay with
+    // flush sentinels — EventStreams.stageSplitDir): unmatched
+    // purchases emit exactly once with a NULL click id after the
+    // watermark closes their window. Oracle: the equivalent batch
+    // left join.
+    "q252_stream_outer_join" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.streamStreamOuterJoin(s, d),
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON p.user_id = c.user_id
+              AND c.ts >= p.ts - INTERVAL 30 MINUTE
+              AND c.ts <= p.ts""")))
 }

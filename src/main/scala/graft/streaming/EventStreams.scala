@@ -140,6 +140,147 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * evicts key state once the watermark passes — the production form
+    * of [[dedupCounts]], whose plain `dropDuplicates` retains every key
+    * forever. On the bounded replay (all duplicates arrive in-batch,
+    * inside any watermark) the output equals batch DISTINCT, which is
+    * what the oracle replays; on an unbounded source this is the only
+    * formulation whose state does not grow with stream length.
+    */
+  def dedupCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val name = "graft_stream_dedup_wm"
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Chronological 4-file staging for multi-batch replay: the events
+    * split into two time-ordered halves plus two far-future `flush`
+    * sentinel files. With `maxFilesPerTrigger=1` the file source
+    * replays them as four ordered microbatches (mtimes set ascending —
+    * the source orders by modification time): the halves exercise
+    * cross-batch join state, and the sentinels advance the watermark
+    * past every pending window (first flush moves the watermark, second
+    * gives the engine the extra batch in which finalized outer/expired
+    * state is actually emitted). Sentinel rows carry
+    * event_type='flush', which both join sides drop AFTER their
+    * watermark node, so they advance time without joining.
+    */
+  private def stageSplitDir(spark: SparkSession, sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_events_split_$safe")
+    val srcFile = Paths.get(s"$sfDir/events.parquet")
+    val stamp = dir.resolve("_staged_from")
+    val tag = s"${Files.size(srcFile)}:${Files.getLastModifiedTime(srcFile)}"
+    if (Files.exists(stamp) &&
+        new String(Files.readAllBytes(stamp), "UTF-8") == tag) return dir.toString
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(dir)
+    val ev = graft.Tables.events(spark, sfDir)
+    val Array(midTs, maxTs) = ev.agg(
+      expr("percentile_approx(unix_micros(ts), 0.5)"),
+      expr("max(unix_micros(ts))")).collect().head match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    def writeOne(df: DataFrame, name: String, order: Int): Unit = {
+      val tmp = dir.resolve(s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      Files.move(part, dst)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      // mtime drives FileStreamSource batch order
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + order * 1000L))
+    }
+    writeOne(ev.filter(unix_micros(col("ts")) <= midTs), "part1", 0)
+    writeOne(ev.filter(unix_micros(col("ts")) > midTs), "part2", 1)
+    // sentinels must be REAL purchase/click rows (the optimizer pushes
+    // the event-type filter below the watermark node, so a synthetic
+    // type would be dropped before it could advance event time); the
+    // negative user_id joins nothing and the consumer filters ids < 0
+    def flush(order: Int): Unit = {
+      val ts = timestamp_micros(lit(maxTs) + lit(86400000000L) * lit(10L * order))
+      val one = ev.limit(1)
+      writeOne(
+        one.select(lit(-1L * order).as("event_id"), ts.as("ts"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .unionAll(one.select(lit(-1000L - order).as("event_id"), ts.as("ts"),
+          lit(-2L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))),
+        s"flush$order", 1 + order)
+    }
+    flush(1); flush(2)
+    Files.write(stamp, tag.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  /** STREAM-STREAM LEFT OUTER interval join, append mode: every
+    * purchase emits — matched with each same-user click from its
+    * preceding 30 minutes, or once with null click columns after the
+    * watermark proves no match can still arrive. The watermark node
+    * sits BELOW the event-type filter on each side, so the flush
+    * sentinels (see [[stageSplitDir]]) advance event time without
+    * joining; unmatched-side state is evicted exactly when its join
+    * window closes — the bounded-state production formulation of an
+    * outer enrichment join.
+    */
+  def streamStreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageSplitDir(spark, sfDir)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    def side: DataFrame = {
+      val raw = spark.readStream.schema(rawSchema(tsType))
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      tsType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
+    }
+    val purchases = side
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("event_type").as("p_type"))
+      .withWatermark("p_ts", "1 hour")
+      .filter(col("p_type") === "purchase").drop("p_type")
+    val clicks = side
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_type").as("c_type"))
+      .withWatermark("c_ts", "1 hour")
+      .filter(col("c_type") === "click").drop("c_type")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"))
+    val name = "graft_stream_outer_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    // sentinel rows are dropped POST-sink: filtering p_id in-stream
+    // gets pushed below the watermark node into the purchase-side scan
+    // and silently re-kills the watermark advance (observed — the
+    // whole reason the filter lives here)
+    spark.table(name).filter(col("p_id") >= 0)
+  }
+
   /** STREAM-STREAM inner interval join: each purchase matched with the
     * same user's clicks from the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event time on both ends,
