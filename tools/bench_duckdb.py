@@ -22,7 +22,7 @@ HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
             "q166_minhash_dedup", "q203_tpch_q9", "q213_chunk_dedup",
             "q216_semdedup", "q217_bpe_tokenize", "q221_decontaminate",
             "q230_rank_methods", "q232_heavy_hitters",
-            "q238_pq_encode", "q239_ann_ivfpq"]
+            "q238_pq_encode", "q239_ann_ivfpq", "q249_bm25_batch"]
 # heavy non-headline operators whose scale evidence lives in BASELINE.md
 HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
          "q166_minhash_dedup", "q167_range_join", "q169_substring_dup"]
