@@ -334,6 +334,92 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Per-user state for the streaming as-of join: recent clicks as
+    * (tus, event_id, value), kept ascending by (tus, event_id). Bounded
+    * by the tolerance horizon — everything older than
+    * `watermark - tolerance` is evicted each microbatch.
+    */
+  case class AsofState(clicks: List[(Long, Long, Option[Double])])
+
+  /** STREAMING as-of join (the unbounded-source counterpart of
+    * operators/AsOfJoin.backward, which the reference lacks entirely —
+    * SURVEY §2.3 lists equi-joins only): every purchase is matched with
+    * the same user's most recent click at or before it, within
+    * `toleranceMinutes`; no candidate → one row with null click columns
+    * (left-outer asof).
+    *
+    * Spark's stream-stream interval join emits EVERY click in the
+    * window; asof's pick-one-per-left needs per-key custom state, so
+    * this is `flatMapGroupsWithState` keyed by user: the state holds
+    * only the clicks still inside the tolerance horizon (evicted once
+    * the event-time watermark passes them — bounded regardless of
+    * stream length), and each purchase binary-searches that buffer.
+    * Ties at equal click time resolve to the larger event_id; a click
+    * at exactly the purchase time matches (inclusive, like
+    * merge_asof(allow_exact_matches=True)).
+    *
+    * Determinism note (same contract as [[sessionizeStreaming]]): each
+    * microbatch's rows are folded in (tus, kind, id) order with clicks
+    * before purchases at equal tus; with the bounded replay arriving in
+    * one batch the output equals the batch asof — which is what the
+    * oracle replays. A click arriving in a LATER batch than a purchase
+    * it precedes in event time is missed (the streaming asof tradeoff;
+    * the watermark bounds how stale such arrivals can be).
+    */
+  def asofStreaming(spark: SparkSession, sfDir: String,
+                    toleranceMinutes: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val tolUs = toleranceMinutes * 60L * 1000000L
+    // the watermark's event-time ATTRIBUTE must survive into the grouped
+    // dataset (dropping `ts` in favor of a derived micros column detaches
+    // the watermark and getCurrentWatermarkMs throws), so `ts` rides along
+    // as Instant and micros are derived inside the function
+    def us(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val ev = readEventStream(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, String, java.time.Instant, Option[Double])]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.time.Instant, Option[Double])],
+         state: GroupState[AsofState]) =>
+          var clicks = state.getOption.map(_.clicks).getOrElse(Nil)
+          val emitted = collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Long], Option[Double])]
+          val sorted = rows.map { case (u, id, kind, i, v) => (u, id, kind, us(i), v) }
+            .toSeq.sortBy(r => (r._4, if (r._3 == "click") 0 else 1, r._2))
+          sorted.foreach { case (_, id, kind, t, v) =>
+            if (kind == "click") {
+              // insert keeping ascending (tus, id) order
+              val (before, after) = clicks.partition(c =>
+                c._1 < t || (c._1 == t && c._2 < id))
+              clicks = before ::: (t, id, v) :: after
+            } else {
+              val best = clicks.reverseIterator.find(c =>
+                c._1 <= t && t - c._1 <= tolUs)
+              emitted += ((id, user, best.map(_._2), best.flatMap(_._3)))
+            }
+          }
+          // bounded state: drop clicks the watermark proves can never
+          // match a future purchase (purchases older than the watermark
+          // are themselves dropped by the engine)
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L - tolUs
+          state.update(AsofState(clicks.filter(_._1 >= horizonUs)))
+          emitted.iterator
+      }
+    val name = "graft_stream_asof"
+    val q = out.toDF("p_id", "user_id", "c_id", "c_value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Per-user session state for the streaming sessionizer. */
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
 
