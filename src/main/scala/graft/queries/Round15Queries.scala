@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.functions.Num
+import graft.functions.{CountMin, Num}
 import graft.similarity.{Pca, PcaComponents}
 
 /** Round-15 additions: streaming as-of join, PCA embedding projection
@@ -99,5 +99,98 @@ object Round15Queries {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-             FROM documents GROUP BY 1""")))
+             FROM documents GROUP BY 1""")),
+
+    // §2.12 Count-Min frequency sketch (functions/CountMinAgg): the
+    // mergeable point-query frequency summary beside KMV/HLL/
+    // Misra-Gries. The 4×256 grid partial-aggregates map-side (one
+    // constant ~8 KB buffer per partition crosses the exchange — never
+    // the keys); estimates for every user then come off the broadcast
+    // sketch without rescanning. The oracle rebuilds the identical grid
+    // from the same md5 buckets and replays min-across-rows; `exact`
+    // rides along so the ≥-overestimate contract is visible in the
+    // result itself.
+    "q258_cms_freq" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val ev = Tables.events(s, d)
+          .select(col("user_id").cast("string").as("k"))
+        val sk = ev.select(CountMin.buckets(col("k")).as("bs"))
+          .agg(CountMin.sketch(col("bs")).as("sk"))
+        val probes = ev.groupBy("k").agg(count(lit(1)).as("exact"))
+        probes.crossJoin(broadcast(sk))
+          .select(col("k").cast("long").as("user_id"), col("exact"),
+            CountMin.estimate(col("sk"), col("k")).as("est"))
+      },
+      Some(cmsOracleSql)),
+
+    // §2.12 PCA-prefiltered ANN with exact rerank: pair scan in the
+    // 8-dim projected space (8 multiplies/pair vs 64), GroupTopK
+    // bounded heaps shortlist 32/query below the exchange, exact
+    // squared-L2 rerank touches only |Q|·32 re-fetched vectors. The
+    // third coarse-then-refine ANN family beside IVF (q91) and IVF-PQ
+    // rerank (q242), with the PCA subspace as the coarse metric.
+    "q259_ann_pca_rerank" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Pca.rerankTopK(e.filter(col("vec_id") < 16), e, pcaModel,
+          k = 5, shortlist = 32)
+      },
+      Some(pcaRerankOracleSql(k = 5, shortlist = 32))))
+
+  /** Oracle for q258: rebuild the 4×256 grid with the same md5 buckets
+    * (counter value = total rows hashing there), then estimate =
+    * least across the 4 rows.
+    */
+  private def cmsOracleSql: String = {
+    val d = CountMin.D
+    val w = CountMin.W
+    def bSql(seed: Int) =
+      s"CAST('0x' || substr(md5('cms$seed:' || k), 1, 8) AS BIGINT) % $w"
+    val hCols = (0 until d).map(r => s"${bSql(r)} AS b$r").mkString(", ")
+    val cCtes = (0 until d).map(r =>
+      s"c$r AS (SELECT b$r AS b, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)")
+      .mkString(", ")
+    val joins = (0 until d).map(r => s"JOIN c$r ON p.b$r = c$r.b").mkString(" ")
+    val ests = (0 until d).map(r => s"c$r.n").mkString(", ")
+    val pb = (0 until d).map(r => s"min(b$r) AS b$r").mkString(", ")
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+       h AS (SELECT k, $hCols FROM ev),
+       $cCtes,
+       p AS (SELECT k, CAST(count(*) AS BIGINT) AS exact, $pb FROM h GROUP BY k)
+       SELECT CAST(p.k AS BIGINT) AS user_id, p.exact, least($ests) AS est
+       FROM p $joins"""
+  }
+
+  /** Oracle for q259: identical projection literals, shortlist by
+    * rounded projected L2, exact rerank — same fold shapes as
+    * Pca.rerankTopK.
+    */
+  private def pcaRerankOracleSql(k: Int, shortlist: Int): String = {
+    def pList(vec: String): String =
+      pcaModel.components.indices.map { dd =>
+        val wl = litArr(pcaModel.components(dd))
+        s"(${SimilarityQueries.sqlDot(vec, wl)} - (${pcaModel.meanDots(dd)}))"
+      }.mkString("[", ", ", "]")
+    def dist2(a: String, b: String): String =
+      s"(${SimilarityQueries.sqlDot(a, a)} - 2.0*${SimilarityQueries.sqlDot(a, b)} + ${SimilarityQueries.sqlDot(b, b)})"
+    s"""WITH pc AS (SELECT vec_id AS vid, embedding AS cv, ${pList("embedding")} AS cp
+             FROM embeddings),
+         pq AS (SELECT vec_id AS qid, embedding AS qv, ${pList("embedding")} AS qp
+             FROM embeddings WHERE vec_id < 16),
+         cand AS (SELECT q.qid, c.vid, q.qv, c.cv,
+             round(${dist2("q.qp", "c.cp")} * 1e6) / 1e6 AS d8
+           FROM pc c, pq q WHERE c.vid != q.qid),
+         short AS (SELECT qid, vid, qv, cv FROM (
+             SELECT qid, vid, qv, cv,
+               row_number() OVER (PARTITION BY qid ORDER BY d8 ASC, vid ASC) AS srn
+             FROM cand) WHERE srn <= $shortlist),
+         ex AS (SELECT qid, vid,
+             round(${dist2("qv", "cv")} * 1e6) / 1e6 AS dist FROM short)
+       SELECT qid, vid, dist, rn FROM (
+         SELECT qid, vid, dist,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY dist ASC, vid ASC) AS BIGINT) AS rn
+         FROM ex) WHERE rn <= $k"""
+  }
 }

@@ -155,7 +155,7 @@ object PQ {
     * sorts or shuffles whole), then the rn window touches only |Q|·k
     * rows.
     */
-  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.GroupTopK.topKPerKey(cand, Seq("qid"),
       Seq(("dist", false), ("vid", false)), k)
     val w = org.apache.spark.sql.expressions.Window

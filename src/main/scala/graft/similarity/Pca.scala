@@ -160,4 +160,48 @@ object Pca {
     }
     df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
   }
+
+  /** PCA-prefiltered ANN with exact rerank: the pair scan runs in the
+    * k′-dim PROJECTED space (k′ multiplies per pair instead of the full
+    * dim — here 8 vs 64), a bounded GroupTopK heap keeps `shortlist`
+    * candidates per query below the exchange, and only those rows
+    * re-fetch their float vectors (point-lookup hash join, |Q|·shortlist
+    * rows — never a corpus re-scan) for exact squared-L2 reranking.
+    * Same production shape as [[PQ.ivfPqRerankTopK]], with the PCA
+    * subspace as the coarse metric: projected L2 lower-bounds true L2
+    * (orthonormal projection), so the shortlist misses only vectors
+    * whose residual-space distance dominates. Shortlist sizing scales
+    * inversely with the model's explained-variance ratio — on a
+    * flat-spectrum (near-isotropic) corpus the subspace orders
+    * neighbors weakly and the shortlist must grow accordingly
+    * (quantified in PcaSpec against the random-shortlist baseline).
+    *
+    * Distances on both stages are the literal-replayable
+    * `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` shape rounded at 6dp, so a SQL oracle
+    * rebuilds the identical shortlist and ranking (q258).
+    */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, model: Model,
+                 k: Int, shortlist: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def proj(df: DataFrame, id: String, pv: String) =
+      df.select(col(idCol).as(id),
+        array(projectCols(col(vecCol), model): _*).as(pv))
+    def dist2(a: Column, b: Column): Column =
+      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
+    // shortlist scan carries only (qid, vid, d8) — the heaps and the
+    // exchange never see a float vector
+    val cand = proj(corpus, "vid", "cp")
+      .crossJoin(broadcast(proj(queries, "qid", "qp")))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        graft.functions.Num.rnd(dist2(col("qp"), col("cp")), 6).as("d8"))
+    val short = graft.plans.GroupTopK.topKPerKey(cand, Seq("qid"),
+      Seq(("d8", false), ("vid", false)), shortlist)
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    val exact = short.join(cv, Seq("vid")).join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        graft.functions.Num.rnd(dist2(col("qv"), col("cv")), 6).as("dist"))
+    PQ.rankTopK(exact, k)
+  }
 }

@@ -70,6 +70,53 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 
+  test("PCA-prefiltered rerank recall vs exact L2 top-k") {
+    val model = Pca.Model(PcaComponents.mean, PcaComponents.eigenvalues,
+      PcaComponents.components)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    def rerank(shortlist: Int): Set[(Long, Long)] =
+      Pca.rerankTopK(q, e, model, k = 5, shortlist = shortlist)
+        .select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rerank(32)
+    // exact L2 ground truth (brute pairs, same tie rule)
+    val qv = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    val exact = cv.crossJoin(broadcast(qv))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dist", graft.functions.Num.rnd(
+        Similarity.dot(col("qv"), col("qv")) -
+          lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
+          Similarity.dot(col("cv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // The synthetic corpus is near-ISOTROPIC (flat eigen-spectrum; the
+    // 8-dim subspace explains only ~20% of variance at this SF), so no
+    // low-dim subspace can order true L2 neighbors sharply — absolute
+    // recall tracks the explained-variance ratio. The honest invariants
+    // here: the PCA shortlist strictly beats a RANDOM shortlist of the
+    // same size, and recall grows monotonically with the shortlist
+    // (the production tuning knob — size it by the explained ratio;
+    // real text embeddings concentrate variance far faster).
+    val n = e.count().toDouble
+    val randomRecall = 32.0 / n
+    val explained = PcaComponents.eigenvalues.sum /
+      Pca.fit(e, "embedding", 64).eigenvalues.sum
+    info(f"PCA-rerank recall@5 (k'=8, shortlist=32): $recall%.3f; " +
+      f"random-shortlist baseline ${randomRecall}%.4f; explained var $explained%.3f")
+    assert(recall > 1.5 * randomRecall,
+      s"recall $recall does not beat the random-shortlist baseline $randomRecall")
+    val recall128 = (rerank(128) & exact).size.toDouble / exact.size
+    info(f"recall@5 at shortlist=128: $recall128%.3f")
+    assert(recall128 > recall, "recall must grow with the shortlist")
+    assert(recall128 > 0.4, s"shortlist=128 recall $recall128 too low")
+  }
+
   test("native projection equals a driver-side replay") {
     val model = Pca.Model(PcaComponents.mean, PcaComponents.eigenvalues,
       PcaComponents.components)
