@@ -80,4 +80,21 @@ object CountMin {
     }
     least(ests: _*)
   }
+
+  /** Equi-join SIZE estimate from two sketches over the same key
+    * domain: |A ⋈ B| ≈ min_d Σ_j A[d][j]·B[d][j] (Cormode &
+    * Muthukrishnan 2005 §4.2 — the sketch inner product never
+    * underestimates and carries the same ε·|A|·|B| overestimate
+    * bound).  Exact long arithmetic, computed per row of a
+    * one-row crossJoin of the two broadcast sketches.
+    */
+  def joinSizeEstimate(skA: Column, skB: Column, d: Int = D, w: Int = W): Column = {
+    val rows = (0 until d).map { r =>
+      aggregate(sequence(lit(0), lit(w - 1)), lit(0L), (acc, j) => {
+        val idx = (lit(r * w) + j + lit(1)).cast("int")
+        acc + element_at(skA, idx) * element_at(skB, idx)
+      })
+    }
+    least(rows: _*)
+  }
 }

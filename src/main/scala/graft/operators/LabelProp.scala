@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) — community
+  * detection beside [[Components]] (which finds *connectivity*; LPA
+  * finds *density* structure, the signal used to group near-duplicate
+  * crawl domains).  Deterministic variant: each iteration every vertex
+  * adopts the most frequent label among its neighbors, ties broken by
+  * the SMALLEST label — so results are reproducible across partitions
+  * and replayable in a SQL oracle (classic LPA breaks ties randomly).
+  *
+  * Distributed shape: one hash join (labels ⋈ edges) + one two-key
+  * partial-agg groupBy + one per-vertex arg-max per iteration — the
+  * same bounded pattern as [[PageRank]]; iteration count is a constant,
+  * lineage is cut by persist.  The arg-max window runs on the already
+  * clustered-by-vertex aggregate (no extra exchange beyond the
+  * groupBy's own).
+  */
+object LabelProp {
+
+  /** `edges(srcCol, dstCol)` is symmetrized + deduped; initial label of
+    * a vertex is its own id.  Returns (id, label) after `iters` rounds.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    var lab = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val votes = sym.join(lab, sym("src") === lab("id"))
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("vid").orderBy(col("n").desc, col("label").asc)
+      val next = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid").as("id"), col("label"))
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = lab
+      lab = next
+    }
+    lab
+  }
+}

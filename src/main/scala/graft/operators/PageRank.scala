@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank over an undirected graph — the
+  * iterative-propagation graph operator beside [[Components]]'s
+  * pointer-jumping connected components (domain/source authority
+  * weighting is a standard curation signal next to quality scores).
+  *
+  * Distributed shape (the 100 TB lens):
+  *   - each iteration is ONE hash join (ranks ⋈ edges on src) + ONE
+  *     partial-aggregated groupBy(dst) — the same shuffle pattern
+  *     GraphX/Pregel lowers to; no driver-side loop over rows, and the
+  *     iteration count is a compile-time constant;
+  *   - intermediate ranks are persisted per iteration so lineage stays
+  *     O(1) deep instead of re-expanding the join tree.
+  *
+  * Arithmetic discipline: ranks are FIXED-POINT LONGS (scale 1e12).
+  * Every step is integer `div` / multiply / add, so the per-vertex sum
+  * of contributions is order-independent (exact long addition partial-
+  * aggregates map-side) AND bit-replayable in a SQL oracle — a
+  * floating-point PageRank would make Σ contributions depend on the
+  * shuffle's merge order.  `pr` of a vertex after k iterations is
+  * identical on both engines down to the last unit.
+  */
+object PageRank {
+
+  /** Rank scale: 1.0 ≡ 10^12 units (total mass ≈ Scale, per-vertex
+    * values well inside exact-double AND exact-long range).
+    */
+  val Scale = 1000000000000L
+
+  /** Damping 0.85 as the exact rational 85/100; teleport (1−d)/n is
+    * (3·Scale)/(20·n) in units.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize + dedupe: every vertex that appears has degree ≥ 1,
+    // so there are no dangling vertices to redistribute
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    val verts = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .persist()
+    val n = verts.count() // one driver scalar, like any dim cardinality
+    val teleport = (3L * Scale) / (20L * n)
+
+    var pr = verts.select(col("id"), col("deg"), lit(Scale / n).as("pr"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("mass"))
+      val next = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))
+        .persist()
+      next.count() // materialize before unpersisting the parent
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = pr
+      pr = next
+    }
+    pr
+  }
+
+  /** PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): the
+    * teleport mass lands only on the `seed` vertices — authority *as
+    * seen from* a seed set, the domain-weighting variant a curation
+    * pipeline uses to score sources against a trusted whitelist.  Same
+    * fixed-point integer discipline as [[run]]; non-seed vertices start
+    * at 0 and receive only propagated mass.
+    */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    val verts = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("seed", seed(col("id")))
+      .persist()
+    val nSeeds = verts.filter(col("seed")).count()
+    require(nSeeds > 0, "personalization needs at least one seed vertex")
+    val tele = (3L * Scale) / (20L * nSeeds)
+
+    var pr = verts.select(col("id"), col("deg"), col("seed"),
+      when(col("seed"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("pr"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("mass"))
+      val next = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"), col("seed"),
+          (when(col("seed"), lit(tele)).otherwise(lit(0L)) +
+            expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = pr
+      pr = next
+    }
+    pr.select("id", "deg", "pr")
+  }
+
+  /** customer↔supplier trade graph from the TPC-H-ish tables: distinct
+    * (o_custkey, l_suppkey) pairs, vertex ids disjoint by prefix.
+    */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cust"),
+        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .distinct()
+  }
+}

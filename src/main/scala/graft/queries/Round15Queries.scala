@@ -142,7 +142,7 @@ object Round15Queries {
     * (counter value = total rows hashing there), then estimate =
     * least across the 4 rows.
     */
-  private def cmsOracleSql: String = {
+  private[queries] def cmsOracleSql: String = {
     val d = CountMin.D
     val w = CountMin.W
     def bSql(seed: Int) =

@@ -162,6 +162,34 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Streaming Count-Min frequency monitor: the q258 sketch maintained
+    * INCREMENTALLY over the stream — the mergeable 4×256 grid is the
+    * whole aggregation state (constant size on an unbounded source),
+    * so per-key frequency estimates are always available without a
+    * rescan.  Complete-mode memory sink as the deterministic gate
+    * harness; point estimates are then probed from the final grid
+    * (exact batch counts ride along, same contract as q258's oracle).
+    */
+  def cmsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin
+    val agg = readEventStream(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"))
+      .select(CountMin.buckets(col("k")).as("bs"))
+      .agg(CountMin.sketch(col("bs")).as("sk"))
+    val name = "graft_stream_cms"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val sk = spark.table(name)
+    val probes = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("exact"))
+    probes.crossJoin(broadcast(sk))
+      .select(col("k").cast("long").as("user_id"), col("exact"),
+        CountMin.estimate(col("sk"), col("k")).as("est"))
+  }
+
   /** Chronological 4-file staging for multi-batch replay: the events
     * split into two time-ordered halves plus two far-future `flush`
     * sentinel files. With `maxFilesPerTrigger=1` the file source

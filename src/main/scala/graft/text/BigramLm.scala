@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed interpolated bigram language-model fluency scoring — the
+  * CCNet-style "LM filter" stage of a curation pipeline (Wenzek et al.
+  * 2020 score with a 5-gram KenLM; the hashed-feature reduction is the
+  * same one DSIR applies to unigrams, see [[Dsir]]).  The reference
+  * exposes no LM scoring; this is part of the training-data surface
+  * beyond it.
+  *
+  * Shape for 100 TB:
+  *   - model state is TWO constant-size bucket tables (64 unigram +
+  *     256 bigram smoothed probabilities), built with one
+  *     explode+groupBy pass each and collected like any tiny dimension;
+  *   - scoring is then a pure SCAN-stage fold per document: both maps
+  *     ride the closure as literals and `aggregate(...)` runs inside
+  *     whole-stage codegen — no join, no shuffle, no second pass over
+  *     the text.
+  *
+  * Arithmetic discipline (same as [[Dsir]]): the score is the MEAN of
+  * per-position interpolated bucket probabilities
+  * `0.7·p_bi(prev,w) + 0.3·p_uni(w)` — a rational sum, not a log
+  * perplexity, so every operation is an IEEE-exact-rounded add/mul/div
+  * that a SQL oracle replays bit-for-bit (log would pull in libm ulp
+  * differences).  Probabilities are add-1 smoothed over the bucket
+  * space.  Fold is left-associated from 0.0, matching DuckDB's
+  * `list_reduce` (0.0 + x ≡ x exactly for the positive first term).
+  */
+object BigramLm {
+
+  val UniBuckets = 64
+  val BiBuckets = 256
+  val WBi = 0.7
+  val WUni = 0.3
+
+  /** md5-derived bucket (first 4 hex chars mod n) — replayable in
+    * DuckDB as `CAST('0x'||substr(md5(s),1,4) AS INT) % n`.
+    */
+  private def bucket(s: Column, n: Int): Column =
+    conv(substring(md5(s), 1, 4), 16, 10).cast("int") % n
+
+  def uniBucket(w: Column): Column = bucket(w, UniBuckets)
+  def biBucket(bg: Column): Column = bucket(bg, BiBuckets)
+
+  private def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** "prev cur" strings for positions 2..n (empty below 2 tokens — the
+    * `when` guards Spark's descending `sequence(2, 1)`).
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(2), size(toks)),
+        i => concat(element_at(toks, i - 1), lit(" "), element_at(toks, i))))
+
+  /** Smoothed bucket-probability tables from a training corpus:
+    * p(b) = (c_b + 1) / (N + B) with N the total token (resp. bigram)
+    * count.  O(64)+O(256) driver state.
+    */
+  def tables(corpus: DataFrame, textCol: String): (Map[Int, Double], Map[Int, Double]) = {
+    val toks = corpus.select(tokens(col(textCol)).as("t"))
+    def counts(ex: DataFrame, b: Column): Map[Int, Long] =
+      ex.groupBy(b.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val uc = counts(toks.select(explode(col("t")).as("w")), uniBucket(col("w")))
+    val bc = counts(toks.select(explode(bigrams(col("t"))).as("g")), biBucket(col("g")))
+    val uTot = uc.values.sum.toDouble + UniBuckets
+    val bTot = bc.values.sum.toDouble + BiBuckets
+    val pu = (0 until UniBuckets).map(b => b -> (uc.getOrElse(b, 0L) + 1.0) / uTot).toMap
+    val pb = (0 until BiBuckets).map(b => b -> (bc.getOrElse(b, 0L) + 1.0) / bTot).toMap
+    (pu, pb)
+  }
+
+  /** Fluency score column: mean over positions 2..n of the interpolated
+    * bucket probability.  Documents with fewer than 2 tokens score 0.
+    */
+  def score(text: Column, pu: Map[Int, Double], pb: Map[Int, Double]): Column = {
+    val puM = typedlit(pu)
+    val pbM = typedlit(pb)
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < 2, lit(0.0)).otherwise(
+      aggregate(sequence(lit(2), n), lit(0.0), (acc, i) => {
+        val bg = concat(element_at(toks, i - 1), lit(" "), element_at(toks, i))
+        acc + (lit(WBi) * element_at(pbM, biBucket(bg))
+          + lit(WUni) * element_at(puM, uniBucket(element_at(toks, i))))
+      }) / (n - 1))
+  }
+}
