@@ -129,7 +129,7 @@ object Round16Queries {
         docs.select(col("doc_id"),
           BigramLm.score(col("text"), pu, pb).as("fluency"))
       },
-      Some(bigramOracleSql)),
+      Some(bigramOracleSql), headline = true),
 
     // §2.12 frozen linear quality classifier (text/QualityModel):
     // fastText-style hashed bag-of-words margin, weights as a closure
@@ -151,7 +151,7 @@ object Round16Queries {
               list_reduce(list_transform(t, w ->
                 (${QualityModel.weightsSql})[${bucketSql("w", QualityModel.Buckets)} + 1]),
                 (a, b) -> a + b) / len(t) + (${QualityModel.Bias}) END) > 0.0 AS keep
-          FROM tok""")),
+          FROM tok"""), headline = true),
 
     // §2.12 CMS join-size estimation (functions/CountMin
     // .joinSizeEstimate): |clicks ⋈ purchases on user| from the two
@@ -186,7 +186,7 @@ object Round16Queries {
     "q263_pagerank" -> QueryDef(
       (s, d) => graft.operators.PageRank.run(
         graft.operators.PageRank.tradeEdges(s, d), "cust", "supp", iters = 3),
-      Some(pageRankOracleSql)),
+      Some(pageRankOracleSql), headline = true),
 
     // §2.8 JSON property extraction (pandas json_normalize /
     // Series.str JSON access): get_json_object stays in codegen;

@@ -53,7 +53,10 @@ object ScaleSmoke {
       // stage expects a single-file corpus)
       "q160_repetition_filter", "q166_minhash_dedup", "q169_substring_dup",
       // round 9: BPE encode is scan-stage linear; runs with the frozen table
-      "q217_bpe_tokenize")
+      "q217_bpe_tokenize",
+      // round 16: bigram-LM fluency — two bucket-table passes + one
+      // scan-stage scoring fold, all linear
+      "q260_bigram_lm")
     val qmap = SparkEntry.queries
     names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
     val results = names.map { n =>
@@ -103,6 +106,35 @@ object ScaleSmoke {
         val e10 = Tables.embeddings(spark, out)
         val model = graft.similarity.IVF.fit(e10, 8 * mult, seed = 42L)
         graft.similarity.Similarity.semDedup(e10, model, 0.4).count()
+      }),
+      // graph ops at 10× EDGES: disjoint prefixed copies of the trade
+      // graph (vertex AND edge count scale together; per-iteration cost
+      // is one join + one partial-agg groupBy over the edge list)
+      "op_pagerank" -> (() => {
+        val e1 = graft.operators.PageRank.tradeEdges(spark, src)
+        val eN = (0 until mult).map(k =>
+          e1.select(concat(lit(s"k$k"), col("cust")).as("cust"),
+            concat(lit(s"k$k"), col("supp")).as("supp")))
+          .reduce(_.unionByName(_))
+        graft.operators.PageRank.run(eN, "cust", "supp", iters = 3).count()
+      }),
+      "op_label_prop" -> (() => {
+        val e1 = graft.operators.PageRank.tradeEdges(spark, src)
+        val eN = (0 until mult).map(k =>
+          e1.select(concat(lit(s"k$k"), col("cust")).as("cust"),
+            concat(lit(s"k$k"), col("supp")).as("supp")))
+          .reduce(_.unionByName(_))
+        graft.operators.LabelProp.run(eN, "cust", "supp", iters = 2).count()
+      }),
+      // event-sequence ops over the 10× stream
+      "op_transitions" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev10.select(col("user_id"), col("event_type").as("src"),
+            col("ts"), col("event_id"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1))).count()
       }))
     val opResults = opSmokes.map { case (n, f) =>
       val t0 = System.nanoTime()

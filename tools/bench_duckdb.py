@@ -22,7 +22,8 @@ HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
             "q166_minhash_dedup", "q203_tpch_q9", "q213_chunk_dedup",
             "q216_semdedup", "q217_bpe_tokenize", "q221_decontaminate",
             "q230_rank_methods", "q232_heavy_hitters",
-            "q238_pq_encode", "q239_ann_ivfpq", "q249_bm25_batch"]
+            "q238_pq_encode", "q239_ann_ivfpq", "q249_bm25_batch",
+            "q260_bigram_lm", "q261_quality_classifier", "q263_pagerank"]
 # heavy non-headline operators whose scale evidence lives in BASELINE.md
 HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
          "q166_minhash_dedup", "q167_range_join", "q169_substring_dup"]
@@ -30,7 +31,11 @@ HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out/oracle_sql.json"
-    names = HEAVY if (len(sys.argv) > 3 and sys.argv[3] == "heavy") else HEADLINE
+    if len(sys.argv) > 3:
+        # "heavy" or an explicit comma-separated query list
+        names = HEAVY if sys.argv[3] == "heavy" else sys.argv[3].split(",")
+    else:
+        names = HEADLINE
     with open(oracle_path) as f:
         oracle = json.load(f)
     con = duckdb.connect()
