@@ -484,6 +484,48 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(graft.operators.Reshape.pivotTable(df, index, columns, values, f, pivotValues), index)
   }
 
+  /** pandas stack — the MultiIndex-flavored wide→long: every data
+    * column becomes a `(level, value)` row pair keyed by the index
+    * (lowered to the same scan-stage explode as [[melt]], with the
+    * index as id_vars).
+    */
+  def stack(varName: String = "level", valueName: String = "value"): GFrame = {
+    require(index.nonEmpty, "stack needs an index")
+    GFrame(graft.operators.Reshape.melt(df, index, dataCols, varName, valueName),
+      index :+ varName)
+  }
+
+  /** pandas unstack — long→wide inverse of [[stack]]: the innermost
+    * index level pivots into columns (one hash agg via pivotTable's
+    * `first`; the (index, level) pair must be unique, as in pandas).
+    */
+  def unstack(valueName: String = "value",
+              pivotValues: Option[Seq[String]] = None): GFrame = {
+    require(index.size >= 2, "unstack needs a level to pivot")
+    val outer = index.dropRight(1)
+    val level = index.last
+    GFrame(graft.operators.Reshape.pivotTable(df, outer, level, valueName,
+      org.apache.spark.sql.functions.first(_, ignoreNulls = true), pivotValues), outer)
+  }
+
+  /** pandas combine_first — index-aligned hole-filling union (one
+    * full-outer join; Align scaladoc).
+    */
+  def combineFirst(other: GFrame): GFrame = {
+    require(index.nonEmpty && index == other.index,
+      "combine_first aligns on a shared index")
+    GFrame(graft.operators.Align.combineFirst(df, other.df, index), index)
+  }
+
+  /** pandas update — other's non-null values overwrite self on shared
+    * labels/columns; self's shape is kept (one left join).
+    */
+  def updateFrom(other: GFrame): GFrame = {
+    require(index.nonEmpty && index == other.index,
+      "update aligns on a shared index")
+    GFrame(graft.operators.Align.update(df, other.df, index), index)
+  }
+
   /** pandas rank(method=average/min/max/dense) in one pass — appends
     * all four as `<out>_min/_max/_avg/_dense` (RankMethods scaladoc:
     * distinct-value scan + join-back, never a 1-partition window).

@@ -12,6 +12,19 @@ import graft.text.{BigramLm, QualityModel}
   */
 object Round16Queries {
 
+  /** Shared by q267 (batch) and q272 (streaming twin). */
+  private[queries] val funnelOracleSql: String =
+    """WITH u AS (SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+          min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY 1)
+        SELECT
+          CAST(coalesce(sum(CASE WHEN fs IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_signup,
+          CAST(coalesce(sum(CASE WHEN fs < fc THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_click,
+          CAST(coalesce(sum(CASE WHEN fs < fc AND fc < fp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purchase
+        FROM u"""
+
   /** md5 bucket in DuckDB, mirroring [[BigramLm]]/[[QualityModel]]. */
   private def bucketSql(x: String, n: Int): String =
     s"CAST(('0x' || substr(md5($x), 1, 4)) AS INT) % $n"
@@ -265,16 +278,7 @@ object Round16Queries {
             sum(when(col("fs") < col("fc") && col("fc") < col("fp"), 1L)
               .otherwise(0L)).as("n_purchase"))
       },
-      Some("""WITH u AS (SELECT user_id,
-            min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
-            min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
-            min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
-          FROM events GROUP BY 1)
-          SELECT
-            CAST(coalesce(sum(CASE WHEN fs IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_signup,
-            CAST(coalesce(sum(CASE WHEN fs < fc THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_click,
-            CAST(coalesce(sum(CASE WHEN fs < fc AND fc < fp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purchase
-          FROM u""")),
+      Some(funnelOracleSql)),
 
     // §2.12 personalized PageRank (topic-sensitive): teleport mass
     // lands only on an md5-selected 10% "trusted whitelist" of

@@ -121,6 +121,81 @@ object Round17Queries {
             mn + CAST(b50 + 1 AS DOUBLE) * ((mx - mn) / 32.0) AS p50_est,
             mn + CAST(b90 + 1 AS DOUBLE) * ((mx - mn) / 32.0) AS p90_est,
             mn + CAST(b99 + 1 AS DOUBLE) * ((mx - mn) / 32.0) AS p99_est
-          FROM q"""))
+          FROM q""")),
+
+    // §2.10 streaming funnel: the q267 report maintained as a running
+    // streaming aggregation (state = 3 first-touch timestamps per
+    // user); bounded replay ⇒ batch answer ⇒ q267's oracle.
+    "q272_stream_funnel" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.funnelStream(s, d),
+      Some(Round16Queries.funnelOracleSql)),
+
+    // pandas combine_first: index-aligned hole-filling union — self's
+    // non-null values win, other fills missing rows and null cells.
+    // ONE full-outer hash join + codegen'd coalesce projections.
+    "q273_combine_first" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val o = Tables.orders(s, d)
+        val self = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("o_orderkey") % 5 === 0, lit(null).cast("double"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        val other = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        GFrame(self, Seq("o_orderkey"))
+          .combineFirst(GFrame(other, Seq("o_orderkey"))).df
+      },
+      Some("""WITH s AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 != 0),
+          o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0)
+          SELECT coalesce(s.o_orderkey, o.o_orderkey) AS o_orderkey,
+            coalesce(s.o_custkey, o.o_custkey) AS o_custkey,
+            coalesce(s.o_totalprice, o.o_totalprice) AS o_totalprice
+          FROM s FULL OUTER JOIN o ON s.o_orderkey = o.o_orderkey""")),
+
+    // pandas update: other's NON-null values overwrite self on shared
+    // labels; self's row set and columns are kept (one left join —
+    // null cells in other never clobber, as in pandas).
+    "q274_update" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val o = Tables.orders(s, d)
+        val self = o.select("o_orderkey", "o_custkey", "o_totalprice")
+        val other = o.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 8 === 0, lit(null).cast("double"))
+              .otherwise(col("o_totalprice") * 2).as("o_totalprice"))
+        GFrame(self, Seq("o_orderkey"))
+          .updateFrom(GFrame(other, Seq("o_orderkey"))).df
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 8 = 0 THEN NULL ELSE o_totalprice * 2 END AS o_totalprice
+          FROM orders WHERE o_orderkey % 4 = 0)
+          SELECT s.o_orderkey, s.o_custkey,
+            coalesce(o.o_totalprice, s.o_totalprice) AS o_totalprice
+          FROM orders s LEFT JOIN o ON s.o_orderkey = o.o_orderkey""")),
+
+    // pandas unstack (stack's inverse): innermost index level pivots
+    // to columns via one hash agg with an explicit dictionary —
+    // (source × lang) doc counts in wide form.  Round17Spec pins the
+    // stack→unstack round-trip.
+    "q275_unstack" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val counts = Tables.documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).as("value"))
+        GFrame(counts, Seq("source", "lang"))
+          .unstack(pivotValues = Some(Seq("de", "en", "es", "fr", "zh"))).df
+      },
+      Some("""SELECT source,
+            CAST(sum(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+            CAST(sum(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+            CAST(sum(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+            CAST(sum(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+          FROM documents GROUP BY 1"""))
   )
 }

@@ -190,6 +190,31 @@ object EventStreams {
         CountMin.estimate(col("sk"), col("k")).as("est"))
   }
 
+  /** Streaming funnel: per-user first-touch timestamps maintained as a
+    * running streaming aggregation (state = 3 min-timestamps per user,
+    * bounded by the user population), finalized into the stage-count
+    * report in batch.  Bounded replay ⇒ equals the batch funnel, which
+    * is what q267's oracle replays.
+    */
+  def funnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts")))
+    val agg = readEventStream(spark, sfDir)
+      .groupBy("user_id")
+      .agg(firstTs("signup").as("fs"), firstTs("click").as("fc"),
+        firstTs("purchase").as("fp"))
+    val name = "graft_stream_funnel"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).agg(
+      sum(when(col("fs").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("fs") < col("fc"), 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("fs") < col("fc") && col("fc") < col("fp"), 1L)
+        .otherwise(0L)).as("n_purchase"))
+  }
+
   /** Chronological 4-file staging for multi-batch replay: the events
     * split into two time-ordered halves plus two far-future `flush`
     * sentinel files. With `maxFilesPerTrigger=1` the file source

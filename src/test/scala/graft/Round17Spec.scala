@@ -43,6 +43,39 @@ class Round17Spec extends SparkSpec {
     assert(nPairs == expected, "one transition per event beyond each user's first")
   }
 
+  test("stack is the inverse of unstack on the (source, lang) count table") {
+    import graft.api.GFrame
+    val counts = Tables.documents(spark, sf)
+      .groupBy("source", "lang").agg(count(lit(1)).as("value"))
+    val wide = GFrame(counts, Seq("source", "lang"))
+      .unstack(pivotValues = Some(Seq("de", "en", "es", "fr", "zh")))
+    val back = wide.stack(varName = "lang")
+      .apply(col("value").isNotNull) // unstack padded missing pairs with null
+      .df.select("source", "lang", "value")
+    val a = back.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val b = counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("combine_first and update follow pandas null-preference rules") {
+    import graft.api.GFrame
+    import spark.implicits._
+    val self = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("k", "v")
+    val other = Seq((2L, Some(99.0)), (3L, None), (4L, Some(44.0)))
+      .toDF("k", "v")
+    val cf = GFrame(self, Seq("k")).combineFirst(GFrame(other, Seq("k")))
+      .df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // self wins where non-null; other fills holes; union of rows
+    assert(cf == Map(1L -> Some(10.0), 2L -> Some(99.0), 3L -> Some(30.0),
+      4L -> Some(44.0)))
+    val up = GFrame(self, Seq("k")).updateFrom(GFrame(other, Seq("k")))
+      .df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // self's shape kept (no row 4); other's non-null overwrites (row 2);
+    // other's null never clobbers (row 3)
+    assert(up == Map(1L -> Some(10.0), 2L -> Some(99.0), 3L -> Some(30.0)))
+  }
+
   test("cohort retention: offset-0 row covers every signup cohort's users") {
     val r = SparkEntry.queries("q269_cohort_retention")(spark, sf)
     val at0 = r.filter(col("off") === 0).agg(sum("n_users")).head().getLong(0)
