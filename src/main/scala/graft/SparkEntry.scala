@@ -39,7 +39,8 @@ object SparkEntry {
     graft.queries.Round14Queries.defs ++
     graft.queries.Round15Queries.defs ++
     graft.queries.Round16Queries.defs ++
-    graft.queries.Round17Queries.defs
+    graft.queries.Round17Queries.defs ++
+    graft.queries.Round18Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Round-18 additions: streaming heavy hitters, z-score anomaly
+  * detection, corpus snapshot diffing.
+  */
+object Round18Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // §2.10 streaming heavy hitters: bounded MG sketch as stream state
+    // + the batch certification pass — exact top-10 most active users.
+    "q276_stream_heavy_hitters" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.heavyHittersStream(s, d),
+      Some("""SELECT CAST(item AS BIGINT) AS user_id, cnt FROM (
+            SELECT CAST(user_id AS VARCHAR) AS item,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1)
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, item) <= 10""")),
+
+    // z-score anomaly detection with DECIMAL-exact moments: values are
+    // 6dp-rounded into DECIMAL(18,6) (18, not 28: the square must stay
+    // inside Spark's 38-digit cap or multiplication silently rescales
+    // to 6dp while DuckDB keeps 12), Σv and Σv² partial-aggregate
+    // exactly (order-independent), and the mean/var/z expressions are
+    // the identical IEEE shapes on both engines — so the |z| > 2.5
+    // row SET cannot flip on a shuffle-order ulp (a float sum would).
+    // One groupBy + one broadcast join back; flags stream-shaped data
+    // at any scale.
+    "q277_anomaly_zscore" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            graft.functions.Num.rnd(col("value"), 6)
+              .cast("decimal(18,6)").as("vr"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("vr")).as("s"),
+            sum(col("vr") * col("vr")).as("ss"))
+          .select(col("event_type"),
+            (col("s").cast("double") / col("n")).as("mean"),
+            ((col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1)).as("variance"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            ((col("vr").cast("double") - col("mean")) / sqrt(col("variance"))).as("z"))
+          .filter(col("z") > 2.5 || col("z") < -2.5)
+          .select(col("event_id"), col("event_type"),
+            graft.functions.Num.rnd(col("z"), 6).as("z"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+            CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
+          FROM events WHERE value IS NOT NULL),
+          st AS (SELECT event_type,
+              CAST(sum(vr) AS DOUBLE) / count(*) AS mean,
+              (CAST(sum(vr * vr) AS DOUBLE)
+                - CAST(sum(vr) AS DOUBLE) * CAST(sum(vr) AS DOUBLE) / count(*))
+                / (count(*) - 1) AS variance
+            FROM ev GROUP BY 1),
+          z AS (SELECT ev.event_id, ev.event_type,
+              (CAST(ev.vr AS DOUBLE) - st.mean) / sqrt(st.variance) AS z
+            FROM ev JOIN st ON ev.event_type = st.event_type)
+          SELECT event_id, event_type, round(z * 1e6) / 1e6 AS z
+          FROM z WHERE z > 2.5 OR z < -2.5""")),
+
+    // Corpus snapshot diff: the incremental-crawl bookkeeping op —
+    // classify every doc id across two snapshots as added / removed /
+    // changed (content fingerprint mismatch), via ONE full-outer hash
+    // join on doc_id with md5 fingerprints computed in the scan.  The
+    // "new" snapshot is derived deterministically from the corpus
+    // (drop id%7, edit id%5, add id%11 clones shifted by 10^6).
+    "q278_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edit")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val o = docs.select(col("doc_id"), md5(col("text")).as("fp_old"))
+        val n = newSnap.select(col("doc_id"), md5(col("text")).as("fp_new"))
+        o.join(n, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp_old").isNull, lit("added"))
+              .when(col("fp_new").isNull, lit("removed"))
+              .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .filter(col("status") =!= "unchanged")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+          newsnap AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' edit' ELSE text END AS text
+            FROM docs WHERE doc_id % 7 != 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM docs WHERE doc_id % 11 = 0),
+          o AS (SELECT doc_id, md5(text) AS fp_old FROM docs),
+          n AS (SELECT doc_id, md5(text) AS fp_new FROM newsnap),
+          j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.fp_old IS NULL THEN 'added'
+                   WHEN n.fp_new IS NULL THEN 'removed'
+                   WHEN o.fp_old != n.fp_new THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT doc_id, status FROM j WHERE status != 'unchanged'"""))
+  )
+}

@@ -215,6 +215,44 @@ object EventStreams {
         .otherwise(0L)).as("n_purchase"))
   }
 
+  /** Streaming heavy hitters: a Misra-Gries candidate sketch maintained
+    * as the stream's aggregation state (bounded: ≤ sketchK counters),
+    * then the batch certification pass from
+    * [[graft.functions.MisraGries.topKFrequent]] — exact counts for
+    * candidates only, kth-count > N/(sketchK+1) certificate, full-agg
+    * fallback if it doesn't bind.  The result is the EXACT top-k most
+    * active users in every case (bounded replay ⇒ same sketch family
+    * the batch pass produces).
+    */
+  def heavyHittersStream(spark: SparkSession, sfDir: String,
+                         k: Int = 10, sketchK: Int = 512): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .select(col("user_id").cast("string").as("item"))
+      .agg(graft.functions.MisraGries.mg(sketchK)(col("item")).as("cand"),
+        count(col("item")).as("n"))
+    val name = "graft_stream_mg"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table(name).collect()(0)
+    val cand = row.getAs[scala.collection.Seq[String]](0).toArray
+    val n = row.getLong(1)
+    val items = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("item"))
+    def exactAll(d: DataFrame) = d.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val candTop = graft.operators.Sorts.topK(
+      exactAll(items.filter(col("item").isin(cand.toIndexedSeq: _*))),
+      Seq("cnt", "item"), Seq(false, true), k)
+    val topRows = candTop.collect()
+    val certified = topRows.length == k &&
+      topRows.map(_.getLong(1)).min > n.toDouble / (sketchK + 1)
+    val top = if (certified) candTop
+      else graft.operators.Sorts.topK(exactAll(items),
+        Seq("cnt", "item"), Seq(false, true), k)
+    top.select(col("item").cast("long").as("user_id"), col("cnt"))
+  }
+
   /** Chronological 4-file staging for multi-batch replay: the events
     * split into two time-ordered halves plus two far-future `flush`
     * sentinel files. With `maxFilesPerTrigger=1` the file source

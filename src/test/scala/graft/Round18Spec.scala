@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Round18Spec extends SparkSpec {
+
+  test("streaming heavy hitters equals the batch certified top-k") {
+    val stream = graft.streaming.EventStreams.heavyHittersStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val batch = graft.functions.MisraGries.topKFrequent(
+      Tables.events(spark, sf).select(col("user_id").cast("string").as("item")),
+      "item", k = 10, sketchK = 512)
+      .collect().map(r => (r.getString(0).toLong, r.getLong(1))).sortBy(_._1)
+    assert(stream.sameElements(batch))
+  }
+
+  test("anomaly z-scores: every flagged row exceeds the threshold, none is double-counted") {
+    val flagged = SparkEntry.queries("q277_anomaly_zscore")(spark, sf).collect()
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    flagged.foreach(r => assert(math.abs(r.getDouble(2)) > 2.5 - 1e-9))
+    assert(flagged.map(_.getLong(0)).distinct.length == flagged.length)
+    // a z>2.5 tail of a roughly uniform value distribution is small
+    assert(flagged.length < total / 10)
+  }
+
+  test("snapshot diff statuses match the deterministic derivation") {
+    val rows = SparkEntry.queries("q278_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, status) =>
+      status match {
+        case "removed" => assert(id % 7 == 0 && id < 1000000)
+        case "changed" => assert(id % 5 == 0 && id % 7 != 0 && id < 1000000)
+        case "added" => assert(id >= 1000000 && (id - 1000000) % 11 == 0)
+        case other => fail(s"unexpected status $other for $id")
+      }
+    }
+    // every membership class appears
+    assert(rows.map(_._2).distinct.sorted.sameElements(Array("added", "changed", "removed")))
+  }
+}
