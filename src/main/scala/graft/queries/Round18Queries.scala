@@ -106,6 +106,44 @@ object Round18Queries {
                    WHEN o.fp_old != n.fp_new THEN 'changed'
                    ELSE 'unchanged' END AS status
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-          SELECT doc_id, status FROM j WHERE status != 'unchanged'"""))
+          SELECT doc_id, status FROM j WHERE status != 'unchanged'""")),
+
+    // CDC changelog apply — the write-side twin of q278: apply a
+    // derived (DELETE / UPDATE / INSERT) log to the snapshot in ONE
+    // left join + one anti filter + one union; emits content
+    // fingerprints of the final state.  At 100 TB this is the standard
+    // incremental-materialization shape (no row-at-a-time upserts).
+    "q279_cdc_apply" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val updates = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("new_text"))
+        val inserts = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .join(updates, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("new_text"), col("text")).as("text"))
+          .unionByName(inserts)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+          applied AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM docs WHERE doc_id % 7 != 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM docs WHERE doc_id % 11 = 0)
+          SELECT doc_id, md5(text) AS fp FROM applied""")),
+
+    // §2.10 STREAMING Markov transitions: O(1) per-user last-event
+    // state in flatMapGroupsWithState, pairs emitted incrementally —
+    // bounded replay equals q270's exact pair counts.
+    "q280_stream_transitions" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.transitionsStreaming(s, d),
+      Some("""WITH t AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events)
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM t WHERE dst IS NOT NULL GROUP BY 1, 2"""))
   )
 }

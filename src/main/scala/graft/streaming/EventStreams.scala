@@ -253,6 +253,49 @@ object EventStreams {
     top.select(col("item").cast("long").as("user_id"), col("cnt"))
   }
 
+  /** Per-user carry for the streaming transition matrix: the last seen
+    * event (by event time, id tiebreak) — O(1) state per user.
+    */
+  case class LastEvent(tus: Long, id: Long, typ: String)
+
+  /** STREAMING Markov transitions: per-user (prev → next) event-type
+    * pairs emitted incrementally from `flatMapGroupsWithState` (state =
+    * the single last event per user; each microbatch's rows fold in
+    * (tus, id) order like [[asofStreaming]]), then the pair counts
+    * aggregate in batch.  Bounded replay ⇒ equals q270's exact counts.
+    */
+  def transitionsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def us(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val ev = readEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.time.Instant)]
+    val pairs = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, String, java.time.Instant)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.map { case (_, id, t, i) => (id, t, us(i)) }
+            .toSeq.sortBy(r => (r._3, r._1))
+          var last = state.getOption
+          val out = collection.mutable.ArrayBuffer.empty[(String, String)]
+          sorted.foreach { case (id, typ, t) =>
+            last.foreach(l => out += ((l.typ, typ)))
+            last = Some(LastEvent(t, id, typ))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    val name = "graft_stream_transitions"
+    val q = pairs.toDF("src", "dst")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).groupBy("src", "dst").agg(count(lit(1)).as("n"))
+  }
+
   /** Chronological 4-file staging for multi-batch replay: the events
     * split into two time-ordered halves plus two far-future `flush`
     * sentinel files. With `maxFilesPerTrigger=1` the file source

@@ -23,6 +23,36 @@ class Round18Spec extends SparkSpec {
     assert(flagged.length < total / 10)
   }
 
+  test("streaming transitions equals the batch lead-window counts") {
+    val stream = graft.streaming.EventStreams.transitionsStreaming(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("q270_transitions")(spark, sf)
+      .select("src", "dst", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(stream.sameElements(batch))
+  }
+
+  test("CDC apply: deletes gone, updates rewritten, inserts present") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val applied = SparkEntry.queries("q279_cdc_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    orig.foreach { case (id, text) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def fp(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (id % 7 == 0) assert(!applied.contains(id), s"deleted $id survived")
+      else if (id % 5 == 0) assert(applied(id) == fp(text + " v2"), s"update missed $id")
+      else assert(applied(id) == fp(text), s"row $id changed unexpectedly")
+      if (id % 11 == 0) assert(applied.contains(id + 1000000L), s"insert missed $id")
+    }
+  }
+
+  test("anomaly stats join is broadcast (no shuffle of the event scan for stats)") {
+    val plan = SparkEntry.queries("q277_anomaly_zscore")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("snapshot diff statuses match the deterministic derivation") {
     val rows = SparkEntry.queries("q278_snapshot_diff")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1))
