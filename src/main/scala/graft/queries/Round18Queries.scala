@@ -9,6 +9,23 @@ import graft.{QueryDef, Tables}
   */
 object Round18Queries {
 
+  /** Shared by q277 (batch) and q282 (streaming twin). */
+  private[queries] val anomalyOracleSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+          CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
+        FROM events WHERE value IS NOT NULL),
+        st AS (SELECT event_type,
+            CAST(sum(vr) AS DOUBLE) / count(*) AS mean,
+            (CAST(sum(vr * vr) AS DOUBLE)
+              - CAST(sum(vr) AS DOUBLE) * CAST(sum(vr) AS DOUBLE) / count(*))
+              / (count(*) - 1) AS variance
+          FROM ev GROUP BY 1),
+        z AS (SELECT ev.event_id, ev.event_type,
+            (CAST(ev.vr AS DOUBLE) - st.mean) / sqrt(st.variance) AS z
+          FROM ev JOIN st ON ev.event_type = st.event_type)
+        SELECT event_id, event_type, round(z * 1e6) / 1e6 AS z
+        FROM z WHERE z > 2.5 OR z < -2.5"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // §2.10 streaming heavy hitters: bounded MG sketch as stream state
@@ -51,20 +68,7 @@ object Round18Queries {
           .select(col("event_id"), col("event_type"),
             graft.functions.Num.rnd(col("z"), 6).as("z"))
       },
-      Some("""WITH ev AS (SELECT event_id, event_type,
-            CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
-          FROM events WHERE value IS NOT NULL),
-          st AS (SELECT event_type,
-              CAST(sum(vr) AS DOUBLE) / count(*) AS mean,
-              (CAST(sum(vr * vr) AS DOUBLE)
-                - CAST(sum(vr) AS DOUBLE) * CAST(sum(vr) AS DOUBLE) / count(*))
-                / (count(*) - 1) AS variance
-            FROM ev GROUP BY 1),
-          z AS (SELECT ev.event_id, ev.event_type,
-              (CAST(ev.vr AS DOUBLE) - st.mean) / sqrt(st.variance) AS z
-            FROM ev JOIN st ON ev.event_type = st.event_type)
-          SELECT event_id, event_type, round(z * 1e6) / 1e6 AS z
-          FROM z WHERE z > 2.5 OR z < -2.5""")),
+      Some(anomalyOracleSql)),
 
     // Corpus snapshot diff: the incremental-crawl bookkeeping op —
     // classify every doc id across two snapshots as added / removed /
@@ -144,6 +148,86 @@ object Round18Queries {
             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
           FROM events)
           SELECT src, dst, CAST(count(*) AS BIGINT) AS n
-          FROM t WHERE dst IS NOT NULL GROUP BY 1, 2"""))
+          FROM t WHERE dst IS NOT NULL GROUP BY 1, 2""")),
+
+    // Survivorship dedup: near-dup clusters (q166's MinHash-LSH →
+    // connected components) but the KEPT representative is the
+    // highest-QUALITY member (tiebreak min id), not the min id — the
+    // real curation policy: among near-duplicates, keep the best one.
+    // Selection = GroupTopK bounded heaps per cluster (no sort of the
+    // corpus), quality = the q51 scan-stage score.
+    "q281_survivorship" -> QueryDef(
+      (s, d) => {
+        import graft.functions.Num
+        val docs = Tables.documents(s, d)
+        val pairs = graft.text.MinHash.nearDuplicates(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val comp = graft.operators.Components.connected(pairs, "id1", "id2")
+        val withComp = docs.select(col("doc_id"),
+            Num.rnd(graft.text.TextStats.qualityScore(col("text")), 6).as("quality"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality"),
+            coalesce(col("rep"), col("doc_id")).as("cluster"))
+        val best = graft.plans.GroupTopK.topKPerKey(withComp, Seq("cluster"),
+            Seq("quality" -> true, "doc_id" -> false), 1)
+          .select(col("cluster"), col("doc_id").as("keep_id"))
+        withComp.join(best, Seq("cluster"))
+          .select(col("doc_id"), col("cluster"), col("quality"),
+            (col("doc_id") === col("keep_id")).as("kept"))
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.pairsOracleCtes},
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+          comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep
+                   FROM reach GROUP BY 1),
+          q AS (SELECT doc_id, round(${TextQueries.qualitySql}, 6) AS quality
+                FROM documents),
+          wc AS (SELECT q.doc_id, q.quality, coalesce(c.rep, q.doc_id) AS cluster
+                 FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+          best AS (SELECT cluster, doc_id AS keep_id FROM (
+                     SELECT cluster, doc_id, row_number() OVER
+                       (PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) AS rn
+                     FROM wc) WHERE rn = 1)
+          SELECT wc.doc_id, wc.cluster, wc.quality,
+            wc.doc_id = b.keep_id AS kept
+          FROM wc JOIN best b ON wc.cluster = b.cluster""")),
+
+    // §2.10 streaming anomaly monitor: running per-type (n, Σv, Σv²)
+    // as three DECIMAL-exact numbers of stream state, batch z-pass
+    // against the final stats — equals batch q277 (same oracle).
+    "q282_stream_anomaly" -> QueryDef(
+      (s, d) => graft.streaming.EventStreams.anomalyStream(s, d),
+      Some(anomalyOracleSql)),
+
+    // Winsorization: per-group exact-percentile clamping of the value
+    // column to [p05, p95] — outlier mitigation before training-stat
+    // aggregation.  Spark `percentile` ≡ DuckDB `quantile_cont`
+    // (pinned since q170); clamp + 6dp round are identical IEEE ops.
+    "q283_winsorize" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val stats = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.05)").as("lo"),
+            expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            graft.functions.Num.rnd(
+              when(col("value") < col("lo"), col("lo"))
+                .when(col("value") > col("hi"), col("hi"))
+                .otherwise(col("value")), 6).as("vw"))
+      },
+      Some("""WITH st AS (SELECT event_type,
+            quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+          FROM events WHERE value IS NOT NULL GROUP BY 1)
+          SELECT e.event_id, e.event_type,
+            round(CASE WHEN e.value < st.lo THEN st.lo
+                       WHEN e.value > st.hi THEN st.hi
+                       ELSE e.value END * 1e6) / 1e6 AS vw
+          FROM events e JOIN st ON e.event_type = st.event_type
+          WHERE e.value IS NOT NULL"""))
   )
 }

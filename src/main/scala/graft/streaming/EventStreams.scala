@@ -253,6 +253,42 @@ object EventStreams {
     top.select(col("item").cast("long").as("user_id"), col("cnt"))
   }
 
+  /** Streaming anomaly monitor: per-type DECIMAL-exact running moments
+    * (n, Σv, Σv²) as the stream's aggregation state — three numbers per
+    * event_type, mergeable and order-independent — then the batch
+    * z-score pass flags outliers against the final stats.  Bounded
+    * replay ⇒ equals batch q277 (same oracle).
+    */
+  def anomalyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vr")).as("s"),
+        sum(col("vr") * col("vr")).as("ss"))
+    val name = "graft_stream_anomaly"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val stats = spark.table(name)
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        ((col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double") / col("n"))
+          / (col("n") - 1)).as("variance"))
+    graft.Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        graft.functions.Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("vr").cast("double") - col("mean")) / sqrt(col("variance"))).as("z"))
+      .filter(col("z") > 2.5 || col("z") < -2.5)
+      .select(col("event_id"), col("event_type"),
+        graft.functions.Num.rnd(col("z"), 6).as("z"))
+  }
+
   /** Per-user carry for the streaming transition matrix: the last seen
     * event (by event time, id tiebreak) — O(1) state per user.
     */

@@ -53,6 +53,30 @@ class Round18Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("survivorship: exactly one kept per cluster and it has max quality") {
+    val rows = SparkEntry.queries("q281_survivorship")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length}")
+      val maxQ = members.map(_._3).max
+      assert(kept.head._3 == maxQ, s"cluster $c kept a non-best member")
+      // tiebreak: smallest id among max-quality members
+      assert(kept.head._2 == members.filter(_._3 == maxQ).map(_._2).min)
+    }
+    // at least one multi-member cluster exercises the policy
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
+  test("streaming anomaly monitor equals batch q277") {
+    val stream = graft.streaming.EventStreams.anomalyStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted
+    val batch = SparkEntry.queries("q277_anomaly_zscore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted
+    assert(stream.sameElements(batch))
+  }
+
   test("snapshot diff statuses match the deterministic derivation") {
     val rows = SparkEntry.queries("q278_snapshot_diff")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1))
