@@ -64,6 +64,9 @@ object Round16Queries {
         FROM tok CROSS JOIN pul CROSS JOIN pbl"""
   }
 
+  /** q260's score table, reusable as a nested CTE body (q285). */
+  private[queries] def bigramScoreSql: String = bigramOracleSql
+
   /** Oracle for q262: rebuild both 4×256 grids and take the min of
     * the per-row inner products (the CMS join-size estimator); exact
     * Σ c_u·p_u rides along to make the ≥ overestimate visible.

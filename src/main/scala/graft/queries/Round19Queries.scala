@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.text.BigramLm
+
+/** Round-19 additions: CUBE aggregation, curriculum split by LM-score
+  * terciles, hopping-window aggregation.
+  */
+object Round19Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // §2.4 CUBE (all 2^k grouping sets in one pass — the expand-based
+    // companion of q74's ROLLUP): per (source, lang) doc counts with
+    // all marginals.
+    "q284_cube" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        .select(coalesce(col("source"), lit("__all__")).as("src"),
+          coalesce(col("lang"), lit("__all__")).as("lg"),
+          col("n"), col("sc")),
+      Some("""SELECT COALESCE(source, '__all__') AS src,
+            COALESCE(lang, '__all__') AS lg,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sc
+          FROM documents GROUP BY CUBE (source, lang)""")),
+
+    // Curriculum split by LM fluency: tercile thresholds via exact
+    // percentiles (two linear passes + a 1-row broadcast — NEVER an
+    // ntile over a single-partition global window), bucket = head /
+    // middle / tail.  The data-ordering stage of curriculum training.
+    "q285_curriculum_split" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (pu, pb) = BigramLm.tables(docs, "text")
+        val scored = docs.select(col("doc_id"),
+          BigramLm.score(col("text"), pu, pb).as("fluency"))
+        val cuts = scored.agg(
+          expr("percentile(fluency, 0.3333333333333333)").as("t1"),
+          expr("percentile(fluency, 0.6666666666666666)").as("t2"))
+        scored.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), Num.rnd(col("fluency"), 6).as("fluency"),
+            when(col("fluency") <= col("t1"), lit("tail"))
+              .when(col("fluency") <= col("t2"), lit("middle"))
+              .otherwise(lit("head")).as("bucket"))
+      },
+      Some(s"""WITH sc AS (${Round16Queries.bigramScoreSql}),
+          cuts AS (SELECT quantile_cont(fluency, 0.3333333333333333) AS t1,
+              quantile_cont(fluency, 0.6666666666666666) AS t2 FROM sc)
+          SELECT doc_id, round(fluency * 1e6) / 1e6 AS fluency,
+            CASE WHEN fluency <= t1 THEN 'tail'
+                 WHEN fluency <= t2 THEN 'middle'
+                 ELSE 'head' END AS bucket
+          FROM sc CROSS JOIN cuts""")),
+
+    // §2.10 hopping-window aggregation (size 1h, slide 30min — each
+    // event lands in exactly two windows): Spark's native sliding
+    // window() against an oracle that materializes both window starts
+    // per event with integer-µs floor math.  Sums go through
+    // DECIMAL(18,6) so the doubled row multiplicity can't surface
+    // order ulps.
+    "q286_hopping_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Num.rnd(col("value"), 6).cast("decimal(18,6)")).as("sv"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
+          col("n"), col("sv").cast("double").as("sv")),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+            CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
+          FROM events),
+          w AS (SELECT event_type, vr, (t // 1800000000) * 1800000000 AS ws FROM e
+                UNION ALL
+                SELECT event_type, vr, (t // 1800000000) * 1800000000 - 1800000000 FROM e)
+          SELECT ws // 1000000 AS ws, event_type,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(vr) AS DOUBLE) AS sv
+          FROM w GROUP BY 1, 2"""))
+  )
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Round19Spec extends SparkSpec {
+
+  test("curriculum split: buckets cover all docs and are roughly balanced") {
+    val r = SparkEntry.queries("q285_curriculum_split")(spark, sf)
+    val counts = r.groupBy("bucket").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    // exact-percentile cuts put ~1/3 per bucket (ties can skew a little)
+    counts.values.foreach(c => assert(c > total / 5 && c < total / 2, counts))
+  }
+
+  test("hopping window: every event lands in exactly two windows") {
+    val r = SparkEntry.queries("q286_hopping_window")(spark, sf)
+    val rows = r.agg(sum("n")).head().getLong(0)
+    assert(rows == 2 * Tables.events(spark, sf).count())
+    // consecutive window starts are 30 minutes apart
+    val starts = r.select("ws").distinct().collect().map(_.getLong(0)).sorted
+    starts.sliding(2).foreach { case Array(a, b) => assert((b - a) % 1800 == 0) }
+  }
+
+  test("cube emits all four grouping-set shapes") {
+    val r = SparkEntry.queries("q284_cube")(spark, sf).collect()
+    def isAll(s: String) = s == "__all__"
+    val shapes = r.map(x => (isAll(x.getString(0)), isAll(x.getString(1)))).distinct
+    assert(shapes.length == 4)
+    // grand total row equals the corpus size
+    val grand = r.filter(x => isAll(x.getString(0)) && isAll(x.getString(1)))
+    assert(grand.length == 1 &&
+      grand.head.getLong(2) == Tables.documents(spark, sf).count())
+  }
+}
