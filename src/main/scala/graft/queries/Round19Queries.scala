@@ -79,6 +79,53 @@ object Round19Queries {
           SELECT ws // 1000000 AS ws, event_type,
             CAST(count(*) AS BIGINT) AS n,
             CAST(sum(vr) AS DOUBLE) AS sv
-          FROM w GROUP BY 1, 2"""))
+          FROM w GROUP BY 1, 2""")),
+
+    // §2.12 MMR diversity selection (Carbonell & Goldstein 1998):
+    // relevance shortlist computed distributed (q58's brute path; any
+    // ANN route at scale), the inherently-sequential greedy λ-tradeoff
+    // on the driver over the BOUNDED pool (32² sims — the Misra-Gries
+    // bounded-certification pattern).  Driver arithmetic replays the
+    // engines' exact fold, so the oracle unrolls the k greedy steps.
+    "q287_mmr_diversity" -> QueryDef(
+      (s, d) => graft.similarity.Mmr.select(
+        Tables.embeddings(s, d), queryId = 0L, pool = 32, k = 8,
+        lambda = 0.7, mu = 0.3),
+      Some(mmrOracleSql(pool = 32, k = 8)))
   )
+
+  /** Unrolled greedy MMR in SQL: sₖ cross-joins the single-row previous
+    * selections, excludes them, and argmaxes the identical
+    * `0.7·rel − 0.3·greatest(sims)` expression with min-id ties.
+    */
+  private def mmrOracleSql(pool: Int, k: Int): String = {
+    def sim(a: String, b: String): String =
+      s"round(${SimilarityQueries.sqlCos(a, b)} * 1e6) / 1e6"
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT vec_id, cv, rel FROM top
+             QUALIFY row_number() OVER (ORDER BY 0.7 * rel DESC, vec_id) = 1)"""
+      else {
+        val prev = (1 until i).map(j => s"s$j").mkString(", ")
+        val excl = (1 until i).map(j => s"t.vec_id != s$j.vec_id").mkString(" AND ")
+        val sims = (1 until i).map(j => sim("t.cv", s"s$j.cv"))
+        val diversity = if (sims.size == 1) sims.head
+          else s"greatest(${sims.mkString(", ")})"
+        s"""s$i AS (SELECT t.vec_id, t.cv, t.rel FROM top t, $prev
+             WHERE $excl
+             QUALIFY row_number() OVER
+               (ORDER BY 0.7 * t.rel - 0.3 * ($diversity) DESC, t.vec_id) = 1)"""
+      }
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT vec_id, rel, CAST($i AS BIGINT) AS rank FROM s$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, embedding AS cv,
+            round(${SimilarityQueries.sqlCos("embedding", "qv")} * 1e6) / 1e6 AS rel
+          FROM embeddings, q WHERE vec_id != 0),
+        top AS (SELECT vec_id, cv, rel FROM c
+          QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= $pool),
+        $steps
+        $out"""
+  }
 }

@@ -24,6 +24,27 @@ class Round19Spec extends SparkSpec {
     starts.sliding(2).foreach { case Array(a, b) => assert((b - a) % 1800 == 0) }
   }
 
+  test("MMR picks the most relevant first and is more diverse than pure top-k") {
+    import graft.similarity.Mmr
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = SparkEntry.queries("q287_mmr_diversity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(mmr.length == 8 && mmr.map(_._3).sorted.sameElements(1L to 8L))
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // rank 1 = argmax relevance (tie min id) — λ·rel with empty penalty
+    val maxRel = mmr.map(_._2).max
+    assert(mmr.find(_._3 == 1L).get._2 == maxRel)
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids; b <- ids if a < b) yield Mmr.cosD(vecs(a), vecs(b))
+      ps.sum / ps.length
+    }
+    val pureTop = graft.similarity.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0L), emb, 8)
+      .select("vid").collect().map(_.getLong(0)).toSeq
+    assert(avgPairSim(mmr.map(_._1).toSeq) <= avgPairSim(pureTop) + 1e-12,
+      "MMR set should not be less diverse than the pure-relevance set")
+  }
+
   test("cube emits all four grouping-set shapes") {
     val r = SparkEntry.queries("q284_cube")(spark, sf).collect()
     def isAll(s: String) = s == "__all__"
