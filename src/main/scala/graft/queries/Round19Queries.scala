@@ -91,8 +91,53 @@ object Round19Queries {
       (s, d) => graft.similarity.Mmr.select(
         Tables.embeddings(s, d), queryId = 0L, pool = 32, k = 8,
         lambda = 0.7, mu = 0.3),
-      Some(mmrOracleSql(pool = 32, k = 8)))
-  )
+      Some(mmrOracleSql(pool = 32, k = 8))),
+
+    // Group-wise OLS trend fitting: per event_type regress value on
+    // time.  All four moments (Σt, Σv, Σtv, Σt²) accumulate as EXACT
+    // decimals — time is rescaled to integer minutes since the corpus
+    // start so t² stays inside 38 digits (raw epoch-µs squares would
+    // overflow) — then slope/intercept are the same double expression
+    // on both engines.  One pass for min-ts, one grouped aggregate.
+    "q288_groupwise_ols" -> QueryDef(
+      (s, d) => {
+        import graft.functions.Num
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val t0 = ev.agg(min(expr("unix_micros(ts)")).as("t0"))
+        val m = ev.crossJoin(broadcast(t0))
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - t0) div 60000000").cast("decimal(18,0)").as("tm"),
+            Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("tm")).cast("double").as("st"),
+            sum(col("vr")).cast("double").as("sv"),
+            sum(col("tm") * col("vr")).cast("double").as("stv"),
+            sum(col("tm") * col("tm")).cast("double").as("stt"))
+        m.select(col("event_type"),
+          Num.rnd((col("n") * col("stv") - col("st") * col("sv"))
+            / (col("n") * col("stt") - col("st") * col("st")), 12).as("slope"),
+          Num.rnd((col("sv") - (col("n") * col("stv") - col("st") * col("sv"))
+            / (col("n") * col("stt") - col("st") * col("st")) * col("st")) / col("n"), 6)
+            .as("intercept"))
+      },
+      Some("""WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events
+            WHERE value IS NOT NULL),
+          e AS (SELECT event_type,
+              CAST((epoch_us(ts) - t0.t0) // 60000000 AS DECIMAL(18,0)) AS tm,
+              CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
+            FROM events, t0 WHERE value IS NOT NULL),
+          m AS (SELECT event_type,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(tm) AS DOUBLE) AS st,
+              CAST(sum(vr) AS DOUBLE) AS sv,
+              CAST(sum(tm * vr) AS DOUBLE) AS stv,
+              CAST(sum(tm * tm) AS DOUBLE) AS stt
+            FROM e GROUP BY 1)
+          SELECT event_type,
+            round((n * stv - st * sv) / (n * stt - st * st) * 1e12) / 1e12 AS slope,
+            round((sv - (n * stv - st * sv) / (n * stt - st * st) * st) / n * 1e6) / 1e6 AS intercept
+          FROM m""")))
 
   /** Unrolled greedy MMR in SQL: sₖ cross-joins the single-row previous
     * selections, excludes them, and argmaxes the identical

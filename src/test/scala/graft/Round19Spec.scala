@@ -45,6 +45,31 @@ class Round19Spec extends SparkSpec {
       "MMR set should not be less diverse than the pure-relevance set")
   }
 
+  test("group-wise OLS recovers an exact line and a flat series") {
+    import spark.implicits._
+    import graft.functions.Num
+    // replicate the q288 moment pipeline on a constructed frame:
+    // y = 3 + 2t for group a (exact), y = 7 for group b (slope 0)
+    val df = ((0 until 50).map(t => ("a", t.toLong, 3.0 + 2.0 * t)) ++
+      (0 until 50).map(t => ("b", t.toLong, 7.0))).toDF("g", "tm", "v")
+    val m = df.select(col("g"), col("tm").cast("decimal(18,0)").as("tm"),
+        Num.rnd(col("v"), 6).cast("decimal(18,6)").as("vr"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("tm")).cast("double").as("st"),
+        sum(col("vr")).cast("double").as("sv"),
+        sum(col("tm") * col("vr")).cast("double").as("stv"),
+        sum(col("tm") * col("tm")).cast("double").as("stt"))
+      .select(col("g"),
+        ((col("n") * col("stv") - col("st") * col("sv"))
+          / (col("n") * col("stt") - col("st") * col("st"))).as("slope"),
+        ((col("sv") - (col("n") * col("stv") - col("st") * col("sv"))
+          / (col("n") * col("stt") - col("st") * col("st")) * col("st")) / col("n")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(m("a")._1 - 2.0) < 1e-9 && math.abs(m("a")._2 - 3.0) < 1e-9)
+    assert(math.abs(m("b")._1) < 1e-12 && math.abs(m("b")._2 - 7.0) < 1e-9)
+  }
+
   test("cube emits all four grouping-set shapes") {
     val r = SparkEntry.queries("q284_cube")(spark, sf).collect()
     def isAll(s: String) = s == "__all__"
