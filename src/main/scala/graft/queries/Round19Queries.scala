@@ -11,6 +11,26 @@ import graft.text.BigramLm
   */
 object Round19Queries {
 
+  /** Shared by q288 (batch) and q289 (streaming twin). */
+  private[queries] val olsOracleSql: String =
+    """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events
+            WHERE value IS NOT NULL),
+          e AS (SELECT event_type,
+              CAST((epoch_us(ts) - t0.t0) // 60000000 AS DECIMAL(18,0)) AS tm,
+              CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
+            FROM events, t0 WHERE value IS NOT NULL),
+          m AS (SELECT event_type,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(tm) AS DOUBLE) AS st,
+              CAST(sum(vr) AS DOUBLE) AS sv,
+              CAST(sum(tm * vr) AS DOUBLE) AS stv,
+              CAST(sum(tm * tm) AS DOUBLE) AS stt
+            FROM e GROUP BY 1)
+          SELECT event_type,
+            round((n * stv - st * sv) / (n * stt - st * st) * 1e12) / 1e12 AS slope,
+            round((sv - (n * stv - st * sv) / (n * stt - st * st) * st) / n * 1e6) / 1e6 AS intercept
+          FROM m"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // §2.4 CUBE (all 2^k grouping sets in one pass — the expand-based
@@ -121,23 +141,9 @@ object Round19Queries {
             / (col("n") * col("stt") - col("st") * col("st")) * col("st")) / col("n"), 6)
             .as("intercept"))
       },
-      Some("""WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events
-            WHERE value IS NOT NULL),
-          e AS (SELECT event_type,
-              CAST((epoch_us(ts) - t0.t0) // 60000000 AS DECIMAL(18,0)) AS tm,
-              CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
-            FROM events, t0 WHERE value IS NOT NULL),
-          m AS (SELECT event_type,
-              CAST(count(*) AS DOUBLE) AS n,
-              CAST(sum(tm) AS DOUBLE) AS st,
-              CAST(sum(vr) AS DOUBLE) AS sv,
-              CAST(sum(tm * vr) AS DOUBLE) AS stv,
-              CAST(sum(tm * tm) AS DOUBLE) AS stt
-            FROM e GROUP BY 1)
-          SELECT event_type,
-            round((n * stv - st * sv) / (n * stt - st * st) * 1e12) / 1e12 AS slope,
-            round((sv - (n * stv - st * sv) / (n * stt - st * st) * st) / n * 1e6) / 1e6 AS intercept
-          FROM m""")))
+      Some(olsOracleSql))
+  )
+
 
   /** Unrolled greedy MMR in SQL: sₖ cross-joins the single-row previous
     * selections, excludes them, and argmaxes the identical

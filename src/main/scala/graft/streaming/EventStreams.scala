@@ -289,6 +289,45 @@ object EventStreams {
         graft.functions.Num.rnd(col("z"), 6).as("z"))
   }
 
+  /** Streaming OLS trend monitor: the q288 regression moments
+    * (n, Σt, Σv, Σtv, Σt²) maintained as five DECIMAL-exact numbers of
+    * stream state per event_type; slope/intercept finalized from the
+    * last snapshot.  The time origin is anchored batch-side (a
+    * production deployment anchors to a fixed epoch constant instead).
+    * Bounded replay ⇒ equals batch q288 (same oracle).
+    */
+  def olsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Num
+    val t0 = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .agg(min(expr("unix_micros(ts)"))).head().getLong(0)
+    val agg = readEventStream(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - ${t0}L) div 60000000")
+          .cast("decimal(18,0)").as("tm"),
+        Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("tm")).as("dst"),
+        sum(col("vr")).as("dsv"), sum(col("tm") * col("vr")).as("dstv"),
+        sum(col("tm") * col("tm")).as("dstt"))
+    val name = "graft_stream_ols"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.table(name).select(col("event_type"),
+      col("cnt").cast("double").as("n"), col("dst").cast("double").as("st"),
+      col("dsv").cast("double").as("sv"), col("dstv").cast("double").as("stv"),
+      col("dstt").cast("double").as("stt"))
+    m.select(col("event_type"),
+      Num.rnd((col("n") * col("stv") - col("st") * col("sv"))
+        / (col("n") * col("stt") - col("st") * col("st")), 12).as("slope"),
+      Num.rnd((col("sv") - (col("n") * col("stv") - col("st") * col("sv"))
+        / (col("n") * col("stt") - col("st") * col("st")) * col("st")) / col("n"), 6)
+        .as("intercept"))
+  }
+
   /** Per-user carry for the streaming transition matrix: the last seen
     * event (by event time, id tiebreak) — O(1) state per user.
     */
