@@ -114,6 +114,41 @@ object Round20Queries {
             FROM documents)
           SELECT round(max(abs(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
             - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) * 1e6) / 1e6 AS ks_d
-          FROM f, t"""))
+          FROM f, t""")),
+
+    // Mann-Whitney U (rank-sum) two-sample test: clicks vs purchases
+    // on value.  Ranks come from the DISTRIBUTED RankMethods two-phase
+    // scan (never a single-partition global window); average ranks are
+    // dyadic halves, so their sum is EXACT in doubles regardless of
+    // partial-aggregation order — the oracle replays the identical
+    // (min+max)/2 arithmetic over a per-value cum table.
+    "q292_mannwhitney" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase")
+            && col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val ranked = graft.operators.RankMethods.rank(ev, "value", "r")
+        ranked.agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("event_type") === "click", col("r_avg"))
+              .otherwise(lit(0.0))).as("r1"))
+          .select(col("n1"), col("n2"), col("r1"),
+            (col("r1") - expr("(n1 * (n1 + 1)) div 2").cast("double")).as("u"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+          c AS (SELECT value, CAST(count(*) AS DOUBLE) AS cnt FROM ev GROUP BY 1),
+          cu AS (SELECT value, cnt, sum(cnt) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+          r AS (SELECT value, ((cum - cnt + 1.0) + cum) / 2.0 AS r_avg FROM cu),
+          j AS (SELECT ev.event_type, r.r_avg FROM ev JOIN r ON ev.value = r.value),
+          a AS (SELECT
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              sum(CASE WHEN event_type = 'click' THEN r_avg ELSE 0.0 END) AS r1
+            FROM j)
+          SELECT n1, n2, r1, r1 - CAST((n1 * (n1 + 1)) // 2 AS DOUBLE) AS u FROM a"""))
   )
 }

@@ -25,6 +25,21 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  test("Mann-Whitney U: rank-sum identity R1+R2 = N(N+1)/2 and U bounds") {
+    val r = SparkEntry.queries("q292_mannwhitney")(spark, sf).head()
+    val (n1, n2, r1, u) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val n = n1 + n2
+    // all ranks partition the 1..N rank mass
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+    val ranked = graft.operators.RankMethods.rank(
+      ev.select("event_type", "value"), "value", "r")
+    val rAll = ranked.agg(sum("r_avg")).head().getDouble(0)
+    assert(rAll == n.toDouble * (n + 1) / 2)
+    assert(u >= 0.0 && u <= n1.toDouble * n2, s"U=$u outside [0, n1*n2]")
+    assert(r1 >= n1.toDouble * (n1 + 1) / 2)
+  }
+
   test("KS drift: identical samples give D=0, disjoint give D=1, self vs corpus in (0,1)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
