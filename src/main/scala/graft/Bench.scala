@@ -55,12 +55,25 @@ object Bench {
     // success); a query that fails every pass is emitted explicitly as
     // null and the exit code is nonzero.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    // Queries whose CONSTRUCTION executes the algorithm (iterative
+    // graph ranks materialize per iteration; driver-collected models /
+    // sketches / greedy selections run Spark jobs before a Dataset
+    // exists).  Reusing their instance would time only the final
+    // cached projection while the DuckDB oracle replays the whole
+    // computation per pass — so these rebuild per timed pass.  The
+    // constant-size two-phase-scan carries elsewhere stay amortized
+    // (bounded driver state, planning-like).
+    val eagerNames = Set(
+      "q232_heavy_hitters", "q240_bm25", "q249_bm25_batch",
+      "q260_bigram_lm", "q263_pagerank", "q266_label_prop", "q268_ppr",
+      "q281_survivorship", "q287_mmr_diversity", "q294_hits")
     val best = collection.mutable.Map[String, Double]()
     (1 to passes).foreach { _ =>
       names.foreach { name =>
         val t0 = System.nanoTime()
         try {
-          dfs(name).count()
+          if (eagerNames.contains(name)) qmap(name)(spark, sfDir).count()
+          else dfs(name).count()
           val dt = (System.nanoTime() - t0) / 1e9
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
         } catch {

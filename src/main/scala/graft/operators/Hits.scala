@@ -34,28 +34,31 @@ object Hits {
     var prevH: DataFrame = null
     var prevA: DataFrame = null
     for (_ <- 1 to iters) {
+      // Persist the two raw-sum frames per iteration (each is read
+      // twice: by its normalizer aggregate and by the next half-step);
+      // the normalized frames are cheap single-use projections on top.
+      // ONE count() barrier per iteration (on hRaw — computing it
+      // pulls aRaw through its cache too) keeps lineage flat before
+      // the previous iteration's caches are dropped: unpersisting a
+      // parent of a still-lazy cache would silently re-expand the
+      // whole join chain on first use.
       val aRaw = e.join(hub, e("src") === hub("id"))
         .groupBy(e("dst").as("id")).agg(sum(col("h")).as("raw"))
         .persist()
       val aDiv = aRaw.agg(expr(s"sum(raw) div ${Scale}L").as("d"))
       val nextA = aRaw.crossJoin(broadcast(aDiv))
         .select(col("id"), expr("raw div greatest(d, 1L)").as("a"))
-        .persist()
-      nextA.count()
       val hRaw = e.join(nextA, e("dst") === nextA("id"))
         .groupBy(e("src").as("id")).agg(sum(col("a")).as("raw"))
         .persist()
+      hRaw.count()
       val hDiv = hRaw.agg(expr(s"sum(raw) div ${Scale}L").as("d"))
       val nextH = hRaw.crossJoin(broadcast(hDiv))
         .select(col("id"), expr("raw div greatest(d, 1L)").as("h"))
-        .persist()
-      nextH.count()
       if (prevA != null) prevA.unpersist(blocking = false)
       if (prevH != null) prevH.unpersist(blocking = false)
-      aRaw.unpersist(blocking = false)
-      hRaw.unpersist(blocking = false)
-      prevA = nextA
-      prevH = hub
+      prevA = aRaw
+      prevH = hRaw
       hub = nextH
       auth = nextA
     }

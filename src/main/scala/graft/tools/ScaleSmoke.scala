@@ -126,6 +126,18 @@ object ScaleSmoke {
           .reduce(_.unionByName(_))
         graft.operators.LabelProp.run(eN, "cust", "supp", iters = 2).count()
       }),
+      "op_hits" -> (() => {
+        val e1 = graft.operators.PageRank.tradeEdges(spark, src)
+        val eN = (0 until mult).map(k =>
+          e1.select(concat(lit(s"k$k"), col("cust")).as("cust"),
+            concat(lit(s"k$k"), col("supp")).as("supp")))
+          .reduce(_.unionByName(_))
+        graft.operators.Hits.run(eN, "cust", "supp", iters = 2).count()
+      }),
+      // cross-source vocab overlap on the staged 10× docs (inverted-
+      // index self-join; word domain grows with the corpus)
+      "op_source_overlap" -> (() =>
+        SparkEntry.queries("q299_source_overlap")(spark, out).count()),
       // event-sequence ops over the 10× stream
       "op_transitions" -> (() => {
         val w = org.apache.spark.sql.expressions.Window
