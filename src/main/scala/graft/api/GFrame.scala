@@ -668,6 +668,21 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
       graft.functions.Num.rnd(
         graft.text.TextStats.qualityScore(col(textCol)), 6)), index)
 
+  /** Bigram-LM fluency score appended as `outCol` (scan-stage fold;
+    * the model tables come from [[graft.text.BigramLm.tables]]).
+    */
+  def scoreFluency(textCol: String, pu: Map[Int, Double], pb: Map[Int, Double],
+                   outCol: String = "fluency"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.text.BigramLm.score(col(textCol), pu, pb)), index)
+
+  /** Frozen linear-classifier margin + keep flag (scan-stage;
+    * [[graft.text.QualityModel]]).
+    */
+  def scoreModelQuality(textCol: String, outCol: String = "margin"): GFrame =
+    GFrame(df.withColumn(outCol, graft.text.QualityModel.margin(col(textCol)))
+      .withColumn("keep", graft.text.QualityModel.keep(col(textCol))), index)
+
   /** Heuristic language ID appended as `outCol` (scan-stage). */
   def withLangId(textCol: String, outCol: String = "lang_guess"): GFrame =
     GFrame(df.withColumn(outCol,
