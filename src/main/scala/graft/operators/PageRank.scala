@@ -112,6 +112,46 @@ object PageRank {
     pr.select("id", "deg", "pr")
   }
 
+  /** WEIGHTED PageRank: mass splits proportionally to integer edge
+    * weights instead of uniformly — `contribution = (pr · w) div sw`
+    * with `sw` the vertex's total out-weight.  Same fixed-point
+    * integer discipline as [[run]]; pr·w stays inside long range for
+    * weights up to ~10^6 at the default Scale.
+    */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .persist()
+    val verts = sym.groupBy(col("src").as("id"))
+      .agg(sum(col("w")).as("sw"))
+      .persist()
+    val n = verts.count()
+    val teleport = (3L * Scale) / (20L * n)
+
+    var pr = verts.select(col("id"), col("sw"), lit(Scale / n).as("pr"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
+        .groupBy("id").agg(sum("c").as("mass"))
+      val next = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("sw"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = pr
+      pr = next
+    }
+    pr
+  }
+
   /** customer↔supplier trade graph from the TPC-H-ish tables: distinct
     * (o_custkey, l_suppkey) pairs, vertex ids disjoint by prefix.
     */
@@ -122,5 +162,17 @@ object PageRank {
       .select(concat(lit("c"), col("o_custkey")).as("cust"),
         concat(lit("s"), col("l_suppkey")).as("supp"))
       .distinct()
+  }
+
+  /** [[tradeEdges]] with the lineitem multiplicity as an integer edge
+    * weight (trade volume).
+    */
+  def tradeEdgesWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("cust"),
+        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .agg(count(lit(1)).as("w"))
   }
 }
