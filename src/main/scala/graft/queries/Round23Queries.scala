@@ -88,8 +88,109 @@ object Round23Queries {
               CAST(count(*) AS BIGINT) AS n
             FROM t WHERE e1 IS NOT NULL AND e2 IS NOT NULL GROUP BY 1)
           SELECT path, n FROM p
-          QUALIFY row_number() OVER (ORDER BY n DESC, path) <= 20"""))
+          QUALIFY row_number() OVER (ORDER BY n DESC, path) <= 20""")),
+
+    // Robust z-score anomaly flags (median/MAD instead of mean/std —
+    // immune to the outliers it is hunting): two grouped
+    // exact-percentile passes (median, then median absolute
+    // deviation) + a broadcast join back; 0.6745·(v−med)/MAD with
+    // identical literals on both engines.
+    "q304_robust_zscore" -> QueryDef(
+      (s, d) => {
+        import graft.functions.Num
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+          .groupBy("event_type")
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .select(col("event_id"), col("event_type"),
+            (lit(0.6745) * (col("value") - col("med")) / col("mad")).as("rz"))
+          .filter(col("rz") > 3.5 || col("rz") < -3.5)
+          .select(col("event_id"), col("event_type"),
+            Num.rnd(col("rz"), 6).as("rz"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL),
+          med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM ev GROUP BY 1),
+          mad AS (SELECT ev.event_type,
+              quantile_cont(abs(ev.value - med.med), 0.5) AS mad
+            FROM ev JOIN med ON ev.event_type = med.event_type GROUP BY 1),
+          z AS (SELECT ev.event_id, ev.event_type,
+              0.6745 * (ev.value - med.med) / mad.mad AS rz
+            FROM ev JOIN med ON ev.event_type = med.event_type
+            JOIN mad ON ev.event_type = mad.event_type)
+          SELECT event_id, event_type, round(rz * 1e6) / 1e6 AS rz
+          FROM z WHERE rz > 3.5 OR rz < -3.5""")),
+
+    // Per-source MinHash vocabulary signatures: 16 md5 min-slots per
+    // source (one grouped min-aggregate — constant state), pairwise
+    // estimated Jaccard = matching-slot fraction, with q299's exact
+    // Jaccard alongside — the sketch-vs-exact exhibit at source
+    // granularity (at 100 TB only the signatures are compared; the
+    // exact column exists because the oracle can afford it at gate SF).
+    "q305_source_minhash" -> QueryDef(
+      (s, d) => {
+        val sw = Tables.documents(s, d)
+          .select(col("source"),
+            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+          .distinct()
+        val slots = (0 until 16).map(i =>
+          min(conv(substring(md5(concat(lit(s"mh$i:"), col("w"))), 1, 15), 16, 10)
+            .cast("long")).as(s"h$i"))
+        val sig = sw.groupBy("source").agg(slots.head, slots.tail: _*)
+        val matches = (0 until 16).map(i =>
+          when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = sig.as("a").join(sig.as("b"),
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"),
+            (matches.cast("double") / 16.0).as("est_jaccard"))
+        val sizes = sw.groupBy("source").agg(count(lit(1)).as("sz"))
+        val inter = sw.as("x").join(sw.as("y"),
+            col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+          .agg(count(lit(1)).as("inter"))
+        est.join(inter, Seq("s1", "s2"))
+          .join(sizes.withColumnRenamed("source", "s1")
+            .withColumnRenamed("sz", "n1"), "s1")
+          .join(sizes.withColumnRenamed("source", "s2")
+            .withColumnRenamed("sz", "n2"), "s2")
+          .select(col("s1"), col("s2"), col("est_jaccard"),
+            graft.functions.Num.rnd(col("inter").cast("double") /
+              (col("n1") + col("n2") - col("inter")).cast("double"), 6)
+              .as("exact_jaccard"))
+      },
+      Some(sourceMinhashOracleSql))
   )
+
+  private def sourceMinhashOracleSql: String = {
+    val hCols = (0 until 16).map(i =>
+      s"min(CAST(('0x' || substr(md5('mh$i:' || w), 1, 15)) AS BIGINT)) AS h$i")
+      .mkString(", ")
+    val matches = (0 until 16).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sw AS (SELECT DISTINCT source, unnest(list_filter(
+            string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+        sig AS (SELECT source, $hCols FROM sw GROUP BY 1),
+        est AS (SELECT a.source AS s1, b.source AS s2,
+            CAST($matches AS DOUBLE) / 16.0 AS est_jaccard
+          FROM sig a JOIN sig b ON a.source < b.source),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sw GROUP BY 1),
+        i AS (SELECT x.source AS s1, y.source AS s2,
+            CAST(count(*) AS BIGINT) AS inter
+          FROM sw x JOIN sw y ON x.w = y.w AND x.source < y.source
+          GROUP BY 1, 2)
+        SELECT est.s1, est.s2, est.est_jaccard,
+          round(CAST(i.inter AS DOUBLE) /
+            CAST(z1.sz + z2.sz - i.inter AS DOUBLE) * 1e6) / 1e6 AS exact_jaccard
+        FROM est JOIN i ON i.s1 = est.s1 AND i.s2 = est.s2
+        JOIN sz z1 ON z1.source = est.s1 JOIN sz z2 ON z2.source = est.s2"""
+  }
 
   /** q302 oracle: 3 unrolled weighted iterations (`(pr·w) // sw`). */
   private def weightedPrOracleSql: String = {
