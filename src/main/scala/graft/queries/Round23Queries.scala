@@ -165,7 +165,51 @@ object Round23Queries {
               (col("n1") + col("n2") - col("inter")).cast("double"), 6)
               .as("exact_jaccard"))
       },
-      Some(sourceMinhashOracleSql))
+      Some(sourceMinhashOracleSql)),
+
+    // Market-basket pair mining over orders: parts bought together
+    // (distinct part pairs per order via a per-key self-join — pair
+    // growth is bounded by the per-order basket size, never a corpus
+    // cross join), top-20 by support with exact confidence and lift.
+    "q306_basket_pairs" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("no"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          .agg(count(lit(1)).as("nab"))
+        val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
+        val top = graft.operators.Sorts.topK(pairs,
+          Seq("nab", "p1", "p2"), Seq(false, true, true), 20)
+        top.join(singles.withColumnRenamed("pk", "p1")
+            .withColumnRenamed("np", "n1"), "p1")
+          .join(singles.withColumnRenamed("pk", "p2")
+            .withColumnRenamed("np", "n2"), "p2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("p1"), col("p2"), col("nab"),
+            graft.functions.Num.rnd(col("nab").cast("double")
+              / col("n1").cast("double"), 6).as("confidence"),
+            graft.functions.Num.rnd(col("no").cast("double") * col("nab").cast("double")
+              / (col("n1").cast("double") * col("n2").cast("double")), 6).as("lift"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          no_ AS (SELECT CAST(count(*) AS BIGINT) AS no FROM orders),
+          pairs AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS nab
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2),
+          singles AS (SELECT pk, CAST(count(*) AS BIGINT) AS np FROM li GROUP BY 1),
+          top AS (SELECT p1, p2, nab FROM pairs
+            QUALIFY row_number() OVER (ORDER BY nab DESC, p1, p2) <= 20)
+          SELECT t.p1, t.p2, t.nab,
+            round(CAST(t.nab AS DOUBLE) / CAST(s1.np AS DOUBLE) * 1e6) / 1e6 AS confidence,
+            round(CAST(no_.no AS DOUBLE) * CAST(t.nab AS DOUBLE)
+              / (CAST(s1.np AS DOUBLE) * CAST(s2.np AS DOUBLE)) * 1e6) / 1e6 AS lift
+          FROM top t JOIN singles s1 ON s1.pk = t.p1
+          JOIN singles s2 ON s2.pk = t.p2 CROSS JOIN no_"""))
   )
 
   private def sourceMinhashOracleSql: String = {
