@@ -46,7 +46,8 @@ object SparkEntry {
     graft.queries.Round21Queries.defs ++
     graft.queries.Round22Queries.defs ++
     graft.queries.Round23Queries.defs ++
-    graft.queries.Round24Queries.defs
+    graft.queries.Round24Queries.defs ++
+    graft.queries.Round25Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
