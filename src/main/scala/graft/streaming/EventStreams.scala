@@ -328,6 +328,28 @@ object EventStreams {
         .as("intercept"))
   }
 
+  /** Streaming seasonality heatmap: running (dow × hod) cell state
+    * (≤ 168 rows, decimal-exact means) — the q314 report maintained
+    * incrementally; bounded replay ≡ batch (same oracle).
+    */
+  def seasonalityStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Num
+    val agg = readEventStream(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"), sum(col("vr")).as("sv"))
+    val name = "graft_stream_seasonality"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(col("dow"), col("hod"), col("n"),
+      Num.rnd(col("sv").cast("double") / col("n"), 6).as("mean_v"))
+  }
+
   /** Per-user carry for the streaming transition matrix: the last seen
     * event (by event time, id tiebreak) — O(1) state per user.
     */
