@@ -63,6 +63,52 @@ object Round27Queries {
             CAST(count(*) AS BIGINT) AS n,
             round(CAST(sum(CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6))) AS DOUBLE)
               / count(*) * 1e6) / 1e6 AS mean_v
-          FROM events WHERE value IS NOT NULL GROUP BY 1, 2"""))
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2""")),
+
+    // Leakage-safe TEMPORAL train/test split (the time-series
+    // companion of q257's group-level split): cutoff = exact 80th
+    // percentile of event time, everything at-or-before trains.  One
+    // percentile pass + one broadcast compare; the boundary is exact
+    // integer µs.
+    "q319_temporal_split" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), expr("unix_micros(ts)").as("tus"))
+        val cut = ev.agg(expr("percentile(tus, 0.8)").as("cut"))
+        ev.crossJoin(broadcast(cut))
+          .select(when(col("tus") <= col("cut"), lit("train"))
+            .otherwise(lit("test")).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+          c AS (SELECT quantile_cont(tus, 0.8) AS cut FROM ev)
+          SELECT CASE WHEN ev.tus <= c.cut THEN 'train' ELSE 'test' END AS split,
+            CAST(count(*) AS BIGINT) AS n
+          FROM ev, c GROUP BY 1""")),
+
+    // Class-balance report with inverse-frequency reweighting
+    // (w_c = N / (K·n_c), the standard imbalanced-training weights):
+    // one grouped count + one 1-row broadcast, exact arithmetic.
+    "q320_class_weights" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("total"),
+          count(lit(1)).as("k"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            Num.rnd(col("n_docs").cast("double") / col("total").cast("double"), 6)
+              .as("share"),
+            Num.rnd(col("total").cast("double")
+              / (col("k") * col("n_docs")).cast("double"), 6).as("weight"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS k FROM c)
+          SELECT c.lang, c.n_docs,
+            round(CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) * 1e6) / 1e6 AS share,
+            round(CAST(t.total AS DOUBLE) / CAST(t.k * c.n_docs AS DOUBLE) * 1e6) / 1e6 AS weight
+          FROM c, t"""))
   )
 }
