@@ -49,7 +49,9 @@ object SparkEntry {
     graft.queries.Round24Queries.defs ++
     graft.queries.Round25Queries.defs ++
     graft.queries.Round26Queries.defs ++
-    graft.queries.Round27Queries.defs
+    graft.queries.Round27Queries.defs ++
+    graft.queries.Round28Queries.defs ++
+    graft.queries.Round29Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -689,6 +689,45 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** STREAMING A/B experiment monitor (q315's twin): the stream keeps
+    * one (clicked, purchased) flag pair per user — a single stateful
+    * aggregation whose state is bounded by the user population, never
+    * by event volume — and the two-proportion z-test is computed in
+    * batch over the sink.  Bounded replay ⇒ identical to the batch
+    * q315 answer on the same corpus.
+    */
+  def abMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Num
+    val flags = readEventStream(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+    val name = "graft_stream_ab"
+    val q = flags.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table(name).filter(col("clicked") === 1L)
+      .withColumn("grp",
+        when(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 4),
+          16, 10).cast("int") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val g = users.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("purchased")).as("c"))
+    val a = g.filter(col("grp") === "A").select(col("n").as("n1"), col("c").as("c1"))
+    val b = g.filter(col("grp") === "B").select(col("n").as("n2"), col("c").as("c2"))
+    a.crossJoin(b).select(col("n1"), col("c1"), col("n2"), col("c2"),
+      Num.rnd({
+        val p1 = col("c1").cast("double") / col("n1").cast("double")
+        val p2 = col("c2").cast("double") / col("n2").cast("double")
+        val p = (col("c1") + col("c2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        val se = sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+        when(se === 0.0, lit(0.0)).otherwise((p1 - p2) / se)
+      }, 6).as("z"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches
