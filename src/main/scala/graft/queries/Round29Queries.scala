@@ -41,11 +41,11 @@ object Round29Queries {
         val agg = kmin.groupBy("s1", "s2").agg(
           count(lit(1)).as("m"),
           max(col("h")).as("hk"),
-          sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("both"))
+          sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("nb"))
         val uRaw = when(col("m") < k, col("m").cast("double"))
           .otherwise(lit((k - 1).toDouble) /
             (conv(col("hk"), 16, 10).cast("double") / lit(281474976710656.0)))
-        val jRaw = col("both").cast("double") / col("m").cast("double")
+        val jRaw = col("nb").cast("double") / col("m").cast("double")
         agg.select(col("s1"), col("s2"),
           Num.rnd(uRaw, 6).as("union_est"),
           Num.rnd(jRaw, 6).as("jacc_est"),
@@ -63,13 +63,13 @@ object Round29Queries {
           kmin AS (SELECT * FROM tp QUALIFY
             row_number() OVER (PARTITION BY s1, s2 ORDER BY h) <= 64),
           agg AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS m, max(h) AS hk,
-              CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS both
+              CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb
             FROM kmin GROUP BY 1, 2),
           r AS (SELECT s1, s2,
               CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
                 ELSE 63.0 / (CAST(CAST('0x' || hk AS BIGINT) AS DOUBLE)
                   / 281474976710656.0) END AS u_raw,
-              CAST(both AS DOUBLE) / CAST(m AS DOUBLE) AS j_raw
+              CAST(nb AS DOUBLE) / CAST(m AS DOUBLE) AS j_raw
             FROM agg)
           SELECT s1, s2, round(u_raw * 1e6) / 1e6 AS union_est,
             round(j_raw * 1e6) / 1e6 AS jacc_est,
@@ -84,7 +84,7 @@ object Round29Queries {
     "q328_rfm_segments" -> QueryDef(
       (s, d) => {
         val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
-          expr("unix_micros(o_orderdate)").as("tus"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("tus"),
           Num.dec2(col("o_totalprice")).as("tp"))
         val mx = o.agg(max(col("tus")).as("mz"))
         val cust = o.crossJoin(broadcast(mx)).groupBy("ck").agg(
@@ -126,10 +126,13 @@ object Round29Queries {
               quantile_cont(CAST(mon AS DOUBLE), 0.3333333333333333) AS m1,
               quantile_cont(CAST(mon AS DOUBLE), 0.6666666666666666) AS m2
             FROM cust)
-          SELECT CASE WHEN rec <= r1 THEN 3 WHEN rec <= r2 THEN 2 ELSE 1 END AS r_score,
-            CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END AS f_score,
-            CASE WHEN CAST(mon AS DOUBLE) <= m1 THEN 1
-                 WHEN CAST(mon AS DOUBLE) <= m2 THEN 2 ELSE 3 END AS m_score,
+          SELECT CAST(CASE WHEN rec <= r1 THEN 3 WHEN rec <= r2 THEN 2 ELSE 1 END
+              AS BIGINT) AS r_score,
+            CAST(CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END
+              AS BIGINT) AS f_score,
+            CAST(CASE WHEN CAST(mon AS DOUBLE) <= m1 THEN 1
+                 WHEN CAST(mon AS DOUBLE) <= m2 THEN 2 ELSE 3 END
+              AS BIGINT) AS m_score,
             CAST(count(*) AS BIGINT) AS n_cust,
             CAST(round(sum(mon), 2) AS DOUBLE) AS total_m
           FROM cust, cuts GROUP BY 1, 2, 3""")),
