@@ -728,6 +728,55 @@ object EventStreams {
       }, 6).as("z"))
   }
 
+  /** STREAMING CUSUM changepoint monitor (q325's twin): the stream
+    * keeps one exact decimal sum per (event_type, day) cell — state
+    * bounded by the day-grid, not event volume — and the deviation
+    * argmax replays q325's exact integer-scaled arithmetic in batch
+    * over the sink.  Bounded replay ⇒ identical to the batch answer.
+    */
+  def cusumStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Num
+    val cells = readEventStream(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("vr")).as("sv"))
+    val name = "graft_stream_cusum"
+    val q = cells.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val daily = spark.table(name)
+      .select(col("event_type"), col("day"),
+        col("sv").cast("decimal(18,6)").as("x"))
+    val tot = daily.select(col("event_type").as("tet"), col("x"))
+      .groupBy("tet").agg(
+        sum(col("x")).cast("decimal(18,6)").as("tt"),
+        count(lit(1)).cast("decimal(9,0)").as("nd"))
+    // rename the right side up front: both branches scan the same
+    // in-memory sink table, so string-alias self-join resolution is
+    // ambiguous here (unlike q325's parquet-backed twin)
+    val dailyB = daily.select(col("event_type").as("bet"),
+      col("day").as("bday"), col("x").as("bx"))
+    val cum = daily.join(dailyB,
+        col("event_type") === col("bet") && col("bday") <= col("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("bx")).cast("decimal(18,6)").as("cum"),
+        count(lit(1)).cast("decimal(9,0)").as("i"))
+    val dev = cum.join(tot, col("event_type") === col("tet"))
+      .select(col("event_type"), col("day"),
+        (col("cum") * col("nd") - col("i") * col("tt"))
+          .cast("decimal(24,6)").as("dev"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("dev")).desc, col("day"))
+    dev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("dev").cast("double").as("dev"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches
