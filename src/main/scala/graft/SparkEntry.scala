@@ -52,7 +52,8 @@ object SparkEntry {
     graft.queries.Round27Queries.defs ++
     graft.queries.Round28Queries.defs ++
     graft.queries.Round29Queries.defs ++
-    graft.queries.Round30Queries.defs
+    graft.queries.Round30Queries.defs ++
+    graft.queries.Round31Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
