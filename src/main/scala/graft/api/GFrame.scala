@@ -729,6 +729,56 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))
 
+  /** Welch's unequal-variance t-test between two groups of `groupCol`
+    * over `valueCol` (see operators/Stats — exact decimal moments).
+    */
+  def welchTTest(groupCol: String, valueCol: String,
+                 gA: String, gB: String): GFrame =
+    GFrame(graft.operators.Stats.welchTTest(df, groupCol, valueCol, gA, gB))
+
+  /** One-way ANOVA F across all groups of `groupCol` (operators/Stats). */
+  def anovaF(groupCol: String, valueCol: String): GFrame =
+    GFrame(graft.operators.Stats.anovaF(df, groupCol, valueCol))
+
+  /** CUSUM changepoint per group over a prepared (group, day, x)
+    * daily series — x must be DECIMAL(18,6) (operators/Stats).
+    */
+  def cusumChangepoint(groupCol: String, dayCol: String, xCol: String): GFrame =
+    GFrame(graft.operators.Stats.cusumChangepoint(df, groupCol, dayCol, xCol))
+
+  /** Holt double-exponential smoothing per group over a prepared
+    * (group, day, x-double) daily series (operators/Stats).
+    */
+  def holtSmooth(groupCol: String, dayCol: String, xCol: String,
+                 alpha: Double = 0.3, beta: Double = 0.2): GFrame =
+    GFrame(graft.operators.Stats.holtSmooth(df, groupCol, dayCol, xCol,
+      alpha, beta))
+
+  /** Triangle count over the undirected graph whose edges are this
+    * frame's (aCol, bCol) pairs — normalized, deduplicated, then
+    * degree-oriented (operators/Triangles).
+    */
+  def triangleCount(aCol: String, bCol: String): GFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val und = df.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    GFrame(graft.operators.Triangles.count(und))
+  }
+
+  /** Deterministic per-group reservoir sample: exactly min(k, group
+    * size) rows per group, ranked by a salted md5 of `idCol`
+    * (GroupTopK bounded heaps — repartition-stable).
+    */
+  def reservoirSample(groupCol: String, idCol: String, k: Int): GFrame = {
+    import org.apache.spark.sql.functions.{concat, lit => flit, md5}
+    val withH = df.withColumn("__rsh",
+      md5(concat(flit("rs:"), col(idCol))))
+    GFrame(graft.plans.GroupTopK.topKPerKey(
+      withH, Seq(groupCol), Seq(("__rsh", false), (idCol, false)), k)
+      .drop("__rsh"))
+  }
+
   /** BM25 keyword top-k over a text column (see text/Bm25).
     *
     * EAGER: executes the corpus passes at call time (Bm25.topK caches

@@ -83,33 +83,8 @@ object Round28Queries {
     // then t and the Welch–Satterthwaite dof are the identical double
     // expression on both engines.  One scan, one 2-row aggregate.
     "q323_welch_ttest" -> QueryDef(
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("purchase", "view"))
-          .select(
-            when(col("event_type") === "purchase", lit(1)).otherwise(lit(2)).as("g"),
-            Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
-        val m = ev.groupBy("g").agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(col("vr")).cast("double").as("sv"),
-          sum(col("vr") * col("vr")).cast("double").as("ss"))
-        val p = m.agg(
-          max(when(col("g") === 1, col("n"))).as("n1"),
-          max(when(col("g") === 1, col("sv"))).as("s1"),
-          max(when(col("g") === 1, col("ss"))).as("q1"),
-          max(when(col("g") === 2, col("n"))).as("n2"),
-          max(when(col("g") === 2, col("sv"))).as("s2"),
-          max(when(col("g") === 2, col("ss"))).as("q2"))
-        val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-        val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
-        val se2 = v1 / col("n1") + v2 / col("n2")
-        p.select(
-          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
-          Num.rnd(col("s1") / col("n1") - col("s2") / col("n2"), 6).as("d_mean"),
-          Num.rnd((col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(se2), 6).as("t"),
-          Num.rnd(se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1)
-            + (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1)), 6).as("dof"))
-      },
+      (s, d) => graft.operators.Stats.welchTTest(
+        Tables.events(s, d), "event_type", "value", "purchase", "view"),
       Some("""WITH ev AS (SELECT
               CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
               CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
@@ -145,37 +120,8 @@ object Round28Queries {
     // fold (q293 discipline) so both engines add in event_type order.
     // SSB = Σ s_g²/n_g − S²/N, SSW = Σss − Σ s_g²/n_g.
     "q324_anova_f" -> QueryDef(
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("event_type"),
-            Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
-        val m = ev.groupBy("event_type").agg(
-          count(lit(1)).as("n"),
-          sum(col("vr")).as("sv"),
-          sum(col("vr") * col("vr")).as("ss"))
-        val folded = m.agg(
-          sum(col("n")).as("nn"),
-          sum(col("sv")).as("s_all"),
-          sum(col("ss")).as("ss_all"),
-          count(lit(1)).as("k"),
-          sort_array(collect_list(struct(col("event_type").as("et"),
-            (col("sv").cast("double") * col("sv").cast("double")
-              / col("n").cast("double")).as("q")))).as("qs"))
-        val qsum = aggregate(col("qs"), lit(0.0),
-          (acc, x) => acc + x.getField("q"))
-        val base = folded.select(
-          col("k"), col("nn"),
-          col("nn").cast("double").as("nd"),
-          col("s_all").cast("double").as("sd"),
-          col("ss_all").cast("double").as("ssd"),
-          qsum.as("qsum"))
-        val ssb = col("qsum") - col("sd") * col("sd") / col("nd")
-        val ssw = col("ssd") - col("qsum")
-        base.select(col("k"), col("nn").as("n"),
-          Num.rnd(ssb, 6).as("ssb"), Num.rnd(ssw, 6).as("ssw"),
-          Num.rnd((ssb / (col("k").cast("double") - 1))
-            / (ssw / (col("nd") - col("k").cast("double"))), 6).as("f"))
-      },
+      (s, d) => graft.operators.Stats.anovaF(
+        Tables.events(s, d), "event_type", "value"),
       Some("""WITH ev AS (SELECT event_type,
               CAST(round(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vr
             FROM events),
@@ -207,29 +153,12 @@ object Round28Queries {
     // never a single-partition global window.
     "q325_cusum_changepoint" -> QueryDef(
       (s, d) => {
-        val e = Tables.events(s, d).select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
-        val daily = e.groupBy("event_type", "day")
+        val daily = Tables.events(s, d).select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
+          .groupBy("event_type", "day")
           .agg(sum(col("vr")).cast("decimal(18,6)").as("x"))
-        val tot = daily.groupBy("event_type").agg(
-          sum(col("x")).cast("decimal(18,6)").as("tt"),
-          count(lit(1)).cast("decimal(9,0)").as("nd"))
-        val cum = daily.as("a").join(daily.as("b"),
-            col("a.event_type") === col("b.event_type")
-              && col("b.day") <= col("a.day"))
-          .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
-          .agg(sum(col("b.x")).cast("decimal(18,6)").as("cum"),
-            count(lit(1)).cast("decimal(9,0)").as("i"))
-        val dev = cum.join(tot, Seq("event_type"))
-          .select(col("event_type"), col("day"),
-            (col("cum") * col("nd") - col("i") * col("tt"))
-              .cast("decimal(24,6)").as("dev"))
-        val w = Window.partitionBy("event_type")
-          .orderBy(abs(col("dev")).desc, col("day"))
-        dev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("event_type"), col("day").as("cp_day"),
-            col("dev").cast("double").as("dev"))
+        graft.operators.Stats.cusumChangepoint(daily, "event_type", "day", "x")
       },
       Some("""WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day,

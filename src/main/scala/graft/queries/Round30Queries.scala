@@ -28,24 +28,8 @@ object Round30Queries {
             Num.rnd(col("value"), 6).cast("decimal(18,6)").as("vr"))
         val daily = e.groupBy("event_type", "day")
           .agg((sum(col("vr")).cast("double") / count(lit(1))).as("x"))
-        val ser = daily.groupBy("event_type")
-          .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
-        val init = struct(
-          element_at(col("s"), 1).getField("x").as("l"), lit(0.0).as("b"))
-        val folded = aggregate(
-          slice(col("s"), lit(2), size(col("s")) - 1), init,
-          (acc, e) => {
-            val x = e.getField("x")
-            val nl = lit(0.3) * x + lit(0.7) * (acc.getField("l") + acc.getField("b"))
-            struct(nl.as("l"),
-              (lit(0.2) * (nl - acc.getField("l"))
-                + lit(0.8) * acc.getField("b")).as("b"))
-          })
-        ser.select(col("event_type"), folded.as("st"))
-          .select(col("event_type"),
-            Num.rnd(col("st.l"), 6).as("level"),
-            Num.rnd(col("st.b"), 6).as("trend"),
-            Num.rnd(col("st.l") + col("st.b"), 6).as("forecast"))
+        graft.operators.Stats.holtSmooth(daily, "event_type", "day", "x",
+          alpha = 0.3, beta = 0.2)
       },
       Some("""WITH RECURSIVE e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day,

@@ -752,29 +752,7 @@ object EventStreams {
     val daily = spark.table(name)
       .select(col("event_type"), col("day"),
         col("sv").cast("decimal(18,6)").as("x"))
-    val tot = daily.select(col("event_type").as("tet"), col("x"))
-      .groupBy("tet").agg(
-        sum(col("x")).cast("decimal(18,6)").as("tt"),
-        count(lit(1)).cast("decimal(9,0)").as("nd"))
-    // rename the right side up front: both branches scan the same
-    // in-memory sink table, so string-alias self-join resolution is
-    // ambiguous here (unlike q325's parquet-backed twin)
-    val dailyB = daily.select(col("event_type").as("bet"),
-      col("day").as("bday"), col("x").as("bx"))
-    val cum = daily.join(dailyB,
-        col("event_type") === col("bet") && col("bday") <= col("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("bx")).cast("decimal(18,6)").as("cum"),
-        count(lit(1)).cast("decimal(9,0)").as("i"))
-    val dev = cum.join(tot, col("event_type") === col("tet"))
-      .select(col("event_type"), col("day"),
-        (col("cum") * col("nd") - col("i") * col("tt"))
-          .cast("decimal(24,6)").as("dev"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(abs(col("dev")).desc, col("day"))
-    dev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("event_type"), col("day").as("cp_day"),
-        col("dev").cast("double").as("dev"))
+    graft.operators.Stats.cusumChangepoint(daily, "event_type", "day", "x")
   }
 
   /** Batch sessionization (gaps-and-islands): a new session starts after
