@@ -46,7 +46,10 @@ object Triangles {
     val wedges = dirE.as("p").join(dirE.as("q"),
         col("p.u") === col("q.u") && col("p.w") < col("q.w"))
       .select(col("p.w").as("v1"), col("q.w").as("v2"))
-    val closer = if (nEdges < 20000000L) broadcast(und)
+    // 10M edges ≈ 160MB broadcast — the practical executor-memory
+    // ceiling; beyond it the wedge stream shuffles into a hash join
+    // whose per-partition build side stays bounded.
+    val closer = if (nEdges < 10000000L) broadcast(und)
                  else und.hint("shuffle_hash")
     val tri = wedges.join(closer,
         wedges("v1") === closer("a") && wedges("v2") === closer("b"))

@@ -755,6 +755,29 @@ object EventStreams {
     graft.operators.Stats.cusumChangepoint(daily, "event_type", "day", "x")
   }
 
+  /** STREAMING KMV distinct-user sketch per event type: the typed
+    * mergeable [[graft.functions.KmvAgg]] IS the stream state — ≤ k
+    * sorted hashes per group, merged associatively across microbatches
+    * — so the estimate after any arrival order equals the batch
+    * sketch (q154's machinery).  Output (event_type, est).
+    */
+  def kmvStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{KmvAgg, Num}
+    val hashed = readEventStream(spark, sfDir)
+      .select(col("event_type"),
+        substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12)
+          .as("h"))
+    val agg = hashed.groupBy("event_type")
+      .agg(KmvAgg.kmv(col("h"), 64).as("raw"))
+    val name = "graft_stream_kmv"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("event_type"), Num.rnd(col("raw"), 3).as("est"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches

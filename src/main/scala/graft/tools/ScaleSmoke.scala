@@ -56,7 +56,12 @@ object ScaleSmoke {
       "q217_bpe_tokenize",
       // round 16: bigram-LM fluency — two bucket-table passes + one
       // scan-stage scoring fold, all linear
-      "q260_bigram_lm")
+      "q260_bigram_lm",
+      // final-session waves: token-domain ops (documents grow 10×;
+      // vocab per source grows with the corpus), part/orders ops
+      "q327_kmv_setops", "q340_lexical_richness", "q341_zipf_slope",
+      "q339_ntile_quartiles", "q337_reservoir_sample",
+      "q322_fuzzy_editdist", "q334_jaro_winkler")
     val qmap = SparkEntry.queries
     names.foreach { n => try qmap(n)(spark, out).count() catch { case _: Throwable => } } // warm
     val results = names.map { n =>
@@ -138,6 +143,51 @@ object ScaleSmoke {
       // index self-join; word domain grows with the corpus)
       "op_source_overlap" -> (() =>
         SparkEntry.queries("q299_source_overlap")(spark, out).count()),
+      // triangle counting at 10× EDGES: disjoint part-key-shifted
+      // copies of the co-purchase graph (vertices and edges both 10×;
+      // wedge work scales with Σ outdeg², kept linear-ish by degree
+      // orientation)
+      "op_triangles" -> (() => {
+        val li = Tables.lineitem(spark, src)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val und1 = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val undN = (0 until mult).map(k =>
+          und1.select((col("a") + lit(k * 10000000L)).as("a"),
+            (col("b") + lit(k * 10000000L)).as("b")))
+          .reduce(_.unionByName(_))
+        graft.operators.Triangles.count(undN).count()
+      }),
+      // CUSUM over the 10× stream (day domain grows 10× via the
+      // 31-day copy shifts — the bounded self-join is quadratic in
+      // DAYS per group, still tiny)
+      "op_cusum" -> (() => {
+        val daily = ev10.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            graft.operators.Stats.vr(col("value")).as("vr"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("vr")).cast("decimal(18,6)").as("x"))
+        graft.operators.Stats.cusumChangepoint(daily, "event_type", "day", "x")
+          .count()
+      }),
+      // linear attribution over the 10× stream (user-keyed touch join)
+      "op_attribution" -> (() => {
+        val ev = ev10.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t").as("pt"), col("event_id").as("pid"))
+        val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id"), col("event_type").as("channel"), col("t").as("tt"))
+        val j = purch.join(touch, Seq("user_id"))
+          .filter(col("tt") < col("pt")
+            && col("tt") >= col("pt") - lit(7L * 86400000000L))
+        val perPc = j.groupBy("pid", "channel").agg(count(lit(1)).as("c"))
+        val perP = j.groupBy("pid").agg(count(lit(1)).as("nt"))
+        perPc.join(perP, Seq("pid")).groupBy("channel")
+          .agg(count(lit(1))).count()
+      }),
       // event-sequence ops over the 10× stream
       "op_transitions" -> (() => {
         val w = org.apache.spark.sql.expressions.Window
