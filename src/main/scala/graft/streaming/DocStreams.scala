@@ -54,6 +54,26 @@ object DocStreams {
     run(spark, curateTransform(docs, minQuality), "graft_stream_curate")
   }
 
+  /** STREAMING per-group reservoir (q337's twin): state = the k
+    * smallest salted keys per source, held by the mergeable
+    * [[graft.functions.TopKMinAgg]] — bounded at k strings per group
+    * regardless of arrival volume or order.  Key = md5 ‖ ':' ‖
+    * zero-padded doc_id, so lexicographic order ≡ the batch
+    * (md5, doc_id-numeric) ranking.
+    */
+  def reservoirStream(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val keyed = docs.select(col("source"),
+      concat(md5(concat(lit("rs:"), col("doc_id"))), lit(":"),
+        lpad(col("doc_id").cast("string"), 12, "0")).as("key"))
+    val agg = keyed.groupBy("source")
+      .agg(graft.functions.TopKMinAgg.topkMin(col("key"), k).as("keys"))
+    val out = run(spark, agg, "graft_stream_reservoir")
+    out.select(col("source"), explode(col("keys")).as("key"))
+      .select(col("source"),
+        expr("cast(substring(key, 34, 12) as long)").as("doc_id"))
+  }
+
   /** The curation transform itself — identical against any streaming (or
     * batch) documents source.
     */

@@ -71,6 +71,22 @@ class Round28Spec extends SparkSpec {
     }
   }
 
+  test("label outliers are below threshold and ranked worst-first") {
+    val rows = SparkEntry.queries("q350_label_outliers")(spark, sf).collect()
+    assert(rows.length <= 50)
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.forall(_ < 0.1))
+    assert(cs.sameElements(cs.sorted))
+  }
+
+  test("streaming reservoir equals the batch q337 sample") {
+    val stream = SparkEntry.queries("q351_stream_reservoir")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("q337_reservoir_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("duplicate-cluster histogram mass equals the component rows") {
     val hist = SparkEntry.queries("q349_dup_cluster_histogram")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
