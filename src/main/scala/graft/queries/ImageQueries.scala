@@ -28,6 +28,51 @@ object ImageQueries {
 
   private val SEL = 3L // every 3rd doc renders an image
 
+  /** REAL-decode perceptual average-hash per rendered image (q248's
+    * core, shared with the q352 hamming near-dup): 8×8 grid luma via
+    * GridLumaDecoder, bit i set when luma·64 > total (integer-exact),
+    * packed as two 32-bit halves.
+    */
+  private[queries] def ahashes(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(SEL)) === 0).as[Long]
+    val bin = ids.mapPartitions(_.map(id => (id, SyntheticImages.pngFor(id))))
+      .toDF("doc_id", "payload")
+    val feat = Multimodal.decodeFeatures(bin, GridLumaDecoder)
+    val lumas = (0 until 64).map(i => element_at(col("features"), i + 3))
+    val total = lumas.reduce(_ + _)
+    def half(lo: Int): Column =
+      (lo until lo + 32).map { i =>
+        when(lumas(i) * lit(64.0) > total, lit(1L << (i - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    feat.select(col("doc_id"),
+      half(32).cast("long").as("ahash_hi"),
+      half(0).cast("long").as("ahash_lo"))
+  }
+
+  /** q248's oracle CTEs ending in `hashes(doc_id, ahash_hi, ahash_lo)`
+    * — shared with q352's near-dup oracle.
+    */
+  private[queries] val ahashOracleCtes: String =
+    s"""sel AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents WHERE doc_id % $SEL = 0),
+       g AS (SELECT doc_id, unnest(range(64)) AS i, w, h FROM sel),
+       lum AS (SELECT doc_id, i,
+           ((31*doc_id + 7*(((i % 8) * w) // 8) + 13*(((i // 8) * h) // 8)) % 256
+          + (17*doc_id + 3*(((i % 8) * w) // 8) + 5*(((i // 8) * h) // 8)) % 256
+          + (23*doc_id + 11*(((i % 8) * w) // 8) + 2*(((i // 8) * h) // 8)) % 256) AS luma
+         FROM g),
+       tot AS (SELECT doc_id, sum(luma) AS total FROM lum GROUP BY doc_id),
+       hashes AS (SELECT lum.doc_id,
+           CAST(sum(CASE WHEN lum.i >= 32 AND lum.luma * 64 > tot.total
+             THEN CAST(pow(2, lum.i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN lum.i < 32 AND lum.luma * 64 > tot.total
+             THEN CAST(pow(2, lum.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash_lo
+         FROM lum JOIN tot ON lum.doc_id = tot.doc_id
+         GROUP BY lum.doc_id)"""
+
   lazy val defs: Seq[(String, QueryDef)] = Seq(
 
     // in-memory codec round-trip: raster -> real PNG encode -> real
@@ -122,23 +167,7 @@ object ImageQueries {
     // fingerprint is then a plain groupBy on (hi, lo); hamming-radius
     // blocking reuses q56's SimHash chunk machinery.
     "q248_image_ahash" -> QueryDef(
-      (s, d) => {
-        import s.implicits._
-        val ids = Tables.documents(s, d).select(col("doc_id"))
-          .filter(pmod(col("doc_id"), lit(SEL)) === 0).as[Long]
-        val bin = ids.mapPartitions(_.map(id => (id, SyntheticImages.pngFor(id))))
-          .toDF("doc_id", "payload")
-        val feat = Multimodal.decodeFeatures(bin, GridLumaDecoder)
-        val lumas = (0 until 64).map(i => element_at(col("features"), i + 3))
-        val total = lumas.reduce(_ + _)
-        def half(lo: Int): Column =
-          (lo until lo + 32).map { i =>
-            when(lumas(i) * lit(64.0) > total, lit(1L << (i - lo))).otherwise(lit(0L))
-          }.reduce(_ + _)
-        feat.select(col("doc_id"),
-          half(32).cast("long").as("ahash_hi"),
-          half(0).cast("long").as("ahash_lo"))
-      },
+      (s, d) => ahashes(s, d),
       Some(s"""WITH sel AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
                  FROM documents WHERE doc_id % $SEL = 0),
              g AS (SELECT doc_id, unnest(range(64)) AS i, w, h FROM sel),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-35 wave: image hamming near-dup, interval union. */
+class Round29Spec extends SparkSpec {
+
+  test("image near-dup equals the driver brute force over all hash pairs") {
+    val got = SparkEntry.queries("q352_image_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = SparkEntry.queries("q248_image_ahash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (d1, hi1, lo1) <- hashes; (d2, hi2, lo2) <- hashes
+      if d1 < d2
+      dist = java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
+      if dist <= 4
+    } yield (d1, d2, dist.toLong)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("interval union replays driver-side and bounds hold") {
+    val got = SparkEntry.queries("q353_interval_union")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(got.size == byUser.size)
+    for ((u, evs) <- byUser.take(50)) {
+      val iv = evs.map(_._2).distinct.sorted.map(t => (t, t + 300000000L))
+      var islands = 0
+      var covered = 0L
+      var curS = -1L
+      var curE = -1L
+      for ((lo, hi) <- iv) {
+        if (curE < 0 || lo > curE) {
+          if (curE >= 0) covered += curE - curS
+          islands += 1; curS = lo; curE = hi
+        } else curE = math.max(curE, hi)
+      }
+      if (curE >= 0) covered += curE - curS
+      assert(got(u) == ((islands.toLong, covered)), s"user $u")
+      // every island covers at least one 5-minute interval
+      assert(got(u)._2 >= 300000000L * got(u)._1)
+    }
+  }
+}
