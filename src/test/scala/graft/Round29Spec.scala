@@ -19,6 +19,22 @@ class Round29Spec extends SparkSpec {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("bisection quantile equals the sort-based discrete quantile") {
+    import graft.operators.Selection
+    import spark.implicits._
+    val vals = Seq(5L, 1L, 9L, 3L, 3L, 7L, 100L, -4L).toDF("v")
+    assert(Selection.quantileDisc(vals, col("v"), 0.5) == 3L) // rank ceil(4)=4 → 3
+    assert(Selection.quantileDisc(vals, col("v"), 0.9) == 100L)
+    assert(Selection.quantileDisc(vals, col("v"), 0.0) == -4L)
+    // against the engine's own exact percentile on real data
+    val cents = Tables.lineitem(spark, sf)
+      .select(expr("cast(round(l_extendedprice * 100) as long)").as("c"))
+    val med = Selection.quantileDisc(cents, col("c"), 0.5)
+    val sorted = cents.collect().map(_.getLong(0)).sorted
+    val rank = math.ceil(0.5 * sorted.length).toInt
+    assert(med == sorted(rank - 1))
+  }
+
   test("interval union replays driver-side and bounds hold") {
     val got = SparkEntry.queries("q353_interval_union")(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
