@@ -78,9 +78,13 @@ object MisraGries {
     * size), falls back to the full exact aggregation, so the result is
     * exact top-k (count desc, item asc) in every case.
     */
-  def topKFrequent(items: org.apache.spark.sql.DataFrame, itemCol: String,
+  def topKFrequent(items0: org.apache.spark.sql.DataFrame, itemCol: String,
                    k: Int, sketchK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // the item stream is read three times (sketch pass, certification
+    // pass, and the returned plan's own execution) — materialize the
+    // tokenization once instead of re-exploding the corpus per pass
+    val items = items0.persist()
     val row = items.agg(
       mg(sketchK)(org.apache.spark.sql.functions.col(itemCol)).as("cand"),
       count(org.apache.spark.sql.functions.col(itemCol)).as("n")).collect()(0)
@@ -96,7 +100,12 @@ object MisraGries {
     val topRows = candTop.collect() // ≤ k rows — the certification input
     val certified = topRows.length == k &&
       topRows.map(_.getLong(1)).min > threshold
-    if (certified) candTop
+    if (certified)
+      // the certified answer is already on the driver (≤ k rows) —
+      // return it as literals instead of re-executing the filtered
+      // aggregation when the caller runs the plan
+      items.sparkSession.createDataFrame(
+        java.util.Arrays.asList(topRows: _*), candTop.schema)
     else graft.operators.Sorts.topK(exactAll(items),
       Seq("cnt", itemCol), Seq(false, true), k)
   }
