@@ -778,6 +778,57 @@ object EventStreams {
       .select(col("event_type"), Num.rnd(col("raw"), 3).as("est"))
   }
 
+  /** STREAMING Benford first-digit monitor over order totals staged as
+    * a stream: state = 9 digit-count cells, with the χ² fold computed
+    * in batch over the sink (q330's machinery).  The
+    * wrong-digit-distribution alarm of a continuously-ingested money
+    * feed.
+    */
+  def benfordStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Num
+    // stage orders.parquet as a stream source — size/mtime-checked so a
+    // regenerated corpus can never pair a stale stream with a fresh
+    // oracle (the DocStreams.stageDir discipline)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_orders_$safe")
+    Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/orders.parquet")
+    val dst = dir.resolve("orders.parquet")
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
+    val schema = spark.read.parquet(dst.toString).schema
+    val digs = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(substring(Num.dec2(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("dig"))
+      .groupBy("dig").agg(count(lit(1)).as("n"))
+    val name = "graft_stream_benford"
+    val q = digs.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table(name)
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    val cells = counts.crossJoin(broadcast(tot))
+      .select(col("dig"), col("n"),
+        (col("n").cast("double") / col("nn").cast("double")).as("obs"),
+        log10(lit(1.0) + lit(1.0) / col("dig").cast("double")).as("exp"),
+        col("nn"))
+    val withTerm = cells.withColumn("term",
+      col("nn").cast("double") * (col("obs") - col("exp"))
+        * (col("obs") - col("exp")) / col("exp"))
+    val chi2 = withTerm
+      .agg(sort_array(collect_list(struct(col("dig"), col("term")))).as("ts"))
+      .select(Num.rnd(aggregate(col("ts"), lit(0.0),
+        (a, x) => a + x.getField("term")), 6).as("chi2"))
+    withTerm.crossJoin(broadcast(chi2))
+      .select(col("dig"), col("n"), Num.rnd(col("obs"), 6).as("obs_share"),
+        Num.rnd(col("exp"), 6).as("exp_share"), col("chi2"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches

@@ -19,6 +19,19 @@ class Round29Spec extends SparkSpec {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("interval-union islands coincide with native session_window sessions") {
+    // a 5-minute-interval union is exactly a 5-minute-gap session set
+    val islands = SparkEntry.queries("q353_interval_union")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sessions = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(islands == sessions)
+  }
+
   test("bisection quantile equals the sort-based discrete quantile") {
     import graft.operators.Selection
     import spark.implicits._
@@ -33,6 +46,33 @@ class Round29Spec extends SparkSpec {
     val sorted = cents.collect().map(_.getLong(0)).sorted
     val rank = math.ceil(0.5 * sorted.length).toInt
     assert(med == sorted(rank - 1))
+  }
+
+  test("streaming Benford equals the batch q330 report") {
+    val stream = SparkEntry.queries("q355_stream_benford")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q330_benford")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("hopping distinct users: every user counted in two windows per event") {
+    val rows = SparkEntry.queries("q356_hopping_distinct_users")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // reach per window never exceeds the total population
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.forall(_.getAs[Long]("n_users") <= users))
+  }
+
+  test("cosine histogram covers exactly the in-bucket pair count") {
+    val rows = SparkEntry.queries("q357_cosine_histogram")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val sizes = Tables.embeddings(spark, sf)
+      .groupBy(pmod(col("vec_id"), lit(16))).count()
+      .collect().map(_.getLong(1))
+    val expected = sizes.map(n => n * (n - 1) / 2).sum
+    assert(total == expected)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 31))
   }
 
   test("interval union replays driver-side and bounds hold") {
