@@ -52,6 +52,20 @@ class Round30Spec extends SparkSpec {
     assert(recovered.toDouble / rows.length >= 0.9)
   }
 
+  test("parquet codecs round-trip identically") {
+    val rows = SparkEntry.queries("q363_parquet_codecs")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("snappy", "zstd", "gzip"))
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    assert(rows.map(_.getDouble(2)).distinct.length == 1)
+  }
+
+  test("multiline CSV round-trip pins every selected document") {
+    val n = SparkEntry.queries("q364_csv_multiline")(spark, sf).count()
+    val expect = Tables.documents(spark, sf)
+      .filter(expr("doc_id % 97 = 0")).count()
+    assert(n == expect && n > 0)
+  }
+
   test("schema-merge read covers all rows with nulls for the missing column") {
     val r = SparkEntry.queries("q362_parquet_schema_merge")(spark, sf).collect()(0)
     val o = Tables.orders(spark, sf)

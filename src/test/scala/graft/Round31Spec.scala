@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-40 wave: item-item CF, Markov accuracy, churn features. */
+class Round31Spec extends SparkSpec {
+
+  test("item-item CF: ≤5 neighbors per item, sim in (0,1], symmetric base") {
+    val rows = SparkEntry.queries("q365_item_item_cf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("sim")))
+    assert(rows.nonEmpty)
+    val perItem = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perItem.values.forall(_ <= 5))
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 1.0))
+    assert(rows.forall(r => r._1 != r._2))
+  }
+
+  test("Markov accuracy beats the per-source majority-class floor by construction") {
+    val rows = SparkEntry.queries("q366_markov_accuracy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc > 0 && acc <= 1)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n"))
+      // argmax predictor's accuracy = share of the modal destination,
+      // which is ≥ 1/(number of event types)
+      assert(acc >= 1.0 / 5 - 1e-9)
+    }
+  }
+
+  test("churn features are leakage-safe and label-consistent") {
+    val rows = SparkEntry.queries("q367_churn_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = ev.map(_._2).max - 7L * 86400000000L
+    val recentUsers = ev.filter(_._2 > cut).map(_._1).toSet
+    for (r <- rows.take(100)) {
+      val u = r.getLong(0)
+      assert((r.getAs[Long]("churned") == 1L) == !recentUsers.contains(u))
+      assert(r.getAs[Long]("days_since_last") >= 0)
+      assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_events"))
+    }
+    // only users with pre-cut activity appear (features cannot be empty)
+    val preUsers = ev.filter(_._2 <= cut).map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == preUsers)
+  }
+}
