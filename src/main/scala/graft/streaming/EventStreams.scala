@@ -829,6 +829,28 @@ object EventStreams {
         Num.rnd(col("exp"), 6).as("exp_share"), col("chi2"))
   }
 
+  /** STREAMING approximate DAU: one KMV sketch per day (state =
+    * day-grid × 64 hashes — bounded windowed distinct-count
+    * profiling; the q343 sketch-as-state pattern keyed by time
+    * bucket).
+    */
+  def dauKmvStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{KmvAgg, Num}
+    val hashed = readEventStream(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12)
+          .as("h"))
+    val agg = hashed.groupBy("day")
+      .agg(KmvAgg.kmv(col("h"), 64).as("raw"))
+    val name = "graft_stream_dau"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("day"), Num.rnd(col("raw"), 3).as("dau_est"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * `gapMinutes` of user inactivity. Windowed lag over (user, ts) —
     * one hash shuffle on user_id; integer-µs math so the oracle matches

@@ -28,6 +28,30 @@ class Round31Spec extends SparkSpec {
     }
   }
 
+  test("streaming per-day DAU sketch tracks the exact DAU") {
+    val est = SparkEntry.queries("q368_stream_dau_kmv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((day, e) <- est) {
+      val x = exact(day).toDouble
+      // below the sketch fill (64) the estimate is exact; above, ~1/√63
+      if (x <= 64) assert(e == x, s"day $day")
+      else assert(math.abs(e - x) / x < 0.5, s"day $day")
+    }
+  }
+
+  test("Jaccard histogram bins cover exactly the verified q55 pairs") {
+    val hist = SparkEntry.queries("q369_jaccard_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = SparkEntry.queries("q55_minhash_lsh")(spark, sf).count()
+    assert(hist.values.sum == pairs)
+    assert(hist.keySet.forall(b => b >= 5 && b <= 9))
+  }
+
   test("churn features are leakage-safe and label-consistent") {
     val rows = SparkEntry.queries("q367_churn_features")(spark, sf).collect()
     assert(rows.nonEmpty)
