@@ -52,6 +52,13 @@ class Round31Spec extends SparkSpec {
     assert(hist.keySet.forall(b => b >= 5 && b <= 9))
   }
 
+  test("cross-source dup matrix mass equals the verified pair count") {
+    val m = SparkEntry.queries("q370_cross_source_dups")(spark, sf).collect()
+    val total = m.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == SparkEntry.queries("q55_minhash_lsh")(spark, sf).count())
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+  }
+
   test("churn features are leakage-safe and label-consistent") {
     val rows = SparkEntry.queries("q367_churn_features")(spark, sf).collect()
     assert(rows.nonEmpty)
