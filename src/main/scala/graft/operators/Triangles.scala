@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** @param und undirected edge set with long columns (a, b), a < b,
-    *            deduplicated; persisted by this call (reused 4x).
+  /** @param und0 undirected edge set with long columns (a, b), a < b,
+    *             deduplicated; persisted by this call (reused 4x).
+    * @param broadcastLimit edge count below which the closure join
+    *             broadcasts (≈160MB at the 10M default); above it the
+    *             wedge stream shuffles into a hash join.  Exposed for
+    *             the spec's branch-differential test.
     * @return single-row DataFrame (n_nodes, n_edges, n_tri)
     */
-  def count(und0: DataFrame): DataFrame = {
+  def count(und0: DataFrame, broadcastLimit: Long = 10000000L): DataFrame = {
     val und = und0.persist()
     val nEdges = und.count()
     val deg = und.select(col("a").as("v"))
@@ -46,10 +50,7 @@ object Triangles {
     val wedges = dirE.as("p").join(dirE.as("q"),
         col("p.u") === col("q.u") && col("p.w") < col("q.w"))
       .select(col("p.w").as("v1"), col("q.w").as("v2"))
-    // 10M edges ≈ 160MB broadcast — the practical executor-memory
-    // ceiling; beyond it the wedge stream shuffles into a hash join
-    // whose per-partition build side stays bounded.
-    val closer = if (nEdges < 10000000L) broadcast(und)
+    val closer = if (nEdges < broadcastLimit) broadcast(und)
                  else und.hint("shuffle_hash")
     val tri = wedges.join(closer,
         wedges("v1") === closer("a") && wedges("v2") === closer("b"))

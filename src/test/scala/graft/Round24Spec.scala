@@ -30,6 +30,15 @@ class Round24Spec extends SparkSpec {
     assert(star.getLong(2) == 0)
   }
 
+  test("triangle count: broadcast and shuffle-hash closure branches agree") {
+    import graft.operators.Triangles
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val bc = Triangles.count(e).collect()(0)                      // broadcast path
+    val sh = Triangles.count(e, broadcastLimit = 0L).collect()(0) // shuffle-hash path
+    assert(bc.toSeq == sh.toSeq)
+  }
+
   test("triangle count is partition-invariant") {
     import graft.operators.Triangles
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (1L, 5L), (4L, 5L))
