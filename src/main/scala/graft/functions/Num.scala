@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * digits and large (money-sum) magnitudes to 2.
   */
 object Num {
+  /** SIGNED ZERO: Spark's `round` goes through BigDecimal, which has no
+    * `-0.0`, so `rnd` always yields `+0.0` for a negative-tiny input —
+    * while DuckDB's `std::round` preserves the sign (`-0.0`), and the
+    * driver's hash compares BYTES. Oracles whose rounded output can be
+    * negative-tiny (cov/corr/skew/slope/log-ratio families) must append
+    * `+ 0` after the final `/ 1eN` (IEEE `-0.0 + 0 = +0.0`) so both
+    * engines emit `+0.0`. Bit us at q344 (one `-0.0` cell in 2080).
+    */
   def rnd(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     round(c * lit(p)) / lit(p)

@@ -27,8 +27,8 @@ object Round19Queries {
               CAST(sum(tm * tm) AS DOUBLE) AS stt
             FROM e GROUP BY 1)
           SELECT event_type,
-            round((n * stv - st * sv) / (n * stt - st * st) * 1e12) / 1e12 AS slope,
-            round((sv - (n * stv - st * sv) / (n * stt - st * st) * st) / n * 1e6) / 1e6 AS intercept
+            round((n * stv - st * sv) / (n * stt - st * st) * 1e12) / 1e12 + 0 AS slope,
+            round((sv - (n * stv - st * sv) / (n * stt - st * st) * st) / n * 1e6) / 1e6 + 0 AS intercept
           FROM m"""
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -70,7 +70,7 @@ object Round22Queries {
             FROM j)
           SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE) /
             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-               * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6) / 1e6 AS spearman
+               * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6) / 1e6 + 0 AS spearman
           FROM m""")),
 
     // Lag-1 autocorrelation of the hourly mean-value series: bucketed
@@ -114,7 +114,7 @@ object Round22Queries {
             FROM p)
           SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE) /
             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-               * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6) / 1e6 AS autocorr
+               * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6) / 1e6 + 0 AS autocorr
           FROM mo""")),
 
     // Cross-source vocabulary overlap matrix: distinct (source, word)

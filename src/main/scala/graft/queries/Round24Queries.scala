@@ -130,7 +130,7 @@ object Round24Queries {
             round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
                 + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
               / ((s2 / n - (s1 / n) * (s1 / n))
-                 * sqrt(s2 / n - (s1 / n) * (s1 / n))) * 1e6) / 1e6 AS skewness
+                 * sqrt(s2 / n - (s1 / n) * (s1 / n))) * 1e6) / 1e6 + 0 AS skewness
           FROM m"""))
   )
 }

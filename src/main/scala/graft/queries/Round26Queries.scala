@@ -100,7 +100,7 @@ object Round26Queries {
                 - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
               / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
                 * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END * 1e6) / 1e6 AS z
+                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END * 1e6) / 1e6 + 0 AS z
           FROM a, b""")),
 
     // Kaplan-Meier survival of time-to-convert (weekly granularity,

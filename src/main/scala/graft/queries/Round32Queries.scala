@@ -70,7 +70,7 @@ object Round32Queries {
               CAST(sum(a.xr * b.xr) AS DOUBLE) AS sxy
             FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
             GROUP BY 1, 2)
-          SELECT i, j, round((sxy - sx * sy / n) / n * 1e6) / 1e6 AS cov
+          SELECT i, j, round((sxy - sx * sy / n) / n * 1e6) / 1e6 + 0 AS cov
           FROM p""")),
 
     // Mutual information between source and lang (categorical
@@ -116,7 +116,7 @@ object Round32Queries {
           l AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
               list(term ORDER BY source, lang) AS ts FROM t)
           SELECT n_cells,
-            round(list_reduce(ts, (a, b) -> a + b) * 1e6) / 1e6 AS mi
+            round(list_reduce(ts, (a, b) -> a + b) * 1e6) / 1e6 + 0 AS mi
           FROM l""")),
 
     // Label-centroid cosine similarity matrix: per-label centroids
@@ -150,7 +150,7 @@ object Round32Queries {
             FROM ex GROUP BY 1, 2),
           cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY 1)
           SELECT a.label AS l1, b.label AS l2,
-            round(${SimilarityQueries.sqlCos("a.cv", "b.cv")} * 1e6) / 1e6 AS cos
+            round(${SimilarityQueries.sqlCos("a.cv", "b.cv")} * 1e6) / 1e6 + 0 AS cos
           FROM cent a JOIN cent b ON a.label < b.label"""))
   )
 }

@@ -50,7 +50,7 @@ object Round34Queries {
               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
             FROM embeddings),
           sc AS (SELECT ev.vec_id, ev.label,
-              round(${SimilarityQueries.sqlCos("ev.cv", "cent.cent")} * 1e6) / 1e6
+              round(${SimilarityQueries.sqlCos("ev.cv", "cent.cent")} * 1e6) / 1e6 + 0
                 AS cos
             FROM ev JOIN cent ON ev.label = cent.label)
           SELECT vec_id, label, cos FROM sc WHERE cos < 0.1

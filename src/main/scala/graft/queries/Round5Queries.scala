@@ -406,10 +406,10 @@ object Round5Queries {
                           CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS syy
                FROM lineitem GROUP BY 1)
              SELECT l_returnflag, n,
-               round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 4) AS cov_samp,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 4) + 0 AS cov_samp,
                round(CAST(n * sxy - sx * sy AS DOUBLE) /
                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 AS pearson
              FROM m""")),
 
     // pandas sample(n=) with a fixed seed: EXACTLY n rows, drawn by

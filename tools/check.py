@@ -7,6 +7,7 @@ Usage: tools/check.py [sfDir] [outDir]
 """
 import json
 import math
+import struct
 import sys
 import glob
 import os
@@ -28,6 +29,8 @@ def norm(df):
 
 
 def values_equal(a, b):
+    """Byte-strict, like the driver's hash: -0.0 != 0.0, and no float
+    tolerance.  NaN == NaN (both engines canonicalize the NaN payload)."""
     if a is b:
         return True
     if (a is None) != (b is None):
@@ -37,6 +40,14 @@ def values_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # struct.pack distinguishes -0.0 from 0.0 and any last-ulp drift
+        return struct.pack("<d", a) == struct.pack("<d", b)
+    return a == b
+
+
+def values_near(a, b):
+    """The old lenient comparison, kept only for diagnostics."""
+    if isinstance(a, float) and isinstance(b, float):
         return a == b or abs(a - b) < 1e-9
     return a == b
 
@@ -88,14 +99,17 @@ def main():
                     bad = (c, i, x, y)
                     break
                 if not values_equal(x, y):
-                    bad = (c, i, x, y)
+                    near = " (NEAR — would have passed the old 1e-9 gate)" \
+                        if values_near(x, y) else ""
+                    bad = (c, i, x, y, near)
                     break
                 if x != y:
                     exact = False
             if bad:
                 break
         if bad:
-            results[name] = f"VALUE: col={bad[0]} row={bad[1]} got={bad[2]!r} want={bad[3]!r}"
+            results[name] = (f"VALUE: col={bad[0]} row={bad[1]} "
+                             f"got={bad[2]!r} want={bad[3]!r}{bad[4]}")
         else:
             # dtype comparison for hash-risk awareness
             dg = [str(t) for t in g.dtypes]
