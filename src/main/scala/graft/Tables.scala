@@ -60,4 +60,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Committed unsigned-int fixture (tools/make_uint_fixture.py): native
+    * parquet UINT_8/16/32/64 annotations. Spark's scan widens them exactly
+    * along the Types lattice (verified: uint8→short, uint16→int,
+    * uint32→long, uint64→decimal(20,0)), so this is the data-path gate for
+    * SURVEY §1.3's unsigned mapping (reference
+    * `legate/pandas/common/types.py:72-104`).
+    */
+  val uintFixturePath = "/root/repo/fixtures/uint.parquet"
+  def uintFixture(s: SparkSession): DataFrame = s.read.parquet(uintFixturePath)
 }

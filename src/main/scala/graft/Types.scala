@@ -51,6 +51,49 @@ object Types {
     case (x, _) => x
   }
 
+  /** numpy `find_common_type` over NAMED pandas dtypes, including the
+    * unsigned family the Spark-type lattice can't distinguish (reference
+    * `types.py:370-383` delegates to numpy; rules below are numpy's
+    * documented promotion):
+    *  - same kind → wider size;
+    *  - signed vs unsigned → smallest signed that holds BOTH ranges
+    *    (uint8+int8→int16, uint32+int32→int64); none exists for uint64 →
+    *    float64;
+    *  - int vs float32: int8/16/uint8/16 fit → float32; wider ints →
+    *    float64; anything vs float64 → float64;
+    *  - bool promotes to the other operand.
+    */
+  def promoteNamed(a: String, b: String): String = {
+    def kindSize(n: String): (Char, Int) = n match {
+      case "bool" => ('b', 1)
+      case s if s.startsWith("uint") => ('u', s.stripPrefix("uint").toInt / 8)
+      case s if s.startsWith("int") => ('i', s.stripPrefix("int").toInt / 8)
+      case s if s.startsWith("float") => ('f', s.stripPrefix("float").toInt / 8)
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }
+    val ((ka, sa), (kb, sb)) = (kindSize(a), kindSize(b))
+    def name(k: Char, s: Int): String = k match {
+      case 'b' => "bool"
+      case 'u' => s"uint${s * 8}"
+      case 'i' => s"int${s * 8}"
+      case 'f' => s"float${s * 8}"
+    }
+    if (a == b) a
+    else if (ka == 'b') b
+    else if (kb == 'b') a
+    else if (ka == kb) name(ka, math.max(sa, sb))
+    else if (ka == 'f' || kb == 'f') {
+      val (fs, is) = if (ka == 'f') (sa, sb) else (sb, sa)
+      if (fs == 8 || is >= 4) "float64" else s"float${fs * 8}"
+    } else {
+      // one signed, one unsigned
+      val (ss, us) = if (ka == 'i') (sa, sb) else (sb, sa)
+      if (ss > us) name('i', ss)
+      else if (us * 2 <= 8) name('i', us * 2)
+      else "float64" // uint64 vs any signed: no int128
+    }
+  }
+
   /** Reduction result dtypes (`types.py:445-466`): count/size → int,
     * mean/var/std → double, any/all → bool, else input dtype.
     */

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.UnsignedOps
+
+/** Round-43 additions: the unsigned-int data-path gates (SURVEY §1.3;
+  * reference `legate/pandas/common/types.py:72-104` keeps uint8..uint64 as
+  * native dtypes and numpy promotion decides binary-op results).
+  *
+  * The fixture `fixtures/uint.parquet` (tools/make_uint_fixture.py) carries
+  * native parquet UINT_8/16/32/64 annotations; Spark's scan widens them
+  * along the Types lattice (uint8→short, uint16→int, uint32→long,
+  * uint64→decimal(20,0)), and DuckDB reads the SAME file with native
+  * unsigned types — a perfect oracle for both the widening and the
+  * wraparound semantics.
+  */
+object Round43Queries {
+
+  private val fx = s"read_parquet('${Tables.uintFixturePath}')"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Same-dtype binary ops wrap modulo 2^N (numpy uintN ⊕ uintN → uintN)
+    // and cross-dtype ops promote (uint16+int16 → int32,
+    // uint64+int64 → float64 — no int128).  Second operands are derived
+    // in-row by a fixed LCG so sub/mul genuinely wrap.  uint64 results
+    // leave as strings: exact at full 2^64 range, no decimal plumbing in
+    // the compare.  Scale shape: pure scan-stage expressions, zero
+    // exchanges — identical at any corpus size.
+    "q371_uint_promotion" -> QueryDef(
+      (s, d) => {
+        val f = Tables.uintFixture(s)
+        val b8 = UnsignedOps.uadd(
+          UnsignedOps.umul(col("u8"), lit(3), 8), lit(7), 8)
+        val b16 = UnsignedOps.uadd(
+          UnsignedOps.umul(col("u16"), lit(5), 16), lit(11), 16)
+        val b32 = UnsignedOps.uadd(
+          UnsignedOps.umul(col("u32"), lit(2654435761L), 32), lit(101), 32)
+        val b64 = UnsignedOps.umul(col("u64"), col("u64"), 64)
+        f.select(col("id"),
+          UnsignedOps.uadd(col("u8"), b8, 8).as("add8"),
+          UnsignedOps.usub(col("u8"), b8, 8).as("sub8"),
+          UnsignedOps.umul(col("u16"), b16, 16).as("mul16"),
+          UnsignedOps.usub(col("u32"), b32, 32).as("sub32"),
+          UnsignedOps.umul(col("u32"), b32, 32).as("mul32"),
+          UnsignedOps.uadd(col("u64"), b64, 64).cast("string").as("add64"),
+          UnsignedOps.umul(col("u64"), b64, 64).cast("string").as("mul64"),
+          (col("u16").cast("int") + col("i16").cast("int")).as("p32"),
+          (col("u64").cast("double") + col("i64").cast("double")).as("pf"))
+      },
+      Some(s"""WITH f AS (SELECT * FROM $fx),
+          d AS (SELECT id,
+              CAST(u8 AS INT) AS a8,
+              (CAST(u8 AS INT) * 3 + 7) % 256 AS b8,
+              CAST(u16 AS BIGINT) AS a16,
+              (CAST(u16 AS BIGINT) * 5 + 11) % 65536 AS b16,
+              CAST(u32 AS BIGINT) AS a32,
+              (CAST(u32 AS HUGEINT) * 2654435761 + 101) % 4294967296 AS b32,
+              CAST(u64 AS HUGEINT) AS a64, i16, i64, u64
+            FROM f),
+          m AS (SELECT id, a64 // 4294967296 AS h, a64 % 4294967296 AS l
+            FROM d),
+          sq AS (SELECT d.id, a64,
+              (m.l * m.l + ((2 * m.h * m.l) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS b64
+            FROM d JOIN m ON d.id = m.id),
+          mm AS (SELECT id, b64, b64 // 4294967296 AS bh,
+              b64 % 4294967296 AS bl FROM sq),
+          full64 AS (SELECT d.id,
+              (d.a64 + mm.b64) % 18446744073709551616 AS add64,
+              ((d.a64 % 4294967296) * mm.bl
+               + (((d.a64 // 4294967296) * mm.bl
+                   + (d.a64 % 4294967296) * mm.bh) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS mul64
+            FROM d JOIN mm ON d.id = mm.id)
+          SELECT d.id,
+            CAST((d.a8 + d.b8) % 256 AS SMALLINT) AS add8,
+            CAST(((d.a8 - d.b8) % 256 + 256) % 256 AS SMALLINT) AS sub8,
+            CAST((d.a16 * d.b16) % 65536 AS INT) AS mul16,
+            CAST(((d.a32 - d.b32) % 4294967296 + 4294967296) % 4294967296
+              AS BIGINT) AS sub32,
+            CAST((CAST(d.a32 AS HUGEINT) * d.b32) % 4294967296 AS BIGINT)
+              AS mul32,
+            CAST(full64.add64 AS VARCHAR) AS add64,
+            CAST(full64.mul64 AS VARCHAR) AS mul64,
+            CAST(CAST(d.a16 AS INT) + CAST(d.i16 AS INT) AS INT) AS p32,
+            CAST(d.u64 AS DOUBLE) + CAST(d.i64 AS DOUBLE) AS pf
+          FROM d JOIN full64 ON d.id = full64.id""")),
+
+    // Round-trip: scan the unsigned fixture, write it back through
+    // Spark's parquet sink (widened storage types), re-read, and fold to
+    // range-sensitive aggregates — uint64 sums/extremes leave as exact
+    // strings so the full 2^64 range is pinned, not a double
+    // approximation.  The oracle folds the ORIGINAL fixture with native
+    // unsigned arithmetic, so the widened round-trip itself is under
+    // test.
+    "q372_uint_roundtrip" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/uint_rt_$safe"
+        Tables.uintFixture(s).write.mode("overwrite").parquet(path)
+        s.read.parquet(path).agg(
+          count(lit(1)).as("n"),
+          sum(col("u8").cast("long")).as("s8"),
+          sum(col("u16").cast("long")).as("s16"),
+          sum(col("u32")).as("s32"),
+          sum(col("u64")).cast("decimal(38,0)").cast("string").as("s64"),
+          min(col("u64")).cast("string").as("min64"),
+          max(col("u64")).cast("string").as("max64"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(u8 AS BIGINT)) AS BIGINT) AS s8,
+            CAST(sum(CAST(u16 AS BIGINT)) AS BIGINT) AS s16,
+            CAST(sum(CAST(u32 AS BIGINT)) AS BIGINT) AS s32,
+            CAST(sum(CAST(u64 AS HUGEINT)) AS VARCHAR) AS s64,
+            CAST(min(u64) AS VARCHAR) AS min64,
+            CAST(max(u64) AS VARCHAR) AS max64
+          FROM $fx"""))
+  )
+}
