@@ -725,6 +725,18 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
   }
 
+  /** Scale-safe SemDeDup: cell count derives from the corpus count
+    * (expected cell size `targetCell` at any scale), no model to fit —
+    * see Similarity.semDedupScaled. Gated by q373.
+    */
+  def semDedupScaled(threshold: Double, targetCell: Int = 256,
+                     maxCell: Int = 1000): GFrame = {
+    val kept = graft.similarity.Similarity
+      .semDedupScaled(df, threshold, targetCell, maxCell)
+      .filter(col("kept")).select("vec_id")
+    GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
+  }
+
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))
@@ -781,15 +793,18 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
 
   /** BM25 keyword top-k over a text column (see text/Bm25).
     *
-    * EAGER: executes the corpus passes at call time (Bm25.topK caches
-    * the counts projection, collects the bounded ≤k result, and
-    * unpersists before returning). The returned GFrame wraps a small
-    * local result, not a lazy plan — callers composing a larger lazy
-    * pipeline should use Bm25.countsTable + Bm25.topKFromCounts
-    * directly (the steady-state path).
+    * LAZY (r10, VERDICT item 6): composes Bm25.countsTable →
+    * Bm25.topKFromCounts with NO cache and NO action, so construction
+    * runs zero jobs and the frame composes like any other lazy GFrame
+    * op. Tradeoff: the counts scan executes twice per action (stats
+    * pass + score pass) — callers running one-shot queries who prefer
+    * a single cached scan should use Bm25.topK (eager: caches,
+    * collects the bounded ≤k rows, unpersists before returning).
     */
-  def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): GFrame =
-    GFrame(graft.text.Bm25.topK(df, idCol, textCol, terms, k))
+  def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): GFrame = {
+    val tcTab = graft.text.Bm25.countsTable(df, idCol, textCol, terms)
+    GFrame(graft.text.Bm25.topKFromCounts(tcTab, idCol, terms.size, k))
+  }
 
   // ---- IO (§2.1) ----
 

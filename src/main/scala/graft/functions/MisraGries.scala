@@ -100,13 +100,24 @@ object MisraGries {
     val topRows = candTop.collect() // ≤ k rows — the certification input
     val certified = topRows.length == k &&
       topRows.map(_.getLong(1)).min > threshold
-    if (certified)
+    if (certified) {
       // the certified answer is already on the driver (≤ k rows) —
       // return it as literals instead of re-executing the filtered
-      // aggregation when the caller runs the plan
+      // aggregation when the caller runs the plan. The literal frame
+      // no longer references the cache, so release it here.
+      items.unpersist(blocking = false)
       items.sparkSession.createDataFrame(
         java.util.Arrays.asList(topRows: _*), candTop.schema)
-    else graft.operators.Sorts.topK(exactAll(items),
-      Seq("cnt", itemCol), Seq(false, true), k)
+    } else {
+      // fallback plan still scans `items`: execute it now (≤ k rows),
+      // return literals, and release the cache — same ownership rule
+      // as the certified branch (nothing cached outlives the call).
+      val fullTop = graft.operators.Sorts.topK(exactAll(items),
+        Seq("cnt", itemCol), Seq(false, true), k)
+      val rows = fullTop.collect()
+      items.unpersist(blocking = false)
+      items.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fullTop.schema)
+    }
   }
 }

@@ -24,10 +24,16 @@ object Selection {
     * @return the exact discrete p-quantile of `values` in `df`
     */
   def quantileDisc(df: DataFrame, values: Column, p: Double): Long = {
-    val cached = df.select(values.cast("long").as("v")).cache()
+    // nulls must not inflate n: count() over the projection counts rows
+    // (nulls included) while every bisection probe and min/max exclude
+    // them, which could make `rank` unreachable and silently return the
+    // max. Filter first so n is the non-null count (DuckDB's
+    // quantile_disc likewise ignores NULLs).
+    val cached = df.select(values.cast("long").as("v"))
+      .filter(col("v").isNotNull).cache()
     try {
       val n = cached.count()
-      require(n > 0, "quantileDisc over an empty frame")
+      require(n > 0, "quantileDisc over an empty (or all-null) frame")
       val rank = math.max(1L, math.ceil(p * n).toLong)
       val bounds = cached.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
         .collect()(0)

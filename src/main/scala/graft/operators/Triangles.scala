@@ -33,6 +33,16 @@ object Triangles {
     */
   def count(und0: DataFrame, broadcastLimit: Long = 10000000L): DataFrame = {
     val und = und0.persist()
+    try countImpl(und, broadcastLimit)
+    finally und.unpersist(blocking = false)
+  }
+
+  /** Runs the triangle plan to completion (the result is one row — the
+    * final agg is collected and returned as literals so the two caches
+    * can be released before returning; repeated calls no longer
+    * accumulate cached storage).
+    */
+  private def countImpl(und: DataFrame, broadcastLimit: Long): DataFrame = {
     val nEdges = und.count()
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
@@ -56,7 +66,11 @@ object Triangles {
         wedges("v1") === closer("a") && wedges("v2") === closer("b"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
     val nn = deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
-    nn.crossJoin(tri)
+    val plan = nn.crossJoin(tri)
       .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_tri"))
+    val row = plan.collect() // exactly 1 row
+    try plan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), plan.schema)
+    finally dirE.unpersist(blocking = false)
   }
 }

@@ -33,6 +33,20 @@ object SimilarityQueries {
       s"(CASE WHEN ${sqlDot(vec, planeSql(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** `sqlCos` for sibling query files (q373's scaled-SemDeDup oracle). */
+  private[queries] def sqlCosPub(a: String, b: String): String = sqlCos(a, b)
+
+  /** 32-bit sign signature with `Similarity.semDedupScaled`'s plane set
+    * (seed 7) — the oracle-side twin of `signBits(vec, planeLiterals(32,
+    * 64, 7))`.
+    */
+  private[queries] def sigSql32(vec: String): String = {
+    val p32 = Similarity.planeLiterals(32, 64, seed = 7L)
+    p32.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${sqlDot(vec, planeSql(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Oracle for q91: recompute the pretrained-centroid cell assignment,
     * probe list, and bucketed top-k with the same literals and the same
     * expression shapes as IVF.Model (dist2 = v·v − 2·v·c + |c|², argmin

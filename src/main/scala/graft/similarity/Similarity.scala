@@ -302,6 +302,54 @@ object Similarity {
     *
     * Returns (vec_id, cell, kept).
     */
+  /** Scale-safe SemDeDup variant: cells from an LSH sign-signature
+    * folded to C = ⌈n / targetCell⌉ buckets, so expected cell size stays
+    * `targetCell` at ANY corpus size — unlike [[semDedup]] with a frozen
+    * centroid model, where cell population grows linearly with the
+    * corpus and per-cell pair work is quadratic by construction.
+    *
+    * Shape: one `count()` (the only driver action), then cell =
+    * (32-bit Rademacher signature) mod C — a per-row scan-stage hash,
+    * NO assignment join (nearest-of-k-centroids with k ∝ n would cost
+    * n·k = n²/targetCell; this costs n) — then the same min-id dominance
+    * election as [[semDedup]] confined to a cell. Total candidate-pair
+    * work ≈ n · targetCell (linear). A per-cell candidate cap
+    * (`maxCell`, rank by vec_id) bounds the worst case under signature
+    * skew at O(maxCell²) per cell — rows past the cap stay un-deduped
+    * (kept), the same conservative guard as MinHash's maxBucket.
+    *
+    * The mod-C fold trades recall for boundedness the standard LSH way
+    * (more effective bits per bucket → lower per-pair recall at a fixed
+    * threshold); production sweeps would run R independent tables like
+    * q55's MinHash bands. The 32-bit signature supports ~2^32·targetCell
+    * ≈ 10^12 vectors before distinct signatures, not C, bound the cell
+    * count.
+    *
+    * Returns (vec_id, cell, kept) like [[semDedup]].
+    */
+  def semDedupScaled(corpus: DataFrame, threshold: Double,
+      targetCell: Int = 256, maxCell: Int = 1000): DataFrame = {
+    val planes = planeLiterals(32, 64, seed = 7L)
+    val n = corpus.count()
+    val c = math.max(1L, (n + targetCell - 1) / targetCell)
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", pmod(signBits(col("embedding"), planes), lit(c)))
+      .cache()
+    val ranked = assigned.withColumn("rk",
+      row_number().over(Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+    val cand = ranked.filter(col("rk") <= maxCell).drop("rk")
+    val dominated = cand.as("x").join(cand.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+          graft.functions.Num.rnd(
+            cosine(col("x.embedding"), col("y.embedding")), 6) >= lit(threshold),
+        "left_semi")
+      .select(col("vec_id"))
+    assigned
+      .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
+  }
+
   def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
     // `assigned` feeds three consumers (both pair-join sides + the kept
     // join); cached so the corpus is scanned and cell-assigned once —

@@ -112,6 +112,13 @@ object ScaleSmoke {
         val model = graft.similarity.IVF.fit(e10, 8 * mult, seed = 42L)
         graft.similarity.Similarity.semDedup(e10, model, 0.4).count()
       }),
+      // The GATED scale-safe path (q373): cell count auto-derives from
+      // the corpus count, so this times exactly the code the oracle
+      // checks — no refit, one count + scan-stage cell hash + in-cell
+      // pairs.
+      "op_semdedup_gated" -> (() =>
+        graft.similarity.Similarity
+          .semDedupScaled(Tables.embeddings(spark, out), 0.4).count()),
       // graph ops at 10× EDGES: disjoint prefixed copies of the trade
       // graph (vertex AND edge count scale together; per-iteration cost
       // is one join + one partial-agg groupBy over the edge list)
@@ -374,6 +381,21 @@ object ScaleSmoke {
       println(f"op_semdedup_rotated@${m}x: $dt%.2fs rows=$rows")
       m -> dt
     }.toMap
+    // GATED scale-safe path (q373): cells auto-derive from count — the
+    // exact code the oracle checks, timed at 10×/100×.
+    val semGatedTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stageEmb(m)
+      val f = () => graft.similarity.Similarity
+        .semDedupScaled(Tables.embeddings(spark, dir), 0.4).count()
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_semdedup_gated@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_semdedup_gated@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
 
     // IVFPQ bounded tier (round 12): encode is volume-linear (scan
     // stage); search candidates grow linearly with the corpus at a
@@ -431,6 +453,7 @@ object ScaleSmoke {
       println(f"$n: ${b / a}%.1fx")
     }
     println(f"op_semdedup_rotated: ${semTimes(100) / semTimes(10)}%.1fx")
+    println(f"op_semdedup_gated: ${semGatedTimes(100) / semGatedTimes(10)}%.1fx")
     println(f"op_ivfpq: ${pqTimes(100) / pqTimes(10)}%.1fx")
     println(f"op_bm25: ${bmTimes(100) / bmTimes(10)}%.1fx")
   }

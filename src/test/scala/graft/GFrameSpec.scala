@@ -248,4 +248,20 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(2, "o_custkey") == Some(want))
     assert(g.iat(2000000, "o_custkey").isEmpty)
   }
+
+  test("bm25TopK is lazy: construction runs zero Spark jobs") {
+    val docs = Tables.documents(spark, sf)
+    docs.count() // settle any scan-side listing jobs first
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val g = GFrame(docs).bm25TopK("doc_id", "text", Seq("spark", "data"), 5)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"bm25TopK construction ran ${after - before} job(s); must be lazy")
+    // and the lazy plan still computes the eager path's result
+    val lazyRes = g.df.collect().map(_.toSeq).toSet
+    val eager = graft.text.Bm25
+      .topK(docs, "doc_id", "text", Seq("spark", "data"), 5)
+      .collect().map(_.toSeq).toSet
+    assert(lazyRes == eager)
+  }
 }

@@ -96,4 +96,43 @@ class JaroWinklerPropSpec extends SparkSpec {
       assert(got == sorted(rank - 1), s"seed $seed")
     }
   }
+
+  test("bisection quantile ignores nulls (ADVICE r9: rank must stay reachable)") {
+    import graft.operators.Selection
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(null),
+        org.apache.spark.sql.Row(2L), org.apache.spark.sql.Row(null),
+        org.apache.spark.sql.Row(3L), org.apache.spark.sql.Row(4L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    // non-null domain {1,2,3,4}: p=0.5 → rank 2 → value 2. With nulls
+    // inflating n (old bug) rank would be 3 → value 3.
+    assert(Selection.quantileDisc(df, col("v"), 0.5) == 2L)
+    assert(Selection.quantileDisc(df, col("v"), 1.0) == 4L)
+  }
+
+  test("odd transposition counts pin to DuckDB jaro_winkler_similarity") {
+    import graft.functions.JaroWinklerSim
+    // constants from DuckDB v1.x jaro_winkler_similarity — a 3-cycle
+    // inside the match window yields an ODD raw transposition count,
+    // where engines diverge between floor(t/2) (strcmp95, DuckDB, us)
+    // and exact t/2. "abcdef"/"bcadef": t=3 → floor → 0.9444…, exact
+    // half would give 0.9166…. Lengths/positions are UTF-16 code units
+    // (= code points for these BMP-only cases).
+    val cases = Seq(
+      ("abc", "bca", 0.0),                   // window 0: no matches
+      ("abcdef", "bcadef", 0.9444444444444445), // 3-cycle, t odd
+      ("abcde", "cabde", 0.8666666666666667),   // 3-cycle, window 1
+      ("aXbYc", "bXcYa", 0.6),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332))
+    import spark.implicits._
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(JaroWinklerSim(col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    for (((a, b, want), g) <- cases.zip(got))
+      assert(g == want, s"jw($a, $b): got $g want $want")
+  }
 }
