@@ -110,10 +110,56 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.filter(!col(index.head).isin(labels: _*)), index)
   }
 
-  /** loc scalar lookup on the index. */
+  /** Equality predicate for a (possibly partial) MultiIndex tuple key:
+    * `(k1, k2)` matches levels 0..1, a scalar matches level 0 only —
+    * pandas' partial-tuple prefix semantics (reference
+    * `tests/pandas/df_loc_multiindex.py:42-45`).
+    */
+  private def keyCond(key: Any): Column = key match {
+    case p: Product if p.productPrefix.startsWith("Tuple") =>
+      require(index.size >= p.productArity,
+        s"loc tuple key has ${p.productArity} levels; index has ${index.size}")
+      p.productIterator.zipWithIndex
+        .map { case (k, i) => col(index(i)) === lit(k) }
+        .reduce(_ && _)
+    case k =>
+      require(index.nonEmpty, "loc requires an index")
+      col(index.head) === lit(k)
+  }
+
+  /** loc lookup on the index: scalar key (first level) or tuple key
+    * ((k1, k2, …) — full or partial MultiIndex prefix). A missing key
+    * yields an empty frame, not pandas' KeyError — the frame is lazy,
+    * so existence isn't known at call time (documented divergence).
+    */
   def loc(key: Any): GFrame = {
     require(index.nonEmpty, "loc requires an index")
-    GFrame(df.filter(col(index.head) === lit(key)), index)
+    GFrame(df.filter(keyCond(key)), index)
+  }
+
+  /** loc scatter assignment by (possibly partial) tuple key —
+    * `ldf.loc[(2, 0), "a"] = 100` (reference
+    * `tests/pandas/df_loc_multiindex.py:47-52`).
+    */
+  def locSet(key: Any, colName: String, value: Any): GFrame = {
+    require(index.nonEmpty, "locSet requires an index")
+    GFrame(Projections.scatter(df, colName, keyCond(key), lit(value)), index)
+  }
+
+  /** locRange over a 2-level MultiIndex with lexicographic bounds:
+    * rows from tuple `lo` through tuple `hi` inclusive, level-0 ties
+    * broken by level-1 — the slice a SORTED MultiIndex serves in
+    * pandas. Both levels prune: the level-0 between reaches the scan
+    * as a pushed filter; the tie-break terms only run on the boundary
+    * groups.
+    */
+  def locRange2(lo: (Any, Any), hi: (Any, Any)): GFrame = {
+    require(index.size >= 2, "locRange2 requires a 2-level MultiIndex")
+    val (i0, i1) = (col(index(0)), col(index(1)))
+    val geLo = i0 > lit(lo._1) || (i0 === lit(lo._1) && i1 >= lit(lo._2))
+    val leHi = i0 < lit(hi._1) || (i0 === lit(hi._1) && i1 <= lit(hi._2))
+    GFrame(df.filter(
+      i0.between(lit(lo._1), lit(hi._1)) && geLo && leHi), index)
   }
 
   /** droplevel(level): remove one level of a MultiIndex (the column

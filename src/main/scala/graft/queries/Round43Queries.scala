@@ -145,6 +145,42 @@ object Round43Queries {
               AND round(${SimilarityQueries.sqlCosPub("x.embedding", "y.embedding")}
                 * 1e6) / 1e6 >= 0.4)
           SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
-          FROM a LEFT JOIN d ON a.vec_id = d.vec_id"""))
+          FROM a LEFT JOIN d ON a.vec_id = d.vec_id""")),
+
+    // §2.2 MultiIndex tuple-loc (reference
+    // tests/pandas/df_loc_multiindex.py): lineitem indexed by
+    // (l_orderkey, l_linenumber) — full-tuple scalar lookup, partial
+    // (level-0) prefix lookup, a lexicographic locRange2 slice with
+    // level-1 tie-break at both boundaries, and a partial-tuple scatter
+    // assignment, unioned with a branch tag. All four filters reach the
+    // scan (level-0 bounds pushed); scatter is a scan-stage when().
+    "q374_multiindex_loc" -> QueryDef(
+      (s, d) => {
+        val g = graft.api.GFrame(Tables.lineitem(s, d))
+          .setIndex("l_orderkey", "l_linenumber")
+        def proj(t: String, f: graft.api.GFrame) = f.df
+          .select(lit(t).as("branch"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+        proj("full", g.loc((100L, 2)))
+          .unionByName(proj("prefix", g.loc(103L)))
+          .unionByName(proj("range", g.locRange2((100L, 3), (103L, 2))))
+          .unionByName(proj("scatter",
+            g.locSet((103L, 1), "l_quantity", 99.0).loc(103L)))
+      },
+      Some("""SELECT 'full' AS branch, l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_orderkey = 100 AND l_linenumber = 2
+          UNION ALL
+          SELECT 'prefix', l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_orderkey = 103
+          UNION ALL
+          SELECT 'range', l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 100 AND 103
+              AND (l_orderkey > 100 OR l_linenumber >= 3)
+              AND (l_orderkey < 103 OR l_linenumber <= 2)
+          UNION ALL
+          SELECT 'scatter', l_orderkey, l_linenumber,
+              CASE WHEN l_linenumber = 1 THEN 99.0 ELSE l_quantity END
+            FROM lineitem WHERE l_orderkey = 103"""))
   )
 }

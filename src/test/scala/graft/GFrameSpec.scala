@@ -249,6 +249,39 @@ class GFrameSpec extends SparkSpec {
     assert(g.iat(2000000, "o_custkey").isEmpty)
   }
 
+  test("MultiIndex tuple-loc: full tuple, prefix, range tie-break, scatter") {
+    val li = Tables.lineitem(spark, sf)
+    val g = GFrame(li).setIndex("l_orderkey", "l_linenumber")
+    // full-tuple lookup = both levels pinned
+    val full = g.loc((3L, 2)).df.select("l_orderkey", "l_linenumber").collect()
+    assert(full.forall(r => r.getLong(0) == 3L && r.getInt(1) == 2))
+    val wantFull = li.filter(col("l_orderkey") === 3 && col("l_linenumber") === 2).count()
+    assert(full.length.toLong == wantFull)
+    // partial (prefix) lookup = level-0 only, all line numbers surface
+    val prefix = g.loc(3L).df.select("l_linenumber").collect().map(_.getInt(0)).sorted
+    val wantPrefix = li.filter(col("l_orderkey") === 3)
+      .select("l_linenumber").collect().map(_.getInt(0)).sorted
+    assert(prefix.toSeq == wantPrefix.toSeq && prefix.length >= 1)
+    // over-long tuple rejected
+    intercept[IllegalArgumentException] { g.loc((1L, 1, 1)) }
+    // lexicographic range: level-0 ties broken by level-1 at both ends
+    val r = g.locRange2((3L, 3), (7L, 1)).df
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    assert(r.forall { case (o, l) =>
+      (o > 3L || (o == 3L && l >= 3)) && (o < 7L || (o == 7L && l <= 1)) })
+    val wantR = li.filter(col("l_orderkey").between(3, 7)).collect().map(x =>
+        (x.getAs[Long]("l_orderkey"), x.getAs[Int]("l_linenumber")))
+      .count { case (o, l) =>
+        (o > 3L || l >= 3) && (o < 7L || l <= 1) }
+    assert(r.length == wantR)
+    // partial-tuple scatter: only (3, *) rows with linenumber 1 change
+    val sc = g.locSet((3L, 1), "l_quantity", -1.0).df
+      .filter(col("l_quantity") === -1.0)
+      .select("l_orderkey", "l_linenumber").collect()
+    assert(sc.forall(x => x.getLong(0) == 3L && x.getInt(1) == 1))
+  }
+
   test("bm25TopK is lazy: construction runs zero Spark jobs") {
     val docs = Tables.documents(spark, sf)
     docs.count() // settle any scan-side listing jobs first
