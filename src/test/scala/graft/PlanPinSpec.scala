@@ -1,0 +1,123 @@
+package graft
+
+/** Plan-regression pins for the Bench headline set (VERDICT r9 item 7):
+  * the PLANS.md claims, asserted. A change that adds an Exchange, drops
+  * a broadcast, or degrades a join to cartesian now fails CI instead of
+  * surfacing as a bench regression a round later.
+  *
+  * Counts are substring occurrences in the executed-plan string (same
+  * extraction as tools/PlanAudit); they were measured identical at
+  * sf0.001 and sf0.01, so the pins are SF-stable. Eager-construction
+  * queries (q232/q238/q249/q260/q261 — materialized literictals) and the
+  * iterative q263 are intentionally unpinned: their returned plan is a
+  * LocalTableScan / cached lineage, not the corpus plan.
+  */
+class PlanPinSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(plan: String, marker: String): Int =
+    plan.sliding(marker.length).count(_ == marker)
+
+  private case class Pin(name: String, exact: Map[String, Int] = Map(),
+                         atMost: Map[String, Int] = Map(),
+                         contains: Seq[String] = Seq())
+
+  private val HASH = "Exchange hashpartitioning"
+  private val RANGE = "Exchange rangepartitioning"
+  private val BHJ = "BroadcastHashJoin"
+  private val SMJ = "SortMergeJoin"
+  private val BNLJ = "BroadcastNestedLoopJoin"
+  private val CART = "CartesianProduct"
+  private val TOP = "TakeOrderedAndProject"
+
+  private val pins = Seq(
+    // one hash-agg exchange, no joins
+    Pin("q01_agg_sum", exact = Map(HASH -> 1, BHJ -> 0, SMJ -> 0, CART -> 0)),
+    // single broadcast join, never a shuffle join at gate SF
+    Pin("q06_join_inner", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0)),
+    Pin("q102_curation_pipeline", exact = Map(SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 2)),
+    // THE pin from the verdict: 3-dimension broadcast star — removing a
+    // broadcast() hint fails here
+    Pin("q12_star_broadcast",
+      exact = Map(BHJ -> 3, "BroadcastExchange" -> 3, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 1)),
+    // top-k is TakeOrderedAndProject with NO exchange and no global sort
+    Pin("q14_topk", exact = Map(TOP -> 1, HASH -> 0, RANGE -> 0)),
+    Pin("q166_minhash_dedup", exact = Map(CART -> 0),
+      atMost = Map(HASH -> 2, SMJ -> 1)),
+    // fact scanned once; 4 broadcast dims; one residual SMJ (orders)
+    Pin("q203_tpch_q9", exact = Map(BHJ -> 4, CART -> 0),
+      atMost = Map(HASH -> 3, SMJ -> 1)),
+    Pin("q213_chunk_dedup", exact = Map(BHJ -> 3, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 3)),
+    // cell-equi self-join broadcasts; zero shuffle exchanges
+    Pin("q216_semdedup", exact = Map(BHJ -> 2, HASH -> 0, SMJ -> 0, CART -> 0)),
+    Pin("q221_decontaminate", exact = Map(BHJ -> 2, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 3)),
+    Pin("q230_rank_methods", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 7, RANGE -> 6)),
+    Pin("q239_ann_ivfpq", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 1)),
+    // two-phase distributed scan: range exchanges bounded, no join
+    Pin("q46_cumsum_global", exact = Map(BHJ -> 0, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 1, RANGE -> 2)),
+    Pin("q54_ngram_jaccard", exact = Map(BHJ -> 2, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 2)),
+    Pin("q55_minhash_lsh", exact = Map(BHJ -> 2, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 2)),
+    // tiled kernel: NO pair join of any kind in the plan
+    Pin("q57_cosine_pairs",
+      exact = Map(HASH -> 1, BHJ -> 0, SMJ -> 0, BNLJ -> 0, CART -> 0)),
+    // brute-force ANN broadcasts the bounded query side — never cartesian
+    Pin("q58_ann_brute", exact = Map(BNLJ -> 1, CART -> 0),
+      atMost = Map(HASH -> 1)),
+    Pin("q70_gframe_pipeline", exact = Map(TOP -> 1, BHJ -> 1, SMJ -> 0),
+      atMost = Map(HASH -> 1)),
+    Pin("q87_etl_pipeline", exact = Map(BHJ -> 2, SMJ -> 0, CART -> 0),
+      atMost = Map(HASH -> 2)),
+    Pin("q88_embed_centroid",
+      exact = Map(HASH -> 1, BHJ -> 0, SMJ -> 0, CART -> 0)),
+    // GroupTopK partial heaps below the single exchange
+    Pin("q97_group_topk", exact = Map(HASH -> 1, SMJ -> 0, CART -> 0),
+      contains = Seq("GroupTopK")),
+    // scan-stage text kernels: zero exchanges, zero joins
+    Pin("q217_bpe_tokenize",
+      exact = Map(HASH -> 0, RANGE -> 0, BHJ -> 0, SMJ -> 0, CART -> 0)),
+    Pin("q50_text_stats",
+      exact = Map(HASH -> 0, RANGE -> 0, BHJ -> 0, SMJ -> 0, CART -> 0)))
+
+  test("headline plans keep their pinned shapes") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for (p <- pins) {
+      val plan =
+        try planOf(p.name)
+        catch { case e: Throwable =>
+          failures += s"${p.name}: plan build failed: ${e.getMessage}"; ""
+        }
+      if (plan.nonEmpty) {
+        for ((m, want) <- p.exact if !p.atMost.contains(m)) {
+          val got = count(plan, m)
+          if (got != want) failures += s"${p.name}: $m=$got, pinned $want"
+        }
+        for ((m, cap) <- p.atMost) {
+          val got = count(plan, m)
+          if (got > cap) failures += s"${p.name}: $m=$got, cap $cap"
+        }
+        for (s <- p.contains if !plan.contains(s))
+          failures += s"${p.name}: missing node $s"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q203 pushes the part filter below the supply-cost derivation") {
+    val plan = planOf("q203_tpch_q9")
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+      .toSeq
+    assert(scanLines.nonEmpty, "no non-empty PushedFilters in q203's scans")
+  }
+}
