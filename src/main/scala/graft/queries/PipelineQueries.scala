@@ -40,12 +40,22 @@ object PipelineQueries {
     // (long format: label, dim, mean) — posexplode + hash agg, the
     // scalable shape for 10^9 vectors (shuffle carries (label, dim)
     // partial sums, never whole vectors).
+    // r10: per-label centroids via the native VecSumExpr aggregate
+    // (64-lane primitive buffer, map-side combine, no encoder boxing)
+    // instead of posexplode — n·64 exploded rows through the hash agg
+    // become n fused array adds, and the exchange carries one 64-array
+    // per (label × partition). Same addend set, same 6dp rounding;
+    // 10×-tier bench table in BASELINE.md. VecSumAgg is the udaf
+    // differential twin (VecSumSpec pins ≡).
     "q88_embed_centroid" -> QueryDef(
       (s, d) => Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos")
-        .agg(Num.rnd(avg(col("v").cast("double")), 6).as("mean_v"))
-        .select(col("label"), (col("pos") + 1).as("dim"), col("mean_v")),
+        .groupBy("label")
+        .agg(graft.functions.VecSumExpr(64)(col("embedding")).as("sc"))
+        .select(col("label"),
+          posexplode(expr("transform(sc.sums, x -> x / sc.n)"))
+            .as(Seq("pos", "m")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          Num.rnd(col("m"), 6).as("mean_v")),
       Some("""SELECT label, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_v
              FROM (SELECT label, unnest(embedding) AS v,
                    generate_subscripts(embedding, 1) AS dim

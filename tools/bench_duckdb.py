@@ -8,7 +8,7 @@ Pass "heavy" as the 3rd arg to time the heavy-operator set instead —
 the paired table recorded in BASELINE.md; Spark side via
 SPARK_GRAFT_BENCH_NAMES=<same list> graft.Bench.)
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,7 +40,14 @@ def main():
         oracle = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # ScaleSmoke-staged dirs (target/tmp/sf1ish) are Spark
+        # directory-parquet and omit events; glob dirs, skip absentees
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(f"{sf}/{t}.parquet"):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     results, total = {}, 0.0
     for name in names:
         sql = oracle.get(name)
