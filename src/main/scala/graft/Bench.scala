@@ -66,7 +66,9 @@ object Bench {
     val eagerNames = Set(
       "q232_heavy_hitters", "q240_bm25", "q249_bm25_batch",
       "q260_bigram_lm", "q263_pagerank", "q266_label_prop", "q268_ppr",
-      "q281_survivorship", "q287_mmr_diversity", "q294_hits")
+      "q281_survivorship", "q287_mmr_diversity", "q294_hits",
+      // corpus count() at construction derives the cell count
+      "q373_semdedup_scaled")
     val best = collection.mutable.Map[String, Double]()
     (1 to passes).foreach { _ =>
       names.foreach { name =>

@@ -145,7 +145,8 @@ object Round43Queries {
               AND round(${SimilarityQueries.sqlCosPub("x.embedding", "y.embedding")}
                 * 1e6) / 1e6 >= 0.4)
           SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
-          FROM a LEFT JOIN d ON a.vec_id = d.vec_id""")),
+          FROM a LEFT JOIN d ON a.vec_id = d.vec_id"""),
+      headline = true),
 
     // §2.2 MultiIndex tuple-loc (reference
     // tests/pandas/df_loc_multiindex.py): lineitem indexed by

@@ -332,6 +332,10 @@ object Similarity {
     val planes = planeLiterals(32, 64, seed = 7L)
     val n = corpus.count()
     val c = math.max(1L, (n + targetCell - 1) / targetCell)
+    // cache ownership: the RETURNED lazy plan references `assigned` on
+    // three sides (both pair-join inputs + the kept join), so the cache
+    // must outlive this call — same contract as semDedup's; the caller
+    // releases it after materializing (or lets the executor LRU evict).
     val assigned = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", pmod(signBits(col("embedding"), planes), lit(c)))

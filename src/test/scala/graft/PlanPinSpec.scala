@@ -113,6 +113,25 @@ class PlanPinSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q12/q58 broadcasts come from explicit hints, not table size") {
+    // with auto-broadcast off, the 3 star broadcasts (and q58's
+    // broadcast-NL join) can ONLY come from the explicit broadcast()
+    // hints — deleting a hint now fails this test even at a tiny SF
+    // where auto-broadcast would have masked it (verdict r9 item 7's
+    // "done when").
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p12 = planOf("q12_star_broadcast")
+      assert(count(p12, BHJ) == 3 && count(p12, SMJ) == 0,
+        s"q12 without auto-broadcast: BHJ=${count(p12, BHJ)} SMJ=${count(p12, SMJ)}")
+      val p58 = planOf("q58_ann_brute")
+      assert(count(p58, BNLJ) == 1 && count(p58, CART) == 0,
+        s"q58 without auto-broadcast: BNLJ=${count(p58, BNLJ)}")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q203 pushes the part filter below the supply-cost derivation") {
     val plan = planOf("q203_tpch_q9")
     val scanLines = plan.linesIterator

@@ -23,7 +23,8 @@ HEADLINE = ["q01_agg_sum", "q06_join_inner", "q12_star_broadcast", "q14_topk",
             "q216_semdedup", "q217_bpe_tokenize", "q221_decontaminate",
             "q230_rank_methods", "q232_heavy_hitters",
             "q238_pq_encode", "q239_ann_ivfpq", "q249_bm25_batch",
-            "q260_bigram_lm", "q261_quality_classifier", "q263_pagerank"]
+            "q260_bigram_lm", "q261_quality_classifier", "q263_pagerank",
+            "q373_semdedup_scaled"]
 # heavy non-headline operators whose scale evidence lives in BASELINE.md
 HEAVY = ["q57_cosine_pairs", "q114_dedup_clusters", "q163_rolling_global",
          "q166_minhash_dedup", "q167_range_join", "q169_substring_dup"]
