@@ -783,6 +783,13 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
   }
 
+  /** Symmetric per-dim int8 quantization of an embedding column →
+    * (idCol, codes array<int>) — see similarity/Int8 (gated q375/q376).
+    */
+  def int8Quantize(idCol: String = "vec_id",
+                   embCol: String = "embedding"): GFrame =
+    GFrame(graft.similarity.Int8.quantize(df, idCol, embCol))
+
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.functions.UnsignedOps
+import graft.functions.{Num, UnsignedOps}
 
 /** Round-43 additions: the unsigned-int data-path gates (SURVEY §1.3;
   * reference `legate/pandas/common/types.py:72-104` keeps uint8..uint64 as
@@ -182,6 +182,100 @@ object Round43Queries {
           UNION ALL
           SELECT 'scatter', l_orderkey, l_linenumber,
               CASE WHEN l_linenumber = 1 THEN 99.0 ELSE l_quantity END
-            FROM lineitem WHERE l_orderkey = 103"""))
+            FROM lineitem WHERE l_orderkey = 103""")),
+
+    // Symmetric per-dim int8 embedding quantization (similarity/Int8):
+    // the 4× ANN-corpus compression report — per-dim scale, saturation
+    // count, and reconstruction MSE. Error² is 12dp-rounded to
+    // DECIMAL(28,12) BEFORE summing (the money-sum discipline at
+    // quantization-noise magnitudes), so the corpus fold is
+    // order-independent on both engines.
+    "q375_int8_quantize" -> QueryDef(
+      (s, d) => {
+        val st = graft.similarity.Int8.scales(Tables.embeddings(s, d))
+        val ex = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("pos"),
+            Num.rnd(col("v").cast("double"), 6).as("xr"))
+          .join(broadcast(st), Seq("pos"))
+          .select(col("pos"), col("scale"), col("xr"),
+            greatest(lit(-127), least(lit(127),
+              round(col("xr") / col("scale")).cast("int"))).as("code"))
+        ex.select(col("pos"), col("scale"), col("code"),
+            Num.rnd(
+              (col("xr") - col("code") * col("scale"))
+                * (col("xr") - col("code") * col("scale")), 12)
+              .cast("decimal(28,12)").as("e2"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+            Num.rnd(sum(col("e2")).cast("double")
+              / count(lit(1)).cast("double"), 12).as("mse"))
+          .join(broadcast(st), Seq("pos"))
+          .select(col("pos").cast("long").as("pos"),
+            Num.rnd(col("scale"), 9).as("scale"),
+            col("n"), col("n_sat"), col("mse"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(gs - 1 AS BIGINT) AS pos,
+              round(CAST(v AS DOUBLE) * 1e6) / 1e6 AS xr
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+          st AS (SELECT pos,
+              greatest(CAST(max(abs(CAST(xr AS DECIMAL(18,6)))) AS DOUBLE),
+                1e-12) / 127.0 AS scale
+            FROM ex GROUP BY 1),
+          cd AS (SELECT e.pos, s.scale, e.xr,
+              greatest(-127, least(127,
+                CAST(round(e.xr / s.scale) AS INT))) AS code
+            FROM ex e JOIN st s ON e.pos = s.pos),
+          er AS (SELECT pos, scale, code,
+              CAST(round((xr - code * scale) * (xr - code * scale) * 1e12)
+                / 1e12 AS DECIMAL(28,12)) AS e2
+            FROM cd)
+          SELECT er.pos, round(st.scale * 1e9) / 1e9 AS scale,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_sat,
+            round(CAST(sum(e2) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e12)
+              / 1e12 AS mse
+          FROM er JOIN st ON er.pos = st.pos
+          GROUP BY er.pos, st.scale""")),
+
+    // int8 ANN search: INTEGER dot-product ranking over the quantized
+    // codes — exact and order-independent (no cross-engine float-fold
+    // contract needed in the score), broadcast query side, ties on
+    // corpus id. The production shape: quantize once, search at 4×
+    // bandwidth; recall vs exact cosine is pinned in Int8Spec.
+    "q376_int8_ann" -> QueryDef(
+      (s, d) => {
+        val codes = graft.similarity.Int8.quantize(Tables.embeddings(s, d))
+        graft.similarity.Int8.topK(
+          codes.filter(col("vec_id") < 4), codes, k = 5)
+          .select(col("qid"), col("vid"), col("iscore"), col("rn"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(gs - 1 AS BIGINT) AS pos,
+              round(CAST(v AS DOUBLE) * 1e6) / 1e6 AS xr
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+          st AS (SELECT pos,
+              greatest(CAST(max(abs(CAST(xr AS DECIMAL(18,6)))) AS DOUBLE),
+                1e-12) / 127.0 AS scale
+            FROM ex GROUP BY 1),
+          cd AS (SELECT e.vec_id, e.pos,
+              CAST(greatest(-127, least(127,
+                CAST(round(e.xr / s.scale) AS INT))) AS BIGINT) AS code
+            FROM ex e JOIN st s ON e.pos = s.pos),
+          codes AS (SELECT vec_id, list(code ORDER BY pos) AS codes
+            FROM cd GROUP BY 1),
+          sc AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+              CAST(list_reduce(list_transform(list_zip(q.codes, c.codes),
+                z -> z[1] * z[2]), (a, b) -> a + b) AS BIGINT) AS iscore
+            FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 4)
+          SELECT qid, vid, iscore, rn FROM (
+            SELECT qid, vid, iscore,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY iscore DESC, vid ASC) AS BIGINT) AS rn
+            FROM sc) WHERE rn <= 5"""))
   )
 }
