@@ -276,6 +276,72 @@ object Round43Queries {
             SELECT qid, vid, iscore,
               CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY iscore DESC, vid ASC) AS BIGINT) AS rn
+            FROM sc) WHERE rn <= 5""")),
+
+    // int8 × IVF: the production ANN combo — pretrained-centroid cell
+    // pruning (q91's assignment, one scan-stage argmin) restricts the
+    // candidate set to nprobe=4 cells per query, and the surviving
+    // candidates score by INTEGER dot product over the int8 codes
+    // (q376's exact order-free arithmetic). Candidates ∝ corpus/k per
+    // probe; scores carry no float-fold contract.
+    "q377_int8_ivf" -> QueryDef(
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val model = graft.similarity.IVF.Model(
+          graft.similarity.IVFCentroids.pretrained)
+        val codes = graft.similarity.Int8.quantize(em)
+        val c = codes
+          .join(em.select(col("vec_id"),
+            model.cell(col("embedding")).cast("int").as("cell")), Seq("vec_id"))
+          .select(col("vec_id").as("vid"), col("codes").as("cc"), col("cell"))
+        val q = em.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            explode(model.probeCells(col("embedding"), 4)).as("cell0"))
+          .select(col("qid"), col("cell0").cast("int").as("cell"))
+          .join(codes.select(col("vec_id").as("qid"), col("codes").as("qc")),
+            Seq("qid"))
+        val scored = c.join(broadcast(q), Seq("cell"))
+          .filter(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            graft.similarity.Int8.idot(col("qc"), col("cc")).as("iscore"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("iscore").desc, col("vid").asc)
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+      },
+      Some(s"""WITH ex AS (SELECT vec_id, CAST(gs - 1 AS BIGINT) AS pos,
+              round(CAST(v AS DOUBLE) * 1e6) / 1e6 AS xr
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+          st AS (SELECT pos,
+              greatest(CAST(max(abs(CAST(xr AS DECIMAL(18,6)))) AS DOUBLE),
+                1e-12) / 127.0 AS scale
+            FROM ex GROUP BY 1),
+          cd AS (SELECT e.vec_id, e.pos,
+              CAST(greatest(-127, least(127,
+                CAST(round(e.xr / s.scale) AS INT))) AS BIGINT) AS code
+            FROM ex e JOIN st s ON e.pos = s.pos),
+          codes AS (SELECT vec_id, list(code ORDER BY pos) AS codes
+            FROM cd GROUP BY 1),
+          cells AS (SELECT vec_id,
+              CAST(${SimilarityQueries.ivfCellSql("embedding")} AS INTEGER)
+                AS cell
+            FROM embeddings),
+          qp AS (SELECT vec_id AS qid,
+              unnest(${SimilarityQueries.ivfProbesSql("embedding", 4)}) AS cell
+            FROM embeddings WHERE vec_id < 8),
+          sc AS (SELECT qp.qid, c.vec_id AS vid,
+              CAST(list_reduce(list_transform(
+                list_zip(qc.codes, cc.codes), z -> z[1] * z[2]),
+                (a, b) -> a + b) AS BIGINT) AS iscore
+            FROM qp
+            JOIN cells c ON c.cell = qp.cell AND c.vec_id != qp.qid
+            JOIN codes qc ON qc.vec_id = qp.qid
+            JOIN codes cc ON cc.vec_id = c.vec_id)
+          SELECT qid, vid, iscore, rn FROM (
+            SELECT qid, vid, iscore,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY iscore DESC, vid ASC) AS BIGINT) AS rn
             FROM sc) WHERE rn <= 5"""))
   )
 }

@@ -70,6 +70,10 @@ object SimilarityQueries {
   private[queries] def ivfCellSql(vec: String): String =
     s"list_sort(${cellStructs(vec)})[1].j"
 
+  /** First-`nprobe` nearest cells as SQL (q377's int8-IVF oracle). */
+  private[queries] def ivfProbesSql(vec: String, nprobe: Int): String =
+    s"list_transform(list_sort(${cellStructs(vec)})[1:$nprobe], s -> s.j)"
+
   private def ivfOracleSql: String = {
     s"""WITH c AS (SELECT vec_id AS vid, embedding AS cv,
             list_sort(${cellStructs("embedding")})[1].j AS cell
