@@ -342,6 +342,68 @@ object Round43Queries {
             SELECT qid, vid, iscore,
               CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY iscore DESC, vid ASC) AS BIGINT) AS rn
-            FROM sc) WHERE rn <= 5"""))
+            FROM sc) WHERE rn <= 5""")),
+
+    // LSH OPERATING-POINT evaluation: precision/recall of the
+    // sign-signature cell blocking (q373's scheme) against exact-cosine
+    // ground truth (q57's metric) at threshold 0.4 — the report that
+    // decides a blocking config BEFORE a 100 TB dedup run. Ground truth
+    // is corpus-quadratic by nature; at scale this runs on a sample
+    // (the ratios are the product, not the pair lists). Candidates are
+    // enumerated uncapped here so the ratios describe the raw blocking
+    // scheme (q373's cap only strengthens precision).
+    "q378_lsh_operating_point" -> QueryDef(
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val truth = graft.similarity.Similarity
+          .cosinePairsTiledKernel(em, 0.4)
+          .select(col("id1"), col("id2"))
+        // q373's cell assignment (count-derived C, same planes)
+        val planes = graft.similarity.Similarity.planeLiterals(32, 64, seed = 7L)
+        val n = em.count()
+        val c = math.max(1L, (n + 255) / 256)
+        val assigned = em.select(col("vec_id"),
+          pmod(graft.similarity.Similarity.signBits(col("embedding"), planes),
+            lit(c)).as("cell"))
+        val cand = assigned.as("x").join(
+            assigned.select(col("vec_id").as("vid2"), col("cell").as("cell2")),
+            col("cell") === col("cell2") && col("vec_id") < col("vid2"))
+          .select(col("vec_id").as("id1"), col("vid2").as("id2"))
+        val tp = cand.join(truth, Seq("id1", "id2"), "left_semi")
+        val row = truth.agg(count(lit(1))).collect()(0).getLong(0)
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(lit(row).as("n_truth"), col("n_cand"), col("n_tp"),
+            Num.rnd(col("n_tp").cast("double") / col("n_cand").cast("double"), 6)
+              .as("precision"),
+            Num.rnd(col("n_tp").cast("double") / lit(row.toDouble), 6)
+              .as("recall"))
+      },
+      Some(s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          a AS (SELECT vec_id,
+              CAST(${SimilarityQueries.sigSql32("embedding")} % cc.c AS BIGINT)
+                AS cell
+            FROM embeddings CROSS JOIN cc),
+          cand AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          truth AS (SELECT id1, id2 FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+                  * 1e6) / 1e6 AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE sim >= 0.4),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+          cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+          tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+            FROM cand SEMI JOIN truth
+              ON cand.id1 = truth.id1 AND cand.id2 = truth.id2)
+          SELECT t.n_truth, cn.n_cand, tp.n_tp,
+            round(CAST(tp.n_tp AS DOUBLE) / CAST(cn.n_cand AS DOUBLE) * 1e6)
+              / 1e6 AS precision,
+            round(CAST(tp.n_tp AS DOUBLE) / CAST(t.n_truth AS DOUBLE) * 1e6)
+              / 1e6 AS recall
+          FROM t, cn, tp"""))
   )
 }
