@@ -783,6 +783,18 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
   }
 
+  /** Banded-repetition SemDeDup (R independent sign-signature tables;
+    * recall 0.25→0.72 measured at cos ≥ 0.4, q379) — keep only
+    * un-dominated rows. See Similarity.semDedupBanded (gated q380).
+    */
+  def semDedupBanded(threshold: Double, tables: Int = 4,
+                     targetCell: Int = 256): GFrame = {
+    val kept = graft.similarity.Similarity
+      .semDedupBanded(df, threshold, tables, targetCell)
+      .filter(col("kept")).select("vec_id")
+    GFrame(df.join(kept, Seq("vec_id"), "left_semi"), index)
+  }
+
   /** Symmetric per-dim int8 quantization of an embedding column →
     * (idCol, codes array<int>) — see similarity/Int8 (gated q375/q376).
     */

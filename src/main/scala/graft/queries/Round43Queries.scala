@@ -404,6 +404,96 @@ object Round43Queries {
               / 1e6 AS precision,
             round(CAST(tp.n_tp AS DOUBLE) / CAST(t.n_truth AS DOUBLE) * 1e6)
               / 1e6 AS recall
-          FROM t, cn, tp"""))
+          FROM t, cn, tp""")),
+
+    // Banded-repetition operating point: the SAME report as q378 over
+    // the UNION of R=4 independent sign-signature tables — the
+    // measured answer to q378's single-table recall ceiling (miss
+    // probability compounds as (1−r₁)^R; candidate volume grows ~R-fold,
+    // still linear in n).
+    "q379_lsh_banded_point" -> QueryDef(
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val truth = graft.similarity.Similarity
+          .cosinePairsTiledKernel(em, 0.4).select(col("id1"), col("id2"))
+        val cand = graft.similarity.Similarity
+          .bandedCandidatePairs(em.select(col("vec_id"), col("embedding")), 4)
+        val tp = cand.join(truth, Seq("id1", "id2"), "left_semi")
+        val nTruth = truth.agg(count(lit(1))).collect()(0).getLong(0)
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(lit(nTruth).as("n_truth"), col("n_cand"), col("n_tp"),
+            Num.rnd(col("n_tp").cast("double") / col("n_cand").cast("double"), 6)
+              .as("precision"),
+            Num.rnd(col("n_tp").cast("double") / lit(nTruth.toDouble), 6)
+              .as("recall"))
+      },
+      Some {
+        val tables = (0 until 4).map { t =>
+          s"""SELECT x.vec_id AS id1, y.vec_id AS id2
+             FROM (SELECT vec_id,
+                 CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                   AS BIGINT) AS cell
+               FROM embeddings CROSS JOIN cc) x
+             JOIN (SELECT vec_id,
+                 CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                   AS BIGINT) AS cell
+               FROM embeddings CROSS JOIN cc) y
+               ON x.cell = y.cell AND x.vec_id < y.vec_id"""
+        }.mkString(" UNION ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          cand AS ($tables),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          truth AS (SELECT id1, id2 FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+                  * 1e6) / 1e6 AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE sim >= 0.4),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+          cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+          tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+            FROM cand SEMI JOIN truth
+              ON cand.id1 = truth.id1 AND cand.id2 = truth.id2)
+          SELECT t.n_truth, cn.n_cand, tp.n_tp,
+            round(CAST(tp.n_tp AS DOUBLE) / CAST(cn.n_cand AS DOUBLE) * 1e6)
+              / 1e6 AS precision,
+            round(CAST(tp.n_tp AS DOUBLE) / CAST(t.n_truth AS DOUBLE) * 1e6)
+              / 1e6 AS recall
+          FROM t, cn, tp"""
+      }),
+
+    // Banded-repetition SemDeDup kept-flags: q373's election over the
+    // 4-table candidate union — the recall-restored dedup whose
+    // operating point q379 just measured.
+    "q380_semdedup_banded" -> QueryDef(
+      (s, d) => graft.similarity.Similarity.semDedupBanded(
+        Tables.embeddings(s, d), 0.4),
+      Some {
+        val tables = (0 until 4).map { t =>
+          s"""SELECT x.vec_id AS id1, y.vec_id AS id2
+             FROM (SELECT vec_id,
+                 CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                   AS BIGINT) AS cell
+               FROM embeddings CROSS JOIN cc) x
+             JOIN (SELECT vec_id,
+                 CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                   AS BIGINT) AS cell
+               FROM embeddings CROSS JOIN cc) y
+               ON x.cell = y.cell AND x.vec_id < y.vec_id"""
+        }.mkString(" UNION ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          cand AS ($tables),
+          d AS (SELECT DISTINCT cand.id2 AS vec_id
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.id1
+            JOIN embeddings b ON b.vec_id = cand.id2
+            WHERE round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+              * 1e6) / 1e6 >= 0.4)
+          SELECT e.vec_id, (d.vec_id IS NULL) AS kept
+          FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id"""
+      })
   )
 }

@@ -40,8 +40,11 @@ object SimilarityQueries {
     * (seed 7) — the oracle-side twin of `signBits(vec, planeLiterals(32,
     * 64, 7))`.
     */
-  private[queries] def sigSql32(vec: String): String = {
-    val p32 = Similarity.planeLiterals(32, 64, seed = 7L)
+  private[queries] def sigSql32(vec: String): String = sigSql32At(vec, 7L)
+
+  /** Seed-parameterized twin (banded tables use seeds 7+t — q379/q380). */
+  private[queries] def sigSql32At(vec: String, seed: Long): String = {
+    val p32 = Similarity.planeLiterals(32, 64, seed)
     p32.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${sqlDot(vec, planeSql(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -354,6 +354,53 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
   }
 
+  /** Candidate pairs from R INDEPENDENT sign-signature tables, unioned
+    * and deduplicated — the banded-repetition answer to the single-table
+    * recall ceiling q378 measures (0.25 at cos ≥ 0.4): a pair is a
+    * candidate if it shares a cell in ANY table, so miss probability
+    * compounds as (1−r₁)^R while candidate volume grows only ~R-fold
+    * (R · n · targetCell — still linear in n). Table t draws its 32
+    * planes from seed `7 + t` (t = 0 is exactly [[semDedupScaled]]'s
+    * table, so R = 1 reproduces its blocking).
+    */
+  def bandedCandidatePairs(corpus: DataFrame, tables: Int,
+      targetCell: Int = 256): DataFrame = {
+    val n = corpus.count()
+    val c = math.max(1L, (n + targetCell - 1) / targetCell)
+    val perTable = (0 until tables).map { t =>
+      val planes = planeLiterals(32, 64, seed = 7L + t)
+      val assigned = corpus.select(col("vec_id"),
+        pmod(signBits(col("embedding"), planes), lit(c)).as("cell"))
+      assigned.as("x").join(
+          assigned.select(col("vec_id").as("vid2"), col("cell").as("cell2")),
+          col("cell") === col("cell2") && col("vec_id") < col("vid2"))
+        .select(col("vec_id").as("id1"), col("vid2").as("id2"))
+    }
+    perTable.reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Banded-repetition SemDeDup: [[semDedupScaled]]'s election over the
+    * R-table candidate set — a vector is dropped iff a lower-id vector
+    * shares ANY table's cell with it at ≥ `threshold` similarity.
+    * Returns (vec_id, kept).
+    */
+  def semDedupBanded(corpus: DataFrame, threshold: Double,
+      tables: Int = 4, targetCell: Int = 256): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val cand = bandedCandidatePairs(emb, tables, targetCell)
+    val dominated = cand
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")),
+        Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+        Seq("id2"))
+      .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
+        >= lit(threshold))
+      .select(col("id2").as("vec_id")) // id1 < id2: the higher id drops
+      .distinct()
+    emb.join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("__dom").isNull.as("kept"))
+  }
+
   def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
     // `assigned` feeds three consumers (both pair-join sides + the kept
     // join); cached so the corpus is scanned and cell-assigned once —

@@ -42,6 +42,29 @@ class SemDedupScaledSpec extends SparkSpec {
     assert(viaApi == keptIds)
   }
 
+  test("banded variant: clones collapse; kept superset shrinks vs more tables") {
+    val em = Tables.embeddings(spark, sf).limit(200).cache()
+    val cloned = em.unionByName(
+      em.withColumn("vec_id", col("vec_id") + lit(10000000L)))
+    // identical embeddings share every table's cell → clone always drops
+    val out = Similarity.semDedupBanded(cloned, 0.99, tables = 2)
+    assert(out.filter(col("kept") && col("vec_id") >= 10000000L).count() == 0L)
+    // more tables can only ADD candidates → kept set can only shrink
+    val k1 = Similarity.semDedupBanded(em, 0.4, tables = 1)
+      .filter(col("kept")).count()
+    val k4 = Similarity.semDedupBanded(em, 0.4, tables = 4)
+      .filter(col("kept")).count()
+    assert(k4 <= k1)
+    // tables=1 blocking == semDedupScaled blocking (uncapped corpus fits
+    // under the cap here), so kept flags agree
+    val scaled = Similarity.semDedupScaled(em, 0.4)
+      .select("vec_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val banded1 = Similarity.semDedupBanded(em, 0.4, tables = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(scaled == banded1)
+    em.unpersist()
+  }
+
   test("maxCell cap: rows past the per-cell cap are conservatively kept") {
     val em = Tables.embeddings(spark, sf)
     // force one cell (targetCell huge → C = 1) and a tiny cap: only the
