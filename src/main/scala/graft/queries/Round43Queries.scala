@@ -494,6 +494,26 @@ object Round43Queries {
               * 1e6) / 1e6 >= 0.4)
           SELECT e.vec_id, (d.vec_id IS NULL) AS kept
           FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id"""
-      })
+      }),
+
+    // §2.10 STREAMING twin of the int8 encode: scales fit once on the
+    // reference corpus and frozen into the stream (the production
+    // contract — drifting scales make old/new codes incomparable);
+    // encode is a stateless scan-stage map so stream ≡ batch
+    // row-for-row. Same oracle codes as q376, exploded to scalars.
+    "q381_stream_int8_encode" -> QueryDef(
+      (s, d) => graft.streaming.EmbedStreams.int8EncodeStream(s, d),
+      Some("""WITH ex AS (SELECT vec_id, CAST(gs - 1 AS BIGINT) AS pos,
+              round(CAST(v AS DOUBLE) * 1e6) / 1e6 AS xr
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+          st AS (SELECT pos,
+              greatest(CAST(max(abs(CAST(xr AS DECIMAL(18,6)))) AS DOUBLE),
+                1e-12) / 127.0 AS scale
+            FROM ex GROUP BY 1)
+          SELECT e.vec_id, e.pos,
+            CAST(greatest(-127, least(127, CAST(round(e.xr / s.scale) AS INT)))
+              AS INTEGER) AS code
+          FROM ex e JOIN st s ON e.pos = s.pos"""))
   )
 }

@@ -95,6 +95,35 @@ object EmbedStreams {
     spark.table(name)
   }
 
+  /** Ingest-time int8 encode (the streaming twin of q375/q376's batch
+    * quantization): per-dim scales are FIT ONCE on the reference corpus
+    * (the production contract — a drifting scale would make old and new
+    * codes incomparable) and frozen into the stream as 64 literals; the
+    * encode itself is a stateless scan-stage map, so stream output ==
+    * batch output row-for-row. Emits (vec_id, pos, code) exploded rows
+    * so the oracle compares scalars.
+    */
+  def int8EncodeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = spark.read.schema(embSchema).parquet(s"$sfDir/embeddings.parquet")
+    val scales: Array[Double] = graft.similarity.Int8.scales(corpus)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val sc = typedlit(scales.toSeq)
+    val emb = spark.readStream.schema(embSchema).parquet(stageDir(sfDir))
+    val name = "graft_stream_int8_encode"
+    val out = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        greatest(lit(-127), least(lit(127),
+          round(graft.functions.Num.rnd(col("v").cast("double"), 6)
+            / element_at(sc, col("pos").cast("int") + 1)).cast("int")))
+          .as("code"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** (cell, dim, n, s) → (cell, dim, n, centroid = s/n rounded). */
   def centroids(counts: DataFrame): DataFrame =
     counts.select(col("cell").cast("long").as("cell"),
