@@ -514,6 +514,57 @@ object Round43Queries {
           SELECT e.vec_id, e.pos,
             CAST(greatest(-127, least(127, CAST(round(e.xr / s.scale) AS INT)))
               AS INTEGER) AS code
-          FROM ex e JOIN st s ON e.pos = s.pos"""))
+          FROM ex e JOIN st s ON e.pos = s.pos""")),
+
+    // Incremental embedding dedup against a PERSISTED cell index — the
+    // embedding twin of q194/q195's MinHash bucket-index contract: the
+    // corpus is indexed once (R sign-signature tables + frozen fold
+    // modulus), a "new batch" (vec_id % 97 == 0 here) probes the index,
+    // and only candidates pay the exact-cosine verify. At 100 TB the
+    // index is R rows/vector of 3 small columns, partitioned by
+    // (t, cell); a crawl batch never rescans the corpus.
+    "q382_embed_probe_index" -> QueryDef(
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val corpus = em.filter(col("vec_id") % 97 =!= 0)
+        val batch = em.filter(col("vec_id") % 97 === 0)
+        val idx = graft.similarity.Similarity.embedCellIndex(corpus, tables = 4)
+        graft.similarity.Similarity
+          .probeEmbedIndex(idx, batch, corpus, 0.4, tables = 4)
+      },
+      Some {
+        val tables = (0 until 4).map { t =>
+          s"""SELECT $t AS t, vec_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE vec_id % 97 != 0"""
+        }.mkString(" UNION ALL ")
+        val probes = (0 until 4).map { t =>
+          s"""SELECT $t AS t, vec_id AS new_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE vec_id % 97 = 0"""
+        }.mkString(" UNION ALL ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+              WHERE vec_id % 97 != 0),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          idx AS ($tables),
+          probes AS ($probes),
+          cand AS (SELECT DISTINCT p.new_id, i.vec_id AS corpus_id
+            FROM probes p JOIN idx i ON i.t = p.t AND i.cell = p.cell
+            WHERE p.new_id != i.vec_id),
+          m AS (SELECT cand.new_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.new_id
+            JOIN embeddings b ON b.vec_id = cand.corpus_id
+            WHERE round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+              * 1e6) / 1e6 >= 0.4
+            GROUP BY 1)
+          SELECT e.vec_id AS new_id,
+            coalesce(m.n_matches, 0) AS n_matches,
+            (coalesce(m.n_matches, 0) > 0) AS is_dup
+          FROM embeddings e LEFT JOIN m ON e.vec_id = m.new_id
+          WHERE e.vec_id % 97 = 0"""
+      })
   )
 }

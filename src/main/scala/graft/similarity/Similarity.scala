@@ -379,6 +379,62 @@ object Similarity {
     perTable.reduce(_.unionAll(_)).distinct()
   }
 
+  /** Persistable sign-signature cell index of a deduplicated corpus —
+    * the embedding twin of MinHash.bucketIndex's incremental-curation
+    * contract: a 100 TB corpus is semantically deduped ONCE, then every
+    * new crawl batch probes this index instead of re-embedding-scanning
+    * the corpus. One (t, cell, vec_id) row per vector per table (R rows
+    * total), plus the fold modulus C frozen as a column so probes hash
+    * batches identically after the corpus count is long gone. Write
+    * partitioned by (t, cell) and the probe's bucket join prunes.
+    */
+  def embedCellIndex(corpus: DataFrame, tables: Int = 4,
+      targetCell: Int = 256): DataFrame = {
+    val n = corpus.count()
+    val c = math.max(1L, (n + targetCell - 1) / targetCell)
+    (0 until tables).map { t =>
+      val planes = planeLiterals(32, 64, seed = 7L + t)
+      corpus.select(lit(t).as("t"),
+        pmod(signBits(col("embedding"), planes), lit(c)).as("cell"),
+        col("vec_id"), lit(c).as("c"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Probe a NEW batch against a persisted [[embedCellIndex]]: batch
+    * vectors hash with the INDEX's frozen modulus (read from the `c`
+    * column), candidates are corpus vectors sharing any table's cell,
+    * and only candidates pay the exact-cosine verify (join sized by
+    * candidate count, not corpus size). Returns
+    * (new_id, n_matches, is_dup) per batch vector.
+    */
+  def probeEmbedIndex(index: DataFrame, batch: DataFrame, corpus: DataFrame,
+      threshold: Double, tables: Int = 4): DataFrame = {
+    val c = index.select(col("c")).limit(1).collect()(0).getLong(0)
+    val probes = (0 until tables).map { t =>
+      val planes = planeLiterals(32, 64, seed = 7L + t)
+      batch.select(col("vec_id").as("new_id"), lit(t).as("t"),
+        pmod(signBits(col("embedding"), planes), lit(c)).as("cell"))
+    }.reduce(_.unionAll(_))
+    val cand = probes
+      .join(index.select(col("t"), col("cell"), col("vec_id").as("corpus_id")),
+        Seq("t", "cell"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val matches = cand
+      .join(batch.select(col("vec_id").as("new_id"), col("embedding").as("nb")),
+        Seq("new_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cb")),
+        Seq("corpus_id"))
+      .filter(graft.functions.Num.rnd(cosine(col("nb"), col("cb")), 6)
+        >= lit(threshold))
+      .groupBy("new_id").agg(count(lit(1)).as("n_matches"))
+    batch.select(col("vec_id").as("new_id"))
+      .join(matches, Seq("new_id"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** Banded-repetition SemDeDup: [[semDedupScaled]]'s election over the
     * R-table candidate set — a vector is dropped iff a lower-id vector
     * shares ANY table's cell with it at ≥ `threshold` similarity.
