@@ -365,11 +365,16 @@ object Similarity {
     */
   def bandedCandidatePairs(corpus: DataFrame, tables: Int,
       targetCell: Int = 256): DataFrame = {
-    val n = corpus.count()
+    // 2R+1 consumers (count + both sides of each table's cell join):
+    // cache the two-column projection once. Ownership as in
+    // [[semDedupScaled]]: the returned lazy plan references it, the
+    // caller releases after materializing (or the LRU evicts).
+    val proj = corpus.select(col("vec_id"), col("embedding")).cache()
+    val n = proj.count()
     val c = math.max(1L, (n + targetCell - 1) / targetCell)
     val perTable = (0 until tables).map { t =>
       val planes = planeLiterals(32, 64, seed = 7L + t)
-      val assigned = corpus.select(col("vec_id"),
+      val assigned = proj.select(col("vec_id"),
         pmod(signBits(col("embedding"), planes), lit(c)).as("cell"))
       assigned.as("x").join(
           assigned.select(col("vec_id").as("vid2"), col("cell").as("cell2")),

@@ -65,6 +65,24 @@ class SemDedupScaledSpec extends SparkSpec {
     em.unpersist()
   }
 
+  test("embed cell index survives parquet persistence; probe flags exact clones") {
+    val em = Tables.embeddings(spark, sf).limit(300).cache()
+    val idx = Similarity.embedCellIndex(em, tables = 2)
+    val path = "/root/repo/target/tmp/embidx_spec"
+    idx.write.mode("overwrite").parquet(path)
+    val persisted = spark.read.parquet(path)
+    // probe the corpus's own vectors under new ids: every one is an
+    // exact clone of a corpus vector → all flagged dup with ≥1 match
+    val batch = em.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val out = Similarity.probeEmbedIndex(persisted, batch, em, 0.99, tables = 2)
+    assert(out.count() == 300L)
+    assert(out.filter(!col("is_dup")).count() == 0L)
+    // in-memory and persisted index give identical probe results
+    val out2 = Similarity.probeEmbedIndex(idx, batch, em, 0.99, tables = 2)
+    assert(out.collect().map(_.toSeq).toSet == out2.collect().map(_.toSeq).toSet)
+    em.unpersist()
+  }
+
   test("maxCell cap: rows past the per-cell cap are conservatively kept") {
     val em = Tables.embeddings(spark, sf)
     // force one cell (targetCell huge → C = 1) and a tiny cap: only the
