@@ -396,6 +396,20 @@ object ScaleSmoke {
       println(f"op_semdedup_gated@${m}x: $dt%.2fs rows=$rows")
       m -> dt
     }.toMap
+    // Banded R=4 (q380 path): candidate volume ~4×, still linear in n.
+    val semBandedTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stageEmb(m)
+      val f = () => graft.similarity.Similarity
+        .semDedupBanded(Tables.embeddings(spark, dir), 0.4).count()
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_semdedup_banded@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_semdedup_banded@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
 
     // IVFPQ bounded tier (round 12): encode is volume-linear (scan
     // stage); search candidates grow linearly with the corpus at a
@@ -454,6 +468,7 @@ object ScaleSmoke {
     }
     println(f"op_semdedup_rotated: ${semTimes(100) / semTimes(10)}%.1fx")
     println(f"op_semdedup_gated: ${semGatedTimes(100) / semGatedTimes(10)}%.1fx")
+    println(f"op_semdedup_banded: ${semBandedTimes(100) / semBandedTimes(10)}%.1fx")
     println(f"op_ivfpq: ${pqTimes(100) / pqTimes(10)}%.1fx")
     println(f"op_bm25: ${bmTimes(100) / bmTimes(10)}%.1fx")
   }
