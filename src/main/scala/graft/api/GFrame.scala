@@ -74,6 +74,57 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     if (dataCols.size == 1) GFrame(df.select((index ++ dataCols).map(col): _*), index)
     else this
 
+  /** keys — the data-column labels (reference
+    * `frontend/dataframe.py:474` returns the columns Index).
+    */
+  def keys: Seq[String] = dataCols
+
+  /** axes — [index labels, column labels] (reference
+    * `frontend/dataframe.py:301-304`).
+    */
+  def axes: (Seq[String], Seq[String]) = (index, dataCols)
+
+  /** ndim — always 2 for a frame (reference
+    * `frontend/dataframe.py:306-309`; use [[squeeze]] for the 1-D view).
+    */
+  def ndim: Int = 2
+
+  /** empty — the REFERENCE's contract is "no data columns"
+    * (`frontend/frame.py:148-151` checks `len(self.columns) == 0`, not
+    * pandas' any-axis-empty); lazy, runs no job.
+    */
+  def empty: Boolean = dataCols.isEmpty
+
+  /** shape — (rows, data columns); the row count is an action, like
+    * the reference's `len(self._raw_index)`
+    * (`frontend/dataframe.py:311-314`).
+    */
+  def shape: (Long, Int) = (df.count(), dataCols.size)
+
+  /** bool() — the single element of a 1×1 frame as a Boolean; anything
+    * else raises, mirroring the reference's ambiguity error
+    * (`frontend/frame.py:189-199`).
+    */
+  def boolScalar(): Boolean = {
+    require(dataCols.size == 1,
+      "bool() requires exactly 1 column; the truth value is ambiguous")
+    val rows = df.select(dataCols.head).limit(2).collect()
+    require(rows.length == 1,
+      "bool() requires exactly 1 element; the truth value is ambiguous")
+    rows(0).getBoolean(0)
+  }
+
+  /** hasnans for one column — true if any null/NaN (the Series
+    * property; NaN AND null count as missing, PandasArith.isna).
+    */
+  def hasnans(column: String): Boolean =
+    !df.filter(graft.functions.PandasArith.isna(col(column))).isEmpty
+
+  /** append(other) — concat(axis=0) (reference
+    * `frontend/frame.py:992-1004` delegates to concat).
+    */
+  def append(other: GFrame): GFrame = GFrame.concat(Seq(this, other))
+
   /** df.query(expr) with @refs (§2.9). */
   def query(expr: String, refs: Map[String, Any] = Map()): GFrame =
     GFrame(QueryCompiler.query(df, expr, refs), index)

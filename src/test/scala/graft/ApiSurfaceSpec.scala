@@ -63,4 +63,30 @@ class ApiSurfaceSpec extends SparkSpec {
     g.nunique()
     assert(g.df.count() === 3)
   }
+
+  test("metadata surface: keys/axes/ndim/empty/shape/bool/hasnans/append") {
+    val g = GFrame(df).setIndex("k")
+    assert(g.keys == Seq("v", "s"))
+    assert(g.axes == (Seq("k"), Seq("v", "s")))
+    assert(g.ndim == 2)
+    // reference empty = NO DATA COLUMNS (frame.py:148-151), not no rows
+    assert(!g.empty)
+    assert(GFrame(df.select("k")).setIndex("k").empty)
+    assert(!GFrame(df.filter(col("k") > 100)).empty) // rows=0, cols>0 → false
+    assert(g.shape == (3L, 2))
+    // bool(): 1×1 only
+    val one = GFrame(Seq(true).toDF("f"))
+    assert(one.boolScalar())
+    intercept[IllegalArgumentException] { g.boolScalar() }
+    intercept[IllegalArgumentException] {
+      GFrame(Seq(true, false).toDF("f")).boolScalar()
+    }
+    // hasnans catches null AND NaN
+    val withNan = df.withColumn("v",
+      when(col("k") === 2, lit(Double.NaN)).otherwise(col("v")))
+    assert(GFrame(withNan).hasnans("v"))
+    assert(!GFrame(df).hasnans("v"))
+    // append = concat(axis=0)
+    assert(g.append(g).df.count() == 6L)
+  }
 }
