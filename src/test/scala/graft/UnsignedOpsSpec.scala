@@ -40,6 +40,11 @@ class UnsignedOpsSpec extends SparkSpec {
     }
   }
 
+  test("promoteNamed matches numpy result_type on ALL 121 pairs") {
+    for ((a, b, want) <- NumpyPromotionTable.cells)
+      assert(Types.promoteNamed(a, b) == want, s"result_type($a, $b)")
+  }
+
   test("storage types mirror the Types lattice") {
     assert(UnsignedOps.storageType(8) == Types.toSpark("uint8"))
     assert(UnsignedOps.storageType(16) == Types.toSpark("uint16"))
