@@ -487,20 +487,29 @@ object Similarity {
   }
 
   def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
-    // `assigned` feeds three consumers (both pair-join sides + the kept
-    // join); cached so the corpus is scanned and cell-assigned once —
-    // at 100 TB this materialization is a checkpoint to storage, same
-    // plan shape (see PLANS.md round 9).
-    val assigned = corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("cell", model.cell(col("embedding")).cast("int"))
+    // `proj` feeds the two verify sides; `assigned` the pair + kept
+    // joins — cached so the corpus is scanned and cell-assigned once.
+    // At 100 TB this materialization is a checkpoint to storage, same
+    // plan shape (see PLANS.md round 9). As in [[semDedupScaled]]
+    // (r10): the pair join carries ONLY (vec_id, cell) — embeddings are
+    // fetched by id for surviving candidates, not shuffled through the
+    // self-join (measured ~3× on the 10× smoke for the scaled twin).
+    val proj = corpus.select(col("vec_id"), col("embedding")).cache()
+    val assigned = proj
+      .select(col("vec_id"), model.cell(col("embedding")).cast("int").as("cell"))
       .cache()
-    val dominated = assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
-          graft.functions.Num.rnd(
-            cosine(col("x.embedding"), col("y.embedding")), 6) >= lit(threshold),
-        "left_semi")
-      .select(col("vec_id"))
+    val pairs = assigned.join(
+        assigned.select(col("vec_id").as("id2"), col("cell").as("cell2")),
+        col("cell") === col("cell2") && col("vec_id") < col("id2"))
+      .select(col("vec_id").as("id1"), col("id2"))
+    val dominated = pairs
+      .join(proj.select(col("vec_id").as("id1"), col("embedding").as("e1")),
+        Seq("id1"))
+      .join(proj.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+        Seq("id2"))
+      .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
+        >= lit(threshold))
+      .select(col("id2").as("vec_id")).distinct()
     assigned
       .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))

@@ -53,8 +53,11 @@ class PlanPinSpec extends SparkSpec {
       atMost = Map(HASH -> 3, SMJ -> 1)),
     Pin("q213_chunk_dedup", exact = Map(BHJ -> 3, SMJ -> 0, CART -> 0),
       atMost = Map(HASH -> 3)),
-    // cell-equi self-join broadcasts; zero shuffle exchanges
-    Pin("q216_semdedup", exact = Map(BHJ -> 2, HASH -> 0, SMJ -> 0, CART -> 0)),
+    // r10 shape: (vec_id, cell)-only pair join + by-id embedding fetch
+    // for candidates — embeddings never ride the self-join (3.4× at
+    // sf0.1: 0.61→0.18s)
+    Pin("q216_semdedup", exact = Map(CART -> 0),
+      atMost = Map(BHJ -> 3, SMJ -> 1, HASH -> 2)),
     Pin("q221_decontaminate", exact = Map(BHJ -> 2, SMJ -> 0, CART -> 0),
       atMost = Map(HASH -> 3)),
     Pin("q230_rank_methods", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0),
