@@ -565,6 +565,47 @@ object Round43Queries {
             (coalesce(m.n_matches, 0) > 0) AS is_dup
           FROM embeddings e LEFT JOIN m ON e.vec_id = m.new_id
           WHERE e.vec_id % 97 = 0"""
-      })
+      }),
+
+    // Tokenizer FERTILITY report: chars/token and tokens/word per
+    // language — the multilingual-tokenizer health metric (a language
+    // whose fertility is 2× the corpus mean pays 2× the context budget;
+    // the report that decides vocab retraining). Real BPE counts
+    // (q217's frozen-merge kernel); one scan-stage encode + one
+    // broadcast-joined doc-meta side + one tiny per-lang hash agg.
+    "q383_tokenizer_fertility" -> QueryDef(
+      (s, d) => {
+        val enc = graft.text.Bpe.encodeKernel(
+          Tables.documents(s, d), "doc_id", "text",
+          graft.text.Bpe.Model(graft.text.BpeMerges.pretrained))
+          .select(col("doc_id"), col("n_tok"))
+        val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        enc.join(meta, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("nc"),
+            sum(col("n_tok")).as("n_tok"),
+            sum(col("n_words")).as("nw"))
+          .select(col("lang"), col("n_docs"), col("n_tok"),
+            Num.rnd(col("nc").cast("double") / col("n_tok").cast("double"), 6)
+              .as("chars_per_tok"),
+            Num.rnd(col("n_tok").cast("double") / col("nw").cast("double"), 6)
+              .as("toks_per_word"))
+      },
+      Some(s"""WITH e AS (SELECT doc_id, ${Round9Queries.bpeReprSql} AS r,
+              length(text) AS nc, len(string_split(text, ' ')) AS nw
+            FROM documents),
+          t AS (SELECT d.lang, e.nc, e.nw,
+              CAST(len(e.r) - len(replace(e.r, '(', '')) AS BIGINT) AS nt
+            FROM e JOIN documents d ON e.doc_id = d.doc_id)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tok,
+            round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) * 1e6)
+              / 1e6 AS chars_per_tok,
+            round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) * 1e6)
+              / 1e6 AS toks_per_word
+          FROM t GROUP BY 1"""))
   )
 }
