@@ -66,8 +66,16 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Array[Str
 }
 
 object MisraGries {
-  /** Column form: `mg(k)(itemCol)` → sorted candidate array. */
-  def mg(k: Int): Column => Column = { c => udaf(new MisraGries(k)).apply(c) }
+  /** Column form: `mg(k)(itemCol)` → sorted candidate array.
+    * Routes to the NATIVE [[MisraGriesExpr]] (mutable-HashMap buffer —
+    * the immutable-Map udaf copies a HAMT path per token); this class
+    * stays as its differential twin (MisraGriesSpec pins ≡ on a single
+    * partition).
+    */
+  def mg(k: Int): Column => Column = { c => MisraGriesExpr(k)(c) }
+
+  /** The boxed udaf twin (differential tests only). */
+  def mgUdaf(k: Int): Column => Column = { c => udaf(new MisraGries(k)).apply(c) }
 
   /** EXACT top-k most frequent items via the certified-sketch plan:
     * one bounded-state MG pass (candidates + total count in the same
