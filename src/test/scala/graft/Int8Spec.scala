@@ -28,6 +28,31 @@ class Int8Spec extends SparkSpec {
     assert(codes(1L)(1) == 127 && codes(2L)(1) == -127)
   }
 
+  test("re-quantizing the reconstruction moves every code at most 1 step") {
+    // decode(q(x)) re-quantized: the reconstruction c·s is exact on the
+    // ORIGINAL scale grid, but quantize 6dp-rounds its inputs and
+    // re-derives scales, so a value sitting at a rounding boundary can
+    // shift ONE code step — never more (stability bound, the property
+    // that makes repeated encode/decode cycles safe).
+    val em = Tables.embeddings(spark, sf).limit(500)
+    val codes1 = Int8.quantize(em).cache()
+    val sc = Int8.scales(em).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scArr = (0 until 64).map(sc(_))
+    val recon = codes1.select(col("vec_id"),
+      expr(s"transform(codes, (c, i) -> cast(cast(c as double) * " +
+        s"element_at(array(${scArr.mkString(",")}), i + 1) as float))")
+        .as("embedding"))
+    val codes2 = Int8.quantize(recon)
+    val joined = codes1.select(col("vec_id"), col("codes").as("c1"))
+      .join(codes2.select(col("vec_id"), col("codes").as("c2")), Seq("vec_id"))
+    val maxStep = joined.select(max(expr(
+      "aggregate(zip_with(c1, c2, (a, b) -> abs(a - b)), 0, (m, d) -> greatest(m, d))"))
+    ).collect()(0).getInt(0)
+    assert(maxStep <= 1, s"re-quantization moved a code by $maxStep steps")
+    assert(joined.count() == 500L)
+    codes1.unpersist()
+  }
+
   test("int8 top-k recall vs exact cosine top-k is high") {
     val em = Tables.embeddings(spark, sf)
     val codes = Int8.quantize(em).cache()

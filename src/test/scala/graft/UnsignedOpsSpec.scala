@@ -86,6 +86,35 @@ class UnsignedOpsSpec extends SparkSpec {
     }
   }
 
+  test("randomized wraparound: 80 random pairs per width vs BigInt") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rng = new scala.util.Random(2026)
+    for (bits <- Seq(8, 16, 32, 64)) {
+      val m = BigInt(1) << bits
+      val in = (0 until 80).map { _ =>
+        (BigInt(bits, rng), BigInt(bits, rng))
+      }
+      val df = in.zipWithIndex
+        .map { case ((a, b), i) => (i, a.toString, b.toString) }
+        .toDF("i", "as", "bs")
+        .select(col("i"),
+          col("as").cast(DecimalType(20, 0)).cast(UnsignedOps.storageType(bits)).as("a"),
+          col("bs").cast(DecimalType(20, 0)).cast(UnsignedOps.storageType(bits)).as("b"))
+      val got = df.select(col("i"),
+          UnsignedOps.uadd(col("a"), col("b"), bits).cast("string").as("add"),
+          UnsignedOps.usub(col("a"), col("b"), bits).cast("string").as("sub"),
+          UnsignedOps.umul(col("a"), col("b"), bits).cast("string").as("mul"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getString(1), r.getString(2), r.getString(3))).toMap
+      for (((a, b), i) <- in.zipWithIndex) {
+        val want = (((a + b) mod m).toString, ((a - b) mod m).toString,
+          ((a * b) mod m).toString)
+        assert(got(i) == want, s"uint$bits a=$a b=$b")
+      }
+    }
+  }
+
   test("fixture scan widens along the lattice and preserves extremes") {
     val f = Tables.uintFixture(spark)
     val types = f.schema.fields.map(x => x.name -> x.dataType).toMap
