@@ -853,6 +853,22 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
                    embCol: String = "embedding"): GFrame =
     GFrame(graft.similarity.Int8.quantize(df, idCol, embCol))
 
+  /** Persistable sign-signature cell index of this (deduped) corpus —
+    * write it once, probe every new crawl batch against it
+    * (Similarity.embedCellIndex contract; gated q382).
+    */
+  def embedCellIndex(tables: Int = 4, targetCell: Int = 256): GFrame =
+    GFrame(graft.similarity.Similarity.embedCellIndex(df, tables, targetCell))
+
+  /** Probe THIS frame (the new batch) against a persisted cell index:
+    * returns (new_id, n_matches, is_dup) — only candidates pay the
+    * exact-cosine verify (Similarity.probeEmbedIndex; gated q382).
+    */
+  def probeEmbedIndex(index: GFrame, corpus: GFrame, threshold: Double,
+                      tables: Int = 4): GFrame =
+    GFrame(graft.similarity.Similarity
+      .probeEmbedIndex(index.df, df, corpus.df, threshold, tables))
+
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))

@@ -80,6 +80,13 @@ class SemDedupScaledSpec extends SparkSpec {
     // in-memory and persisted index give identical probe results
     val out2 = Similarity.probeEmbedIndex(idx, batch, em, 0.99, tables = 2)
     assert(out.collect().map(_.toSeq).toSet == out2.collect().map(_.toSeq).toSet)
+    // GFrame wrappers delegate to the same implementations
+    import graft.api.GFrame
+    val viaApi = GFrame(batch)
+      .probeEmbedIndex(GFrame(em).embedCellIndex(tables = 2), GFrame(em), 0.99,
+        tables = 2)
+      .df.collect().map(_.toSeq).toSet
+    assert(viaApi == out.collect().map(_.toSeq).toSet)
     em.unpersist()
   }
 
