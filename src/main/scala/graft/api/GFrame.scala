@@ -47,6 +47,33 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def assign(name: String, value: Column): GFrame =
     GFrame(df.withColumn(name, value), index)
 
+  /** Multi-column list assignment —
+    * `ldf[["col2","col1"]] = ldf[["col1","col2"]]` (reference
+    * `tests/pandas/df_swap.py:24-28`): positional pairing of targets to
+    * sources, every RHS evaluated against the PRE-assignment frame (a
+    * swap must not see its own first write), existing columns updated
+    * in place keeping the frame's column order, new targets appended.
+    * One select — a pure scan-stage projection at any scale.
+    */
+  def setItems(targets: Seq[String], sources: Seq[Column]): GFrame = {
+    require(targets.size == sources.size,
+      s"setItems: ${targets.size} targets vs ${sources.size} sources")
+    require(targets.distinct.size == targets.size,
+      "setItems: duplicate target column")
+    val mapping = targets.zip(sources).toMap
+    val existing = df.columns.map { c =>
+      mapping.get(c).map(_.as(c)).getOrElse(col(c))
+    }
+    val appended = targets.filterNot(df.columns.contains)
+      .map(t => mapping(t).as(t))
+    GFrame(df.select(existing ++ appended: _*), index)
+  }
+
+  /** String-source convenience of [[setItems]] (the df_swap idiom). */
+  def setItems(targets: Seq[String], sources: Seq[String])(
+      implicit d: DummyImplicit): GFrame =
+    setItems(targets, sources.map(col))
+
   def addSuffix(s: String): GFrame =
     GFrame(Projections.addSuffix(df, s), index.map(_ + s))
 
@@ -179,13 +206,27 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   }
 
   /** loc lookup on the index: scalar key (first level) or tuple key
-    * ((k1, k2, …) — full or partial MultiIndex prefix). A missing key
-    * yields an empty frame, not pandas' KeyError — the frame is lazy,
-    * so existence isn't known at call time (documented divergence).
+    * ((k1, k2, …) — full or partial MultiIndex prefix). A PARTIAL key
+    * drops the matched prefix levels from the result, which stays
+    * indexed by the remaining levels — pandas' partial-indexing
+    * contract (reference `tests/pandas/df_loc_multiindex.py:43-45`:
+    * `loc[(2, 0)]` on a 3-level index returns a frame indexed by level
+    * 2 only). A FULL-arity key keeps the frame form with its levels
+    * (pandas returns a Series there; we have no scalar frame).
+    * A missing key yields an empty frame, not pandas' KeyError — the
+    * frame is lazy, so existence isn't known at call time (documented
+    * divergence).
     */
   def loc(key: Any): GFrame = {
     require(index.nonEmpty, "loc requires an index")
-    GFrame(df.filter(keyCond(key)), index)
+    val arity = key match {
+      case p: Product if p.productPrefix.startsWith("Tuple") => p.productArity
+      case _ => 1
+    }
+    val filtered = df.filter(keyCond(key))
+    if (arity < index.size)
+      GFrame(filtered.drop(index.take(arity): _*), index.drop(arity))
+    else GFrame(filtered, index)
   }
 
   /** loc scatter assignment by (possibly partial) tuple key —
@@ -862,12 +903,19 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
 
   /** Probe THIS frame (the new batch) against a persisted cell index:
     * returns (new_id, n_matches, is_dup) — only candidates pay the
-    * exact-cosine verify (Similarity.probeEmbedIndex; gated q382).
+    * exact-cosine verify. The modulus AND table count come from the
+    * index itself (Similarity.probeEmbedIndex; gated q382).
     */
-  def probeEmbedIndex(index: GFrame, corpus: GFrame, threshold: Double,
-                      tables: Int = 4): GFrame =
+  def probeEmbedIndex(index: GFrame, corpus: GFrame, threshold: Double): GFrame =
     GFrame(graft.similarity.Similarity
-      .probeEmbedIndex(index.df, df, corpus.df, threshold, tables))
+      .probeEmbedIndex(index.df, df, corpus.df, threshold))
+
+  /** Merge THIS frame (a probed-and-accepted batch) into a persisted
+    * cell index — the incremental-curation append
+    * (Similarity.mergeEmbedIndex; gated q384).
+    */
+  def mergeEmbedIndex(index: GFrame): GFrame =
+    GFrame(graft.similarity.Similarity.mergeEmbedIndex(index.df, df))
 
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =

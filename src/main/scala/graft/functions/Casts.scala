@@ -21,11 +21,24 @@ object Casts {
     case "int16"   => c.cast("short")
     case "int32"   => c.cast("int")
     case "int64"   => c.cast("long")
+    // unsigned targets widen along the Types lattice (SURVEY §1.3)
+    case "uint8"   => c.cast("short")
+    case "uint16"  => c.cast("int")
+    case "uint32"  => c.cast("long")
+    case "uint64"  => c.cast("decimal(20,0)")
     case "float32" => c.cast("float")
     case "float64" => c.cast("double")
     case "bool"    => c.cast("boolean")
     case "string"  => c.cast("string")
-    case other     => c.cast(other)
+    // reference error contract (tests/pandas/sr_astype_invalid.py:20-24):
+    // numeric→datetime64[ns] raises NotImplementedError there, and an
+    // unknown dtype name raises — Spark's permissive cast would instead
+    // accept anything cast-able, so fail eagerly at plan-build time
+    case "datetime64[ns]" =>
+      throw new UnsupportedOperationException(
+        "astype to datetime64[ns] is not supported — use toDatetime(col, format)")
+    case other =>
+      throw new IllegalArgumentException(s"astype: unknown dtype '$other'")
   }
 
   /** strptime-style → Spark datetime pattern, covering every directive

@@ -100,7 +100,11 @@ case class MisraGriesExpr(child: Expression, k: Int,
     val it = b.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed UTF-8, not writeUTF: writeUTF caps keys at
+      // 65535 encoded bytes and a heavy-hitters pass over a long-string
+      // column would throw UTFDataFormatException at shuffle time
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush(); bos.toByteArray
   }
@@ -110,7 +114,14 @@ case class MisraGriesExpr(child: Expression, k: Int,
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     new MGBuffer(m)
   }
 

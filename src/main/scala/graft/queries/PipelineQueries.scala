@@ -51,6 +51,10 @@ object PipelineQueries {
       (s, d) => Tables.embeddings(s, d)
         .groupBy("label")
         .agg(graft.functions.VecSumExpr(64)(col("embedding")).as("sc"))
+        // a group whose embeddings are all null/mis-sized has sc.n = 0;
+        // the oracle (and the old posexplode form) emit no rows for it,
+        // so gate the transform on n > 0 instead of emitting 64 NaNs
+        .filter(col("sc")("n") > 0)
         .select(col("label"),
           posexplode(expr("transform(sc.sums, x -> x / sc.n)"))
             .as(Seq("pos", "m")))

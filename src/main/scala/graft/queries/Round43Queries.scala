@@ -162,10 +162,16 @@ object Round43Queries {
         def proj(t: String, f: graft.api.GFrame) = f.df
           .select(lit(t).as("branch"), col("l_orderkey"),
             col("l_linenumber"), col("l_quantity"))
+        // partial-key loc DROPS the matched level (pandas contract,
+        // r11) — prefix/scatter branches re-materialize it as the
+        // literal key so all four branches union on one schema
+        def projP(t: String, key: Long, f: graft.api.GFrame) = f.df
+          .select(lit(t).as("branch"), lit(key).as("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
         proj("full", g.loc((100L, 2)))
-          .unionByName(proj("prefix", g.loc(103L)))
+          .unionByName(projP("prefix", 103L, g.loc(103L)))
           .unionByName(proj("range", g.locRange2((100L, 3), (103L, 2))))
-          .unionByName(proj("scatter",
+          .unionByName(projP("scatter", 103L,
             g.locSet((103L, 1), "l_quantity", 99.0).loc(103L)))
       },
       Some("""SELECT 'full' AS branch, l_orderkey, l_linenumber, l_quantity
@@ -530,7 +536,7 @@ object Round43Queries {
         val batch = em.filter(col("vec_id") % 97 === 0)
         val idx = graft.similarity.Similarity.embedCellIndex(corpus, tables = 4)
         graft.similarity.Similarity
-          .probeEmbedIndex(idx, batch, corpus, 0.4, tables = 4)
+          .probeEmbedIndex(idx, batch, corpus, 0.4)
       },
       Some {
         val tables = (0 until 4).map { t =>

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+
+/** Round-44 additions (build round 11): the last arcs of the
+  * incremental-curation story plus the residual VERDICT r10 items —
+  * embedding cell-index MERGE (the probe→accept→append loop, twin of
+  * MinHash's q194/q195 contract), the banded-blocking operating-point
+  * SWEEP with measured recall/precision per (targetCell, R), unsigned
+  * keys through joins and groupbys (reference
+  * `legate/pandas/common/types.py:72-104`; `tests/pandas/df_merge*.py`
+  * exercise mixed-dtype keys), and the multi-column list-assignment
+  * idiom (reference `tests/pandas/df_swap.py:24-28`).
+  */
+object Round44Queries {
+
+  private val fx = s"read_parquet('${Tables.uintFixturePath}')"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Incremental-curation APPEND: corpus indexed once, batch-1 probed,
+    // its non-dups MERGED into the persisted index with the index's OWN
+    // frozen modulus (never re-derived from a count — cell assignment
+    // must stay stable as the index grows), then batch-2 probes the
+    // merged index and must see batch-1's accepted vectors as dup
+    // sources. The oracle rebuilds the merged index from scratch with
+    // the same frozen modulus — pinning merge ≡ rebuild row for row.
+    "q384_embed_index_merge" -> QueryDef(
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val corpus = em.filter(col("vec_id") % 89 >= 2)
+        val b1 = em.filter(col("vec_id") % 89 === 0)
+        val b2 = em.filter(col("vec_id") % 89 === 1)
+        val idx = graft.similarity.Similarity.embedCellIndex(corpus, tables = 4)
+        val p1 = graft.similarity.Similarity
+          .probeEmbedIndex(idx, b1, corpus, 0.4)
+        val acc = b1.join(p1.filter(!col("is_dup"))
+          .select(col("new_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val merged = graft.similarity.Similarity.mergeEmbedIndex(idx, acc)
+        graft.similarity.Similarity
+          .probeEmbedIndex(merged, b2, corpus.unionByName(acc), 0.4)
+      },
+      Some {
+        def idxSql(t: Int, where: String) =
+          s"""SELECT $t AS t, vec_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE $where"""
+        def probeSql(t: Int, where: String) =
+          s"""SELECT $t AS t, vec_id AS new_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE $where"""
+        val idx0 = (0 until 4).map(idxSql(_, "vec_id % 89 >= 2"))
+          .mkString(" UNION ALL ")
+        val p1 = (0 until 4).map(probeSql(_, "vec_id % 89 = 0"))
+          .mkString(" UNION ALL ")
+        val idxa = (0 until 4).map(idxSql(_,
+          "vec_id % 89 = 0 AND vec_id NOT IN (SELECT new_id FROM dup1)"))
+          .mkString(" UNION ALL ")
+        val p2 = (0 until 4).map(probeSql(_, "vec_id % 89 = 1"))
+          .mkString(" UNION ALL ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+              WHERE vec_id % 89 >= 2),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          idx0 AS ($idx0),
+          p1 AS ($p1),
+          cand1 AS (SELECT DISTINCT p.new_id, i.vec_id AS corpus_id
+            FROM p1 p JOIN idx0 i ON i.t = p.t AND i.cell = p.cell
+            WHERE p.new_id != i.vec_id),
+          dup1 AS (SELECT cand1.new_id
+            FROM cand1
+            JOIN embeddings a ON a.vec_id = cand1.new_id
+            JOIN embeddings b ON b.vec_id = cand1.corpus_id
+            WHERE round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+              * 1e6) / 1e6 >= 0.4
+            GROUP BY 1),
+          idx1 AS (SELECT * FROM idx0 UNION ALL $idxa),
+          p2 AS ($p2),
+          cand2 AS (SELECT DISTINCT p.new_id, i.vec_id AS corpus_id
+            FROM p2 p JOIN idx1 i ON i.t = p.t AND i.cell = p.cell
+            WHERE p.new_id != i.vec_id),
+          m2 AS (SELECT cand2.new_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM cand2
+            JOIN embeddings a ON a.vec_id = cand2.new_id
+            JOIN embeddings b ON b.vec_id = cand2.corpus_id
+            WHERE round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+              * 1e6) / 1e6 >= 0.4
+            GROUP BY 1)
+          SELECT e.vec_id AS new_id,
+            coalesce(m2.n_matches, 0) AS n_matches,
+            (coalesce(m2.n_matches, 0) > 0) AS is_dup
+          FROM embeddings e LEFT JOIN m2 ON e.vec_id = m2.new_id
+          WHERE e.vec_id % 89 = 1"""
+      }),
+
+    // Banded-blocking operating-point SWEEP: (targetCell × R) grid with
+    // measured n_cand/precision/recall against exact ground truth — the
+    // knob table a 100 TB run reads before paying candidate volume
+    // (q378/q379 measured two points; this pins the curve). Truth is
+    // computed once; per targetCell each pair carries min(first
+    // colliding table) so the whole R axis is a filter, not a re-join.
+    "q388_banded_sweep" -> QueryDef(
+      (s, d) => graft.similarity.Similarity.bandedSweep(
+        Tables.embeddings(s, d), 0.4, rs = Seq(1, 2, 4, 8),
+        cells = Seq(128, 256, 512)),
+      Some {
+        val sigs = (0 until 8).map { t =>
+          s"""SELECT vec_id, $t AS t,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)}
+                 AS BIGINT) AS sg
+             FROM embeddings"""
+        }.mkString(" UNION ALL ")
+        def cellBlock(targetCell: Int) =
+          s"""SELECT $targetCell AS target_cell, rr.r,
+              CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(sum(CASE WHEN tr.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tp
+            FROM (SELECT x.vec_id AS id1, y.vec_id AS id2, min(x.t) AS mt
+                FROM (SELECT vec_id, t, sg % c_$targetCell.c AS cell
+                    FROM sig CROSS JOIN c_$targetCell) x
+                JOIN (SELECT vec_id, t, sg % c_$targetCell.c AS cell
+                    FROM sig CROSS JOIN c_$targetCell) y
+                  ON x.t = y.t AND x.cell = y.cell AND x.vec_id < y.vec_id
+                GROUP BY 1, 2) f
+            CROSS JOIN (VALUES (1), (2), (4), (8)) rr(r)
+            LEFT JOIN truth tr ON f.id1 = tr.id1 AND f.id2 = tr.id2
+            WHERE f.mt < rr.r
+            GROUP BY 1, 2"""
+        val cBlocks = Seq(128, 256, 512).map(tc =>
+          s"c_$tc AS (SELECT greatest(1, (n + ${tc - 1}) // $tc) AS c FROM nn)")
+          .mkString(",\n          ")
+        val res = Seq(128, 256, 512).map(cellBlock).mkString(" UNION ALL ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          $cBlocks,
+          sig AS ($sigs),
+          e AS (SELECT vec_id, embedding FROM embeddings),
+          truth AS (SELECT id1, id2 FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+                  * 1e6) / 1e6 AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE sim >= 0.4),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+          res AS ($res)
+          SELECT res.target_cell, res.r, t.n_truth, res.n_cand, res.n_tp,
+            round(CAST(res.n_tp AS DOUBLE) / CAST(res.n_cand AS DOUBLE) * 1e6)
+              / 1e6 AS precision,
+            round(CAST(res.n_tp AS DOUBLE) / CAST(t.n_truth AS DOUBLE) * 1e6)
+              / 1e6 AS recall
+          FROM res, t"""
+      }),
+
+    // Join ON a uint64 key: Spark's widened decimal(20,0) key vs
+    // DuckDB's native uint64 on the SAME parquet — hash-join equality
+    // must agree across the full 2^64 range (keys near 2^64-1 are in
+    // the fixture). Self-join keyed by u64; values leave as exact
+    // strings. Scale shape: an equi-join on a fixed-width key, same
+    // exchange as any bigint join.
+    "q385_uint_join" -> QueryDef(
+      (s, d) => {
+        val f = Tables.uintFixture(s)
+        val dim = f.select(col("u64"), col("u32").as("r32"))
+        f.select(col("id"), col("u64"), col("u16"))
+          .join(dim, Seq("u64"))
+          .select(col("id"), col("u64").cast("string").as("k64"),
+            col("u16").cast("int").as("u16v"), col("r32"))
+      },
+      Some(s"""SELECT a.id, CAST(a.u64 AS VARCHAR) AS k64,
+            CAST(a.u16 AS INT) AS u16v, CAST(b.u32 AS BIGINT) AS r32
+          FROM $fx a JOIN $fx b ON a.u64 = b.u64""")),
+
+    // Group BY a uint32 key (widened to BIGINT on the Spark side,
+    // native uint32 in DuckDB): grouping hashes and group identities
+    // must agree; uint64 extremes inside the groups leave as exact
+    // strings.
+    "q386_uint_groupby" -> QueryDef(
+      (s, d) => Tables.uintFixture(s)
+        .groupBy(col("u32"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("u8").cast("long")).as("s8"),
+          max(col("u64")).cast("string").as("mx64"))
+        .select(col("u32").as("k32"), col("n"), col("s8"), col("mx64")),
+      Some(s"""SELECT CAST(u32 AS BIGINT) AS k32,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(u8 AS BIGINT)) AS BIGINT) AS s8,
+            CAST(max(u64) AS VARCHAR) AS mx64
+          FROM $fx GROUP BY 1""")),
+
+    // Multi-column list assignment (reference tests/pandas/df_swap.py:
+    // `ldf[["col2","col1"]] = ldf[["col1","col2"]]`): positional
+    // pairing, all RHS read from the PRE-assignment frame (the swap is
+    // simultaneous), column order preserved, new targets appended —
+    // GFrame.setItems. Pure projection; zero exchanges.
+    "q387_multicol_swap" -> QueryDef(
+      (s, d) => graft.api.GFrame(Tables.lineitem(s, d))
+        .setItems(
+          Seq("l_extendedprice", "l_quantity", "qty_copy"),
+          Seq("l_quantity", "l_extendedprice", "l_quantity"))
+        .df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("qty_copy")),
+      Some("""SELECT l_orderkey, l_linenumber,
+            l_extendedprice AS l_quantity,
+            l_quantity AS l_extendedprice,
+            l_quantity AS qty_copy
+          FROM lineitem"""))
+  )
+}

@@ -330,10 +330,12 @@ object Similarity {
   def semDedupScaled(corpus: DataFrame, threshold: Double,
       targetCell: Int = 256, maxCell: Int = 1000): DataFrame = {
     val planes = planeLiterals(32, 64, seed = 7L)
-    // cache ownership: the RETURNED lazy plan references `proj` on both
-    // verify sides and `assigned` on the pair + kept joins, so the
-    // caches must outlive this call — same contract as semDedup's; the
-    // caller releases after materializing (or the executor LRU evicts).
+    // cache ownership: materialize-and-release (the topKFrequent rule —
+    // nothing cached outlives the call). The result is localCheckpointed
+    // eagerly below, then proj/assigned are unpersisted; the checkpoint
+    // blocks are tied to the RETURNED frame's lifetime (ContextCleaner
+    // frees them on GC), so repeated invocations cannot accumulate
+    // MEMORY_AND_DISK blocks.
     val proj = corpus.select(col("vec_id"), col("embedding")).cache()
     val n = proj.count()
     val c = math.max(1L, (n + targetCell - 1) / targetCell)
@@ -373,9 +375,13 @@ object Similarity {
       .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
         >= lit(threshold))
       .select(col("id2").as("vec_id")).distinct()
-    assigned
+    val result = assigned
       .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
+      .localCheckpoint(true)
+    proj.unpersist(blocking = false)
+    assigned.unpersist(blocking = false)
+    result
   }
 
   /** Candidate pairs from R INDEPENDENT sign-signature tables, unioned
@@ -391,8 +397,8 @@ object Similarity {
       targetCell: Int = 256): DataFrame = {
     // 2R+1 consumers (count + both sides of each table's cell join):
     // cache the two-column projection once. Ownership as in
-    // [[semDedupScaled]]: the returned lazy plan references it, the
-    // caller releases after materializing (or the LRU evicts).
+    // [[semDedupScaled]]: materialize-and-release — the pair set is
+    // localCheckpointed below and the cache released before return.
     val proj = corpus.select(col("vec_id"), col("embedding")).cache()
     val n = proj.count()
     val c = math.max(1L, (n + targetCell - 1) / targetCell)
@@ -405,7 +411,9 @@ object Similarity {
           col("cell") === col("cell2") && col("vec_id") < col("vid2"))
         .select(col("vec_id").as("id1"), col("vid2").as("id2"))
     }
-    perTable.reduce(_.unionAll(_)).distinct()
+    val result = perTable.reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    proj.unpersist(blocking = false)
+    result
   }
 
   /** Persistable sign-signature cell index of a deduplicated corpus —
@@ -418,9 +426,14 @@ object Similarity {
     * partitioned by (t, cell) and the probe's bucket join prunes.
     */
   def embedCellIndex(corpus: DataFrame, tables: Int = 4,
-      targetCell: Int = 256): DataFrame = {
-    val n = corpus.count()
-    val c = math.max(1L, (n + targetCell - 1) / targetCell)
+      targetCell: Int = 256, frozenC: Option[Long] = None): DataFrame = {
+    // frozenC reuses an EXISTING index's modulus (for rebuild-equivalence
+    // checks against [[mergeEmbedIndex]]); the default derives it from
+    // the corpus count as at first build.
+    val c = frozenC.getOrElse {
+      val n = corpus.count()
+      math.max(1L, (n + targetCell - 1) / targetCell)
+    }
     (0 until tables).map { t =>
       val planes = planeLiterals(32, 64, seed = 7L + t)
       corpus.select(lit(t).as("t"),
@@ -436,9 +449,22 @@ object Similarity {
     * candidate count, not corpus size). Returns
     * (new_id, n_matches, is_dup) per batch vector.
     */
+  /** Frozen modulus + table count of a persisted [[embedCellIndex]].
+    * Both are READ FROM THE INDEX (one bounded agg), never trusted from
+    * a caller: a `tables` guess larger than the index's real table set
+    * would emit probes matching nothing and silently degrade recall.
+    * Fails with a clear message on an empty index.
+    */
+  private def indexMeta(index: DataFrame): (Long, Int) = {
+    val row = index.agg(max(col("t")).as("maxT"), max(col("c")).as("c")).collect()(0)
+    require(!row.isNullAt(1),
+      "probeEmbedIndex: index is empty — build it with embedCellIndex over a non-empty corpus first")
+    (row.getLong(1), row.getInt(0) + 1)
+  }
+
   def probeEmbedIndex(index: DataFrame, batch: DataFrame, corpus: DataFrame,
-      threshold: Double, tables: Int = 4): DataFrame = {
-    val c = index.select(col("c")).limit(1).collect()(0).getLong(0)
+      threshold: Double): DataFrame = {
+    val (c, tables) = indexMeta(index)
     val probes = (0 until tables).map { t =>
       val planes = planeLiterals(32, 64, seed = 7L + t)
       batch.select(col("vec_id").as("new_id"), lit(t).as("t"),
@@ -462,6 +488,110 @@ object Similarity {
       .select(col("new_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
+  /** Append a probed-and-ACCEPTED batch INTO a persisted
+    * [[embedCellIndex]] — the last arc of the incremental-curation
+    * contract (the embedding twin of MinHash.bucketIndex +
+    * DocStreams.incrementalDedup): dedup the corpus ONCE, then per
+    * crawl batch probe → accept the non-dups → merge them so the NEXT
+    * batch dedups against them too, never re-scanning the corpus. The
+    * batch hashes with the index's OWN frozen modulus and table set
+    * ([[indexMeta]] — read from the index, never re-derived from a
+    * count), so cell assignment is stable as the index grows:
+    * `probe(merge(index, b1), b2)` ≡ probing an index rebuilt over
+    * corpus ∪ b1 with the same frozen modulus
+    * (`embedCellIndex(…, frozenC = Some(c))`), row for row. Output
+    * keeps the (t, cell, vec_id, c) schema; write back partitioned by
+    * (t, cell) like the original build and probes keep pruning.
+    */
+  /** Operating-point SWEEP for banded sign-signature blocking: for each
+    * (targetCell, R) in the grid, the q378/q379-style report
+    * (n_truth, n_cand, n_tp, precision, recall) — the table a 100 TB
+    * run reads to pick its R before paying for the candidate volume.
+    *
+    * Cost discipline: ground truth (exact tiled all-pairs at
+    * `threshold`) is computed ONCE; per targetCell the max(R)-table
+    * pair set is computed ONCE with each pair carrying min(table) of
+    * first collision, so every R answers by FILTER (mt < R), not a
+    * re-join — the R axis of the grid is free. The sweep itself is a
+    * SAMPLED report: run it on a representative slice, then curate the
+    * full corpus with the chosen point ([[autoR]]).
+    */
+  def bandedSweep(corpus: DataFrame, threshold: Double,
+      rs: Seq[Int] = Seq(1, 2, 4, 8),
+      cells: Seq[Int] = Seq(128, 256, 512)): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val proj = corpus.select(col("vec_id"), col("embedding")).cache()
+    val n = proj.count()
+    val truth = cosinePairsTiledKernel(proj, threshold)
+      .select(col("id1"), col("id2"), lit(1L).as("__tp"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val maxR = rs.max
+    val rsDf = rs.toDF("r")
+    val perCell = cells.map { targetCell =>
+      val c = math.max(1L, (n + targetCell - 1) / targetCell)
+      val sigs = (0 until maxR).map { t =>
+        val planes = planeLiterals(32, 64, seed = 7L + t)
+        proj.select(col("vec_id"), lit(t).as("t"),
+          pmod(signBits(col("embedding"), planes), lit(c)).as("cell"))
+      }.reduce(_.unionAll(_))
+      // min first-colliding table per pair: R covers the pair iff mt < R
+      val firstT = sigs.as("x")
+        .join(sigs.select(col("vec_id").as("id2"), col("t").as("t2"),
+            col("cell").as("cell2")),
+          col("t") === col("t2") && col("cell") === col("cell2")
+            && col("vec_id") < col("id2"))
+        .groupBy(col("vec_id").as("id1"), col("id2"))
+        .agg(min(col("t")).as("mt"))
+      firstT.join(truth, Seq("id1", "id2"), "left_outer")
+        .crossJoin(broadcast(rsDf))
+        .filter(col("mt") < col("r"))
+        .groupBy(col("r"))
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(col("__tp")), lit(0L)).as("n_tp"))
+        .select(lit(targetCell).as("target_cell"), col("r"),
+          lit(nTruth).as("n_truth"), col("n_cand"), col("n_tp"),
+          graft.functions.Num.rnd(
+            col("n_tp").cast("double") / col("n_cand").cast("double"), 6)
+            .as("precision"),
+          graft.functions.Num.rnd(
+            col("n_tp").cast("double") / lit(nTruth.toDouble), 6)
+            .as("recall"))
+    }
+    val result = perCell.reduce(_.unionAll(_)).localCheckpoint(true)
+    proj.unpersist(blocking = false)
+    result
+  }
+
+  /** Choose the CHEAPEST measured operating point meeting a recall
+    * target from a [[bandedSweep]] table: min candidate volume first
+    * (that is what a 100 TB run pays for), then min R. Returns
+    * (targetCell, r); fails with the best-available recall in the
+    * message if no point reaches the target.
+    */
+  def autoR(sweep: DataFrame, targetRecall: Double): (Int, Int) = {
+    val rows = sweep.select(col("target_cell"), col("r"), col("n_cand"),
+        col("recall")).collect()
+    require(rows.nonEmpty, "autoR: empty sweep table")
+    val ok = rows.filter(_.getDouble(3) >= targetRecall)
+    require(ok.nonEmpty,
+      s"autoR: no operating point reaches recall $targetRecall " +
+        s"(best measured: ${rows.map(_.getDouble(3)).max})")
+    val best = ok.minBy(r => (r.getLong(2), r.getInt(1)))
+    (best.getInt(0), best.getInt(1))
+  }
+
+  def mergeEmbedIndex(index: DataFrame, accepted: DataFrame): DataFrame = {
+    val (c, tables) = indexMeta(index)
+    val batchRows = (0 until tables).map { t =>
+      val planes = planeLiterals(32, 64, seed = 7L + t)
+      accepted.select(lit(t).as("t"),
+        pmod(signBits(col("embedding"), planes), lit(c)).as("cell"),
+        col("vec_id"), lit(c).as("c"))
+    }.reduce(_.unionAll(_))
+    index.unionByName(batchRows)
   }
 
   /** Banded-repetition SemDeDup: [[semDedupScaled]]'s election over the
@@ -510,8 +640,12 @@ object Similarity {
       .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
         >= lit(threshold))
       .select(col("id2").as("vec_id")).distinct()
-    assigned
+    val result = assigned
       .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
+      .localCheckpoint(true)
+    proj.unpersist(blocking = false)
+    assigned.unpersist(blocking = false)
+    result
   }
 }

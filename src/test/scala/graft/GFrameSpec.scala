@@ -262,6 +262,12 @@ class GFrameSpec extends SparkSpec {
     val wantPrefix = li.filter(col("l_orderkey") === 3)
       .select("l_linenumber").collect().map(_.getInt(0)).sorted
     assert(prefix.toSeq == wantPrefix.toSeq && prefix.length >= 1)
+    // partial key DROPS the matched level; result indexed by the rest
+    // (pandas / reference df_loc_multiindex.py:43-45 contract, r11)
+    assert(!g.loc(3L).df.columns.contains("l_orderkey"))
+    assert(g.loc(3L).index == Seq("l_linenumber"))
+    // full-arity key keeps the frame form with its levels
+    assert(g.loc((3L, 2)).index == Seq("l_orderkey", "l_linenumber"))
     // over-long tuple rejected
     intercept[IllegalArgumentException] { g.loc((1L, 1, 1)) }
     // lexicographic range: level-0 ties broken by level-1 at both ends

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave: embed-index merge, banded sweep + autoR, uint keys,
+  * multi-column list assignment, astype error contract, MG long keys.
+  */
+class Round32Spec extends SparkSpec {
+
+  test("mergeEmbedIndex ≡ rebuild with the index's frozen modulus") {
+    import graft.similarity.Similarity
+    val em = Tables.embeddings(spark, sf).limit(400).cache()
+    val corpus = em.filter(col("vec_id") % 5 =!= 0)
+    val b1 = em.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.embedCellIndex(corpus, tables = 3)
+    val c = idx.select(max(col("c"))).collect()(0).getLong(0)
+    val merged = Similarity.mergeEmbedIndex(idx, b1)
+      .collect().map(_.toSeq).toSet
+    // rebuild over corpus ∪ b1 with the SAME frozen modulus — cell
+    // assignment must be identical row for row (the merge contract)
+    val rebuilt = Similarity.embedCellIndex(
+      corpus.unionByName(b1), tables = 3, frozenC = Some(c))
+      .collect().map(_.toSeq).toSet
+    assert(merged == rebuilt && merged.nonEmpty)
+    em.unpersist()
+  }
+
+  test("probeEmbedIndex derives table count from the index; empty index fails clearly") {
+    import graft.similarity.Similarity
+    val em = Tables.embeddings(spark, sf).limit(200).cache()
+    val idx2 = Similarity.embedCellIndex(em, tables = 2)
+    // exact clones under new ids → all dup, regardless of any caller guess
+    val batch = em.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val out = Similarity.probeEmbedIndex(idx2, batch, em, 0.99)
+    assert(out.filter(!col("is_dup")).count() == 0L)
+    val emptyIdx = idx2.filter(lit(false))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.probeEmbedIndex(emptyIdx, batch, em, 0.99)
+    }
+    assert(ex.getMessage.contains("empty"))
+    em.unpersist()
+  }
+
+  test("bandedSweep: recall monotone in R, candidates bounded, autoR picks cheapest") {
+    import graft.similarity.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val sweep = Similarity.bandedSweep(em, 0.4, rs = Seq(1, 2, 4),
+      cells = Seq(128, 256)).cache()
+    val rows = sweep.collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(3), r.getDouble(6)))
+    assert(rows.length == 6)
+    for (cell <- Seq(128, 256)) {
+      val byR = rows.filter(_._1 == cell).sortBy(_._2)
+      // more tables can only ADD candidates and covered truth pairs
+      assert(byR.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+      assert(byR.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    }
+    val minRecall = rows.map(_._4).min
+    val (tc, r) = Similarity.autoR(sweep, minRecall)
+    // the chosen point meets the target at minimal candidate volume
+    val chosen = rows.find(x => x._1 == tc && x._2 == r).get
+    assert(chosen._4 >= minRecall)
+    assert(rows.filter(_._4 >= minRecall).map(_._3).min == chosen._3)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.autoR(sweep, 2.0)
+    }
+    assert(ex.getMessage.contains("no operating point"))
+    sweep.unpersist()
+  }
+
+  test("setItems: simultaneous swap, preserved column order, appended target") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber",
+      "l_quantity", "l_extendedprice").limit(50).cache()
+    val g = graft.api.GFrame(li).setItems(
+      Seq("l_extendedprice", "l_quantity", "qcopy"),
+      Seq("l_quantity", "l_extendedprice", "l_quantity"))
+    // column order preserved; new target appended last
+    assert(g.df.columns.toSeq == Seq("l_orderkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "qcopy"))
+    val before = li.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      (r.get(2), r.get(3))).toMap
+    g.df.collect().foreach { r =>
+      val (q0, e0) = before((r.getLong(0), r.getInt(1)))
+      // swap read PRE-assignment values on both sides
+      assert(r.get(2) == e0 && r.get(3) == q0 && r.get(4) == q0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.GFrame(li).setItems(Seq("a", "a"), Seq("l_quantity", "l_quantity"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.GFrame(li).setItems(Seq("a"), Seq("l_quantity", "l_quantity"))
+    }
+    li.unpersist()
+  }
+
+  test("astype error contract: unknown dtype and datetime64[ns] raise (reference sr_astype_invalid.py)") {
+    import graft.functions.Casts
+    intercept[IllegalArgumentException] { Casts.astype(col("x"), "not_a_dtype") }
+    intercept[UnsupportedOperationException] {
+      Casts.astype(col("x"), "datetime64[ns]")
+    }
+    // the supported lattice still casts
+    assert(Casts.astype(lit(300), "uint8") != null)
+    assert(Casts.astype(lit("9"), "int64") != null)
+  }
+
+  test("mg() survives items longer than 65535 UTF-8 bytes at shuffle time") {
+    import spark.implicits._
+    val big = "x" * 70000
+    val items = (Seq.fill(40)(big) ++ Seq.fill(25)("y") ++
+      (1 to 35).map(i => s"z$i")).toDF("item").repartition(4)
+    val cand = items.agg(graft.functions.MisraGriesExpr(2)(col("item")))
+      .collect()(0).getSeq[String](0)
+    // the 70000-byte key is a true heavy hitter — it must survive
+    // serialize/merge across partitions and come back intact
+    assert(cand.contains(big))
+  }
+}

@@ -74,17 +74,16 @@ class SemDedupScaledSpec extends SparkSpec {
     // probe the corpus's own vectors under new ids: every one is an
     // exact clone of a corpus vector → all flagged dup with ≥1 match
     val batch = em.withColumn("vec_id", col("vec_id") + lit(10000000L))
-    val out = Similarity.probeEmbedIndex(persisted, batch, em, 0.99, tables = 2)
+    val out = Similarity.probeEmbedIndex(persisted, batch, em, 0.99)
     assert(out.count() == 300L)
     assert(out.filter(!col("is_dup")).count() == 0L)
     // in-memory and persisted index give identical probe results
-    val out2 = Similarity.probeEmbedIndex(idx, batch, em, 0.99, tables = 2)
+    val out2 = Similarity.probeEmbedIndex(idx, batch, em, 0.99)
     assert(out.collect().map(_.toSeq).toSet == out2.collect().map(_.toSeq).toSet)
     // GFrame wrappers delegate to the same implementations
     import graft.api.GFrame
     val viaApi = GFrame(batch)
-      .probeEmbedIndex(GFrame(em).embedCellIndex(tables = 2), GFrame(em), 0.99,
-        tables = 2)
+      .probeEmbedIndex(GFrame(em).embedCellIndex(tables = 2), GFrame(em), 0.99)
       .df.collect().map(_.toSeq).toSet
     assert(viaApi == out.collect().map(_.toSeq).toSet)
     em.unpersist()
