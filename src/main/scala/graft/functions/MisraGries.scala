@@ -86,18 +86,54 @@ object MisraGries {
     * size), falls back to the full exact aggregation, so the result is
     * exact top-k (count desc, item asc) in every case.
     */
+  /** Fit the MG sketch as a PERSISTABLE one-row table
+    * `(cand array<string>, n bigint, sketch_k int)` — the fit-once/
+    * probe-many contract (like MinHash.bucketIndex and embedCellIndex):
+    * a repeated heavy-hitters workload writes this row once and every
+    * later call pays only the candidate-verify scan, not the MG pass
+    * over the full corpus.  The row is mergeable across corpus deltas
+    * by refitting on the delta and merging candidate sets (superset
+    * candidates never break the certification — it re-proves exactness
+    * from exact counts every call).
+    */
+  def fitSketch(items: org.apache.spark.sql.DataFrame, itemCol: String,
+                sketchK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    items.agg(mg(sketchK)(col(itemCol)).as("cand"),
+        count(col(itemCol)).as("n"))
+      .select(col("cand"), col("n"), lit(sketchK).as("sketch_k"))
+  }
+
   def topKFrequent(items0: org.apache.spark.sql.DataFrame, itemCol: String,
                    k: Int, sketchK: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
     // the item stream is read three times (sketch pass, certification
     // pass, and the returned plan's own execution) — materialize the
     // tokenization once instead of re-exploding the corpus per pass
     val items = items0.persist()
-    val row = items.agg(
-      mg(sketchK)(org.apache.spark.sql.functions.col(itemCol)).as("cand"),
-      count(org.apache.spark.sql.functions.col(itemCol)).as("n")).collect()(0)
+    val out = topKFrequentPrefit(items, itemCol, k,
+      fitSketch(items, itemCol, sketchK))
+    items.unpersist(blocking = false)
+    out
+  }
+
+  /** The amortized path: exact top-k from a PREFIT sketch row
+    * ([[fitSketch]], typically read back from parquet).  One candidate-
+    * filtered aggregation per call — the full-corpus MG pass is gone;
+    * certification still re-proves exactness from the exact counts, so
+    * a stale-but-superset sketch stays correct (a sketch missing a new
+    * heavy item fails certification and falls back to the exact
+    * aggregation rather than returning a wrong answer).
+    */
+  def topKFrequentPrefit(items: org.apache.spark.sql.DataFrame,
+                         itemCol: String, k: Int,
+                         sketch: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val row = sketch.select(col("cand"), col("n"), col("sketch_k"))
+      .collect()(0)
     val cand = row.getAs[scala.collection.Seq[String]](0).toArray
     val n = row.getLong(1)
+    val sketchK = row.getInt(2)
     val threshold = n.toDouble / (sketchK + 1)
     val exactAll: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       d => d.groupBy(itemCol).agg(count(lit(1)).as("cnt"))
@@ -111,19 +147,15 @@ object MisraGries {
     if (certified) {
       // the certified answer is already on the driver (≤ k rows) —
       // return it as literals instead of re-executing the filtered
-      // aggregation when the caller runs the plan. The literal frame
-      // no longer references the cache, so release it here.
-      items.unpersist(blocking = false)
+      // aggregation when the caller runs the plan
       items.sparkSession.createDataFrame(
         java.util.Arrays.asList(topRows: _*), candTop.schema)
     } else {
-      // fallback plan still scans `items`: execute it now (≤ k rows),
-      // return literals, and release the cache — same ownership rule
-      // as the certified branch (nothing cached outlives the call).
+      // fallback still scans `items` in full: execute now (≤ k rows)
+      // and return literals — exact in every case
       val fullTop = graft.operators.Sorts.topK(exactAll(items),
         Seq("cnt", itemCol), Seq(false, true), k)
       val rows = fullTop.collect()
-      items.unpersist(blocking = false)
       items.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), fullTop.schema)
     }

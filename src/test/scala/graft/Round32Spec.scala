@@ -104,6 +104,33 @@ class Round32Spec extends SparkSpec {
     assert(Casts.astype(lit("9"), "int64") != null)
   }
 
+  test("heavy hitters: prefit sketch ≡ refit; stale-superset sketch stays exact via fallback") {
+    import graft.functions.MisraGries
+    val words = Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+        .as("word")).cache()
+    val refit = MisraGries.topKFrequent(words, "word", 10, 512)
+      .collect().map(_.toSeq).toSeq
+    val path = "/root/repo/target/tmp/mg_sketch_spec"
+    MisraGries.fitSketch(words, "word", 512)
+      .write.mode("overwrite").parquet(path)
+    val prefit = MisraGries.topKFrequentPrefit(
+      words, "word", 10, spark.read.parquet(path))
+      .collect().map(_.toSeq).toSeq
+    assert(prefit == refit && refit.length == 10)
+    // a sketch whose candidate list misses the heavy items cannot
+    // certify (kth exact count vs N/(k+1) threshold) — the call must
+    // fall back to the full exact aggregation, not return wrong rows
+    import spark.implicits._
+    val bogus = Seq((Array("zzz_not_a_word"), refit.length.toLong, 512))
+      .toDF("cand", "n", "sketch_k")
+      .select(col("cand"), lit(1000000000L).as("n"), col("sketch_k"))
+    val fallback = MisraGries.topKFrequentPrefit(words, "word", 10, bogus)
+      .collect().map(_.toSeq).toSeq
+    assert(fallback == refit)
+    words.unpersist()
+  }
+
   test("mg() survives items longer than 65535 UTF-8 bytes at shuffle time") {
     import spark.implicits._
     val big = "x" * 70000
