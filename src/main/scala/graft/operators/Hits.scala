@@ -29,7 +29,8 @@ object Hits {
       .distinct().persist()
     val hubs0 = e.select(col("src").as("id")).distinct()
     val nH = hubs0.count()
-    var hub = hubs0.select(col("id"), lit(Scale / nH).as("h")).persist()
+    val hub0 = hubs0.select(col("id"), lit(Scale / nH).as("h")).persist()
+    var hub: DataFrame = hub0
     var auth: DataFrame = null
     var prevH: DataFrame = null
     var prevA: DataFrame = null
@@ -62,8 +63,16 @@ object Hits {
       hub = nextH
       auth = nextA
     }
-    hub.select(col("id"), lit("hub").as("side"), col("h").as("score"))
+    // materialize-and-release (r11): result checkpointed, every cache
+    // this call created released — repeated calls accumulate nothing.
+    val result = hub.select(col("id"), lit("hub").as("side"), col("h").as("score"))
       .unionByName(auth.select(col("id"), lit("auth").as("side"),
         col("a").as("score")))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    hub0.unpersist(blocking = false)
+    if (prevA != null) prevA.unpersist(blocking = false)
+    if (prevH != null) prevH.unpersist(blocking = false)
+    result
   }
 }

@@ -26,8 +26,10 @@ object LabelProp {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // edges referenced twice (r11, see PageRank.run)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var lab = sym.select(col("src").as("id")).distinct()
@@ -47,6 +49,11 @@ object LabelProp {
       prev = lab
       lab = next
     }
-    lab
+    // materialize-and-release (r11): same ownership rule as PageRank
+    val result = lab.localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    lab.unpersist(blocking = false)
+    result
   }
 }

@@ -40,9 +40,14 @@ object PageRank {
     import spark.implicits._
 
     // symmetrize + dedupe: every vertex that appears has degree ≥ 1,
-    // so there are no dangling vertices to redistribute
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // so there are no dangling vertices to redistribute. The union
+    // references `edges` TWICE — materialize it once (r11: a cold call
+    // was recomputing the caller's whole edge derivation per branch;
+    // checkpoint blocks die with this local, nothing to release).
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
@@ -52,21 +57,26 @@ object PageRank {
     val teleport = (3L * Scale) / (20L * n)
 
     var pr = verts.select(col("id"), col("deg"), lit(Scale / n).as("pr"))
-    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = sym.join(pr, sym("src") === pr("id"))
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum("c").as("mass"))
-      val next = verts.join(contrib, Seq("id"), "left")
+      // eager localCheckpoint per iteration (r11): cuts lineage harder
+      // than persist+count (the next iteration plans from a checkpoint
+      // scan, not the whole join chain - measured: driver planning was
+      // half the cold wall time), and blocks die with the object, so
+      // there is no prev-unpersist dance and nothing to leak.
+      pr = verts.join(contrib, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(teleport) +
             expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))
-        .persist()
-      next.count() // materialize before unpersisting the parent
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = pr
-      pr = next
+        .localCheckpoint(true)
     }
+    // cache ownership (r11): iterations are checkpointed (blocks die
+    // with their objects); only this call's sym/verts caches remain -
+    // release them so repeated calls accumulate nothing.
+    sym.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     pr
   }
 
@@ -80,8 +90,10 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // edges referenced twice (r11, see run())
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
@@ -109,7 +121,18 @@ object PageRank {
       prev = pr
       pr = next
     }
-    pr.select("id", "deg", "pr")
+    // materialize-and-release (r11 cache ownership): the final ranks
+    // leave as an eagerly-localCheckpointed frame whose blocks die with
+    // the returned object; sym/verts/the last two iteration caches are
+    // released here, so repeated calls (Bench's per-pass eager
+    // reconstruction) cannot accumulate blocks or hit the CacheManager
+    // "already cached" path.
+    val result = pr.select("id", "deg", "pr").localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    pr.unpersist(blocking = false)
+    result
   }
 
   /** WEIGHTED PageRank: mass splits proportionally to integer edge
@@ -121,10 +144,11 @@ object PageRank {
   def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
-        col(weightCol).cast("long").as("w")))
+      .localCheckpoint(true) // edges referenced twice (r11, see run())
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
@@ -149,7 +173,18 @@ object PageRank {
       prev = pr
       pr = next
     }
-    pr
+    // materialize-and-release (r11 cache ownership): the final ranks
+    // leave as an eagerly-localCheckpointed frame whose blocks die with
+    // the returned object; sym/verts/the last two iteration caches are
+    // released here, so repeated calls (Bench's per-pass eager
+    // reconstruction) cannot accumulate blocks or hit the CacheManager
+    // "already cached" path.
+    val result = pr.localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    pr.unpersist(blocking = false)
+    result
   }
 
   /** customer↔supplier trade graph from the TPC-H-ish tables: distinct

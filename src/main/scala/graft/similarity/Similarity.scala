@@ -330,58 +330,104 @@ object Similarity {
   def semDedupScaled(corpus: DataFrame, threshold: Double,
       targetCell: Int = 256, maxCell: Int = 1000): DataFrame = {
     val planes = planeLiterals(32, 64, seed = 7L)
-    // cache ownership: materialize-and-release (the topKFrequent rule —
-    // nothing cached outlives the call). The result is localCheckpointed
-    // eagerly below, then proj/assigned are unpersisted; the checkpoint
-    // blocks are tied to the RETURNED frame's lifetime (ContextCleaner
-    // frees them on GC), so repeated invocations cannot accumulate
-    // MEMORY_AND_DISK blocks.
-    val proj = corpus.select(col("vec_id"), col("embedding")).cache()
+    // r11 shape: ONE count() for the fold modulus, then scan -> cell
+    // assignment -> single hash exchange on cell -> partition-local
+    // election kernel ([[semDedupKernel]]). No caches (nothing to
+    // release - closes the r10 cache-ownership advice), no pair join,
+    // no candidate-fetch joins: each embedding crosses the wire ONCE.
+    val proj = corpus.select(col("vec_id"), col("embedding"))
     val n = proj.count()
     val c = math.max(1L, (n + targetCell - 1) / targetCell)
-    // assigned carries ONLY (vec_id, cell): the pair join must not
-    // shuffle embeddings — pairing on the 2-column frame and fetching
-    // vectors BY ID for the surviving candidates measured ~6× faster
-    // than the embedding-through-the-join form at the 10× smoke (the
-    // same shape bandedCandidatePairs uses).
-    val assigned = proj
-      .select(col("vec_id"), pmod(signBits(col("embedding"), planes), lit(c))
-        .as("cell"))
-      .cache()
-    // The cap needs a within-cell rank, but cells exceed `maxCell` only
-    // under heavy signature skew (expected size is `targetCell`), so
-    // ranking EVERY row through a global window is waste. Split: cells
-    // at/below the cap pass whole; only oversized cells — a
-    // broadcast-joined, usually-empty set — pay the rank. Same rows
-    // survive as the always-window form (gate-verified).
-    val bigCells = assigned.groupBy("cell")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCell)
-      .select(col("cell"))
-    val small = assigned.join(broadcast(bigCells), Seq("cell"), "left_anti")
-    val bigRanked = assigned.join(broadcast(bigCells), Seq("cell"), "left_semi")
-      .withColumn("rk",
-        row_number().over(Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-      .filter(col("rk") <= maxCell).drop("rk")
-    val cand = small.unionByName(bigRanked)
-    val pairs = cand.join(
-        cand.select(col("vec_id").as("id2"), col("cell").as("cell2")),
-        col("cell") === col("cell2") && col("vec_id") < col("id2"))
-      .select(col("vec_id").as("id1"), col("id2"))
-    val dominated = pairs
-      .join(proj.select(col("vec_id").as("id1"), col("embedding").as("e1")),
-        Seq("id1"))
-      .join(proj.select(col("vec_id").as("id2"), col("embedding").as("e2")),
-        Seq("id2"))
-      .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
-        >= lit(threshold))
-      .select(col("id2").as("vec_id")).distinct()
-    val result = assigned
-      .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
-      .localCheckpoint(true)
-    proj.unpersist(blocking = false)
-    assigned.unpersist(blocking = false)
-    result
+    val assigned = proj.select(col("vec_id"),
+      pmod(signBits(col("embedding"), planes), lit(c)).as("cell"),
+      col("embedding"))
+    semDedupKernel(assigned, threshold, maxCell)
+  }
+
+  /** Partition-local min-id dominance election: rows arrive grouped by
+    * `cell` (one hash exchange), the kernel buffers each cell, sorts by
+    * vec_id, and emits per row the MAX raw cosine against lower-id
+    * participants (sentinel -2.0 for none). `kept` is decided OUTSIDE
+    * by `Num.rnd(m, 6) >= threshold` - max commutes with the monotone
+    * rounding threshold, so the election is bit-identical to the pair-
+    * join formulation (exists lower-id pair with rnd(sim) >= t  iff
+    * rnd(max) >= t). Arithmetic replicates the expression path exactly
+    * (sequential float->double product fold, norm = sqrt(self-dot),
+    * sim = dot / (nrmI * nrmJ)) - the [[cosinePairsTiledKernel]]
+    * discipline; the inner loop may stop early once m >= t + 1e-6
+    * (already decidedly dominated after rounding).
+    *
+    * Rows past `maxCell` (in vec_id rank order) neither dominate nor
+    * get dominated - the same conservative skew guard as the r10 split
+    * path, now without its anti/semi joins and window. Task memory
+    * holds the partition's vectors (cells are hash-distributed across
+    * partitions; expected cell size is the caller's targetCell).
+    */
+  private def semDedupKernel(assigned: DataFrame, threshold: Double,
+      maxCell: Int): DataFrame =
+    semDedupScored(assigned, maxCell, earlyExitAt = threshold + 1e-6)
+      .select(col("vec_id"), col("cell"),
+        (!(graft.functions.Num.rnd(col("m"), 6) >= lit(threshold))).as("kept"))
+
+  /** The raw election scores: (vec_id, cell, m = max raw cosine vs
+    * lower-id participants, sentinel -2.0). [[semDedupBanded]] folds
+    * these across tables before thresholding, so no early exit there
+    * (the true max must survive the cross-table max).
+    */
+  private def semDedupScored(assigned: DataFrame, maxCell: Int,
+      earlyExitAt: Double = Double.MaxValue): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cut = earlyExitAt
+    assigned
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val cells = mutable.HashMap[Long, mutable.ArrayBuffer[(Long, Array[Float])]]()
+        it.foreach { case (id, cell, arr) =>
+          cells.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += ((id, arr))
+        }
+        cells.iterator.flatMap { case (cell, buf) =>
+          val sorted = buf.sortBy(_._1)
+          val k = math.min(sorted.length, maxCell)
+          val nrm = new Array[Double](k)
+          var i = 0
+          while (i < k) {
+            val arr = sorted(i)._2
+            if (arr != null) {
+              var sd = 0.0; var d = 0
+              while (d < arr.length) { sd += arr(d).toDouble * arr(d).toDouble; d += 1 }
+              nrm(i) = math.sqrt(sd)
+            }
+            i += 1
+          }
+          val out = new Array[(Long, Long, Double)](sorted.length)
+          var j = 0
+          while (j < sorted.length) {
+            val (idJ, aJ) = sorted(j)
+            var m = -2.0
+            if (j < k && aJ != null) {
+              var i2 = 0
+              while (i2 < j && m < cut) {
+                val aI = sorted(i2)._2
+                if (aI != null && aI.length == aJ.length) {
+                  var acc = 0.0; var d = 0
+                  while (d < aJ.length) { acc += aI(d).toDouble * aJ(d).toDouble; d += 1 }
+                  val sim = acc / (nrm(i2) * nrm(j))
+                  if (sim > m) m = sim
+                }
+                i2 += 1
+              }
+            }
+            out(j) = (idJ, cell, m)
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("vec_id", "cell", "m")
   }
 
   /** Candidate pairs from R INDEPENDENT sign-signature tables, unioned
@@ -598,54 +644,43 @@ object Similarity {
     * R-table candidate set — a vector is dropped iff a lower-id vector
     * shares ANY table's cell with it at ≥ `threshold` similarity.
     * Returns (vec_id, kept).
+    *
+    * r11 shape: one per-(table, cell) election kernel pass (cells made
+    * disjoint across tables by offsetting table t's cells by t·C) and a
+    * max-per-vector fold — "dominated in any table" ≡ rnd(max over
+    * tables of per-table max sim, 6) ≥ t. Two exchanges total
+    * (cell repartition + the (vec_id) agg), R·n kernel rows, no pair
+    * join, no caches.
     */
   def semDedupBanded(corpus: DataFrame, threshold: Double,
       tables: Int = 4, targetCell: Int = 256): DataFrame = {
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    val cand = bandedCandidatePairs(emb, tables, targetCell)
-    val dominated = cand
-      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")),
-        Seq("id1"))
-      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")),
-        Seq("id2"))
-      .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
-        >= lit(threshold))
-      .select(col("id2").as("vec_id")) // id1 < id2: the higher id drops
-      .distinct()
-    emb.join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("__dom").isNull.as("kept"))
+    val proj = corpus.select(col("vec_id"), col("embedding"))
+    val n = proj.count()
+    val c = math.max(1L, (n + targetCell - 1) / targetCell)
+    val perTable = (0 until tables).map { t =>
+      val planes = planeLiterals(32, 64, seed = 7L + t)
+      proj.select(col("vec_id"),
+        (pmod(signBits(col("embedding"), planes), lit(c)) + lit(t * c))
+          .as("cell"),
+        col("embedding"))
+    }.reduce(_.unionAll(_))
+    semDedupScored(perTable, maxCell = Int.MaxValue)
+      .groupBy(col("vec_id"))
+      .agg(max(col("m")).as("m"))
+      .select(col("vec_id"),
+        (!(graft.functions.Num.rnd(col("m"), 6) >= lit(threshold))).as("kept"))
   }
 
   def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
-    // `proj` feeds the two verify sides; `assigned` the pair + kept
-    // joins — cached so the corpus is scanned and cell-assigned once.
-    // At 100 TB this materialization is a checkpoint to storage, same
-    // plan shape (see PLANS.md round 9). As in [[semDedupScaled]]
-    // (r10): the pair join carries ONLY (vec_id, cell) — embeddings are
-    // fetched by id for surviving candidates, not shuffled through the
-    // self-join (measured ~3× on the 10× smoke for the scaled twin).
-    val proj = corpus.select(col("vec_id"), col("embedding")).cache()
-    val assigned = proj
-      .select(col("vec_id"), model.cell(col("embedding")).cast("int").as("cell"))
-      .cache()
-    val pairs = assigned.join(
-        assigned.select(col("vec_id").as("id2"), col("cell").as("cell2")),
-        col("cell") === col("cell2") && col("vec_id") < col("id2"))
-      .select(col("vec_id").as("id1"), col("id2"))
-    val dominated = pairs
-      .join(proj.select(col("vec_id").as("id1"), col("embedding").as("e1")),
-        Seq("id1"))
-      .join(proj.select(col("vec_id").as("id2"), col("embedding").as("e2")),
-        Seq("id2"))
-      .filter(graft.functions.Num.rnd(cosine(col("e1"), col("e2")), 6)
-        >= lit(threshold))
-      .select(col("id2").as("vec_id")).distinct()
-    val result = assigned
-      .join(dominated.withColumn("__dom", lit(1)), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
-      .localCheckpoint(true)
-    proj.unpersist(blocking = false)
-    assigned.unpersist(blocking = false)
-    result
+    // r11 shape: frozen-model cell assignment is a scan-stage
+    // expression; the election is the same partition-local kernel as
+    // [[semDedupScaled]] (one exchange, no pair join, no caches). The
+    // frozen model has no skew cap in its contract — cells carry their
+    // full population (maxCell = unbounded), as the original pair-join
+    // formulation did.
+    val assigned = corpus.select(col("vec_id"),
+      model.cell(col("embedding")).cast("int").as("cell"), col("embedding"))
+    semDedupKernel(assigned, threshold, maxCell = Int.MaxValue)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("kept"))
   }
 }
