@@ -46,9 +46,17 @@ object PageRank {
     // checkpoint blocks die with this local, nothing to release).
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
+    // sym is REPARTITIONED by src once and every iteration's edge⋈rank
+    // join is hinted shuffle-hash: the cached layout satisfies the join
+    // distribution, so each iteration exchanges ONLY the (small) rank
+    // frame — no per-iteration broadcast builds (r11: broadcast
+    // construction latency was ~half the per-iteration wall) and the
+    // exact pattern a 1000-executor run wants (edges stay put, ranks
+    // move).
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
@@ -58,7 +66,8 @@ object PageRank {
 
     var pr = verts.select(col("id"), col("deg"), lit(Scale / n).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = sym.join(pr, sym("src") === pr("id"))
+      val contrib = sym.hint("shuffle_hash")
+        .join(pr.hint("shuffle_hash"), sym("src") === pr("id"))
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum("c").as("mass"))
       // eager localCheckpoint per iteration (r11): cuts lineage harder
@@ -66,7 +75,8 @@ object PageRank {
       // scan, not the whole join chain - measured: driver planning was
       // half the cold wall time), and blocks die with the object, so
       // there is no prev-unpersist dance and nothing to leak.
-      pr = verts.join(contrib, Seq("id"), "left")
+      pr = verts.hint("shuffle_hash")
+        .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(teleport) +
             expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))

@@ -48,7 +48,10 @@ object TextQueries {
       if (kernel) "TextQueries.exactPairsKernel" else "TextQueries.exactPairs")
     val sh = docs
       .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
-      .cache() // shared with q55's identical subplan via CacheManager
+      .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)
+      // ^ shared with q55's identical subplan via CacheManager — cache
+      //   once, silently (r11: the second cache() logged a spurious
+      //   "already cached" warning in the bench tail)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // Keyed by the shingle STRING, deliberately: keying by xxhash64(s)
     // (8-byte shuffle keys) was measured FASTER at sf0.1 (1.54s vs
@@ -78,9 +81,14 @@ object TextQueries {
         val dups = inv.groupBy("s").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("s").cache()
         val nDups = dups.count()
-        if (nDups == 0) inv.filter(lit(false))
-        else inv.filter(graft.text.BloomGate.mightContain(
-          graft.text.BloomGate.build(dups, col("s"), nDups), col("s")))
+        // the bloom is a driver-side literal once built — the dups
+        // cache has no consumers after it (r11 ownership)
+        val gated =
+          if (nDups == 0) inv.filter(lit(false))
+          else inv.filter(graft.text.BloomGate.mightContain(
+            graft.text.BloomGate.build(dups, col("s"), nDups), col("s")))
+        dups.unpersist(blocking = false)
+        gated
       }
     // group the inverted index by shingle and expand doc-id pairs
     // map-side; singleton shingles contribute no pairs and are
