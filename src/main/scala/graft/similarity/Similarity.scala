@@ -379,53 +379,81 @@ object Similarity {
     val spark = assigned.sparkSession
     import spark.implicits._
     val cut = earlyExitAt
+    // Rows arrive clustered AND sorted (cell, vec_id) within each task:
+    // the kernel streams one cell at a time, so task memory is bounded
+    // by ONE cell's vectors (≈ targetCell · dim · 4B), NOT the
+    // partition's row count — at 10^11 vectors the partition holds many
+    // cells but the buffer never exceeds the largest cell. The sort
+    // also delivers vec_id order for free (participant rank = arrival
+    // order, no per-cell sortBy).
     assigned
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("embedding"))
       .as[(Long, Long, Array[Float])]
       .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .mapPartitions { it =>
-        import scala.collection.mutable
-        val cells = mutable.HashMap[Long, mutable.ArrayBuffer[(Long, Array[Float])]]()
-        it.foreach { case (id, cell, arr) =>
-          cells.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += ((id, arr))
-        }
-        cells.iterator.flatMap { case (cell, buf) =>
-          val sorted = buf.sortBy(_._1)
-          val k = math.min(sorted.length, maxCell)
-          val nrm = new Array[Double](k)
-          var i = 0
-          while (i < k) {
-            val arr = sorted(i)._2
-            if (arr != null) {
-              var sd = 0.0; var d = 0
-              while (d < arr.length) { sd += arr(d).toDouble * arr(d).toDouble; d += 1 }
-              nrm(i) = math.sqrt(sd)
-            }
-            i += 1
-          }
-          val out = new Array[(Long, Long, Double)](sorted.length)
-          var j = 0
-          while (j < sorted.length) {
-            val (idJ, aJ) = sorted(j)
-            var m = -2.0
-            if (j < k && aJ != null) {
-              var i2 = 0
-              while (i2 < j && m < cut) {
-                val aI = sorted(i2)._2
-                if (aI != null && aI.length == aJ.length) {
-                  var acc = 0.0; var d = 0
-                  while (d < aJ.length) { acc += aI(d).toDouble * aJ(d).toDouble; d += 1 }
-                  val sim = acc / (nrm(i2) * nrm(j))
-                  if (sim > m) m = sim
-                }
-                i2 += 1
+        val source = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+
+          /** Election over one complete cell (rows already id-sorted). */
+          private def election(cell: Long,
+              rows: scala.collection.mutable.ArrayBuffer[(Long, Array[Float])])
+              : Iterator[(Long, Long, Double)] = {
+            val k = math.min(rows.length, maxCell)
+            val nrm = new Array[Double](k)
+            var i = 0
+            while (i < k) {
+              val arr = rows(i)._2
+              if (arr != null) {
+                var sd = 0.0; var d = 0
+                while (d < arr.length) { sd += arr(d).toDouble * arr(d).toDouble; d += 1 }
+                nrm(i) = math.sqrt(sd)
               }
+              i += 1
             }
-            out(j) = (idJ, cell, m)
-            j += 1
+            val res = new Array[(Long, Long, Double)](rows.length)
+            var j = 0
+            while (j < rows.length) {
+              val (idJ, aJ) = rows(j)
+              var m = -2.0
+              if (j < k && aJ != null) {
+                var i2 = 0
+                while (i2 < j && m < cut) {
+                  val aI = rows(i2)._2
+                  if (aI != null && aI.length == aJ.length) {
+                    var acc = 0.0; var d = 0
+                    while (d < aJ.length) { acc += aI(d).toDouble * aJ(d).toDouble; d += 1 }
+                    val sim = acc / (nrm(i2) * nrm(j))
+                    if (sim > m) m = sim
+                  }
+                  i2 += 1
+                }
+              }
+              res(j) = (idJ, cell, m)
+              j += 1
+            }
+            res.iterator
           }
-          out.iterator
+
+          private def advance(): Unit = {
+            while (!out.hasNext && source.hasNext) {
+              val cell = source.head._2
+              val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+              while (source.hasNext && source.head._2 == cell) {
+                val (id, _, arr) = source.next()
+                buf += ((id, arr))
+              }
+              out = election(cell, buf)
+            }
+          }
+
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (Long, Long, Double) = {
+            advance()
+            out.next()
+          }
         }
       }.toDF("vec_id", "cell", "m")
   }
