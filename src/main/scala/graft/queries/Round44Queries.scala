@@ -154,6 +154,44 @@ object Round44Queries {
           FROM res, t"""
       }),
 
+    // STREAMING incremental embedding dedup: the q382/q384 persisted
+    // cell index probed by STREAMING batches (stream-static bucket join
+    // + candidates-only exact verify; one stateful agg collapsing
+    // per-table repeats) — the embedding twin of q195's MinHash
+    // incremental-dedup stream. Emits the verified dup-pair feed.
+    "q390_stream_embed_probe" -> QueryDef(
+      (s, d) => graft.streaming.EmbedStreams.probeIndexStream(s, d),
+      Some {
+        def idxSql(t: Int) =
+          s"""SELECT $t AS t, vec_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE vec_id % 97 != 0"""
+        def probeSql(t: Int) =
+          s"""SELECT $t AS t, vec_id AS new_id,
+               CAST(${SimilarityQueries.sigSql32At("embedding", 7L + t)} % cc.c
+                 AS BIGINT) AS cell
+             FROM embeddings CROSS JOIN cc WHERE vec_id % 97 = 0"""
+        val idx = (0 until 4).map(idxSql).mkString(" UNION ALL ")
+        val probes = (0 until 4).map(probeSql).mkString(" UNION ALL ")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+              WHERE vec_id % 97 != 0),
+          cc AS (SELECT greatest(1, (n + 255) // 256) AS c FROM nn),
+          idx AS ($idx),
+          probes AS ($probes),
+          cand AS (SELECT DISTINCT p.new_id, i.vec_id AS corpus_id
+            FROM probes p JOIN idx i ON i.t = p.t AND i.cell = p.cell
+            WHERE p.new_id != i.vec_id)
+          SELECT c.new_id, c.corpus_id,
+            round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+              * 1e6) / 1e6 AS sim
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.new_id
+          JOIN embeddings b ON b.vec_id = c.corpus_id
+          WHERE round(${SimilarityQueries.sqlCosPub("a.embedding", "b.embedding")}
+            * 1e6) / 1e6 >= 0.4"""
+      }),
+
     // Join ON a uint64 key: Spark's widened decimal(20,0) key vs
     // DuckDB's native uint64 on the SAME parquet — hash-join equality
     // must agree across the full 2^64 range (keys near 2^64-1 are in

@@ -124,6 +124,51 @@ object EmbedStreams {
     spark.table(name)
   }
 
+  /** STREAMING incremental embedding dedup against a PERSISTED cell
+    * index — the embedding twin of DocStreams.incrementalDedup (q195):
+    * the corpus is indexed ONCE batch-side (R sign-signature tables +
+    * frozen fold modulus, `Similarity.embedCellIndex`); embedding
+    * batches stream in, hash with the index's frozen modulus, and only
+    * same-cell candidates pay the exact-cosine verify (stream-static
+    * joins — the index and corpus sides are loaded once per executor,
+    * each microbatch pays only its own banding + bucket join). One
+    * stateful aggregation collapses per-table candidate repeats (sim is
+    * identical per repeat — max is just the collapse), state keyed by
+    * the verified pair set. Emits (new_id, corpus_id, sim ≥ threshold):
+    * the live-crawl dup-pair feed; `mergeEmbedIndex` appends the
+    * accepted remainder between batches (q384's contract).
+    */
+  def probeIndexStream(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, tables: Int = 4): DataFrame = {
+    import graft.similarity.Similarity
+    val em = graft.Tables.embeddings(spark, sfDir)
+    val corpus = em.filter(col("vec_id") % 97 =!= 0)
+    val idx = Similarity.embedCellIndex(corpus, tables).cache()
+    val c = idx.agg(max(col("c"))).collect()(0).getLong(0)
+    val stream = spark.readStream.schema(embSchema).parquet(stageDir(sfDir))
+      .filter(col("vec_id") % 97 === 0)
+    val probes = (0 until tables).map { t =>
+      val planes = Similarity.planeLiterals(32, 64, seed = 7L + t)
+      stream.select(col("vec_id").as("new_id"), col("embedding").as("nb"),
+        lit(t).as("t"),
+        pmod(Similarity.signBits(col("embedding"), planes), lit(c)).as("cell"))
+    }.reduce(_.unionByName(_))
+    val verified = probes
+      .join(idx.select(col("t"), col("cell"), col("vec_id").as("corpus_id")),
+        Seq("t", "cell"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cb")), Seq("corpus_id"))
+      .withColumn("sim",
+        graft.functions.Num.rnd(Similarity.cosine(col("nb"), col("cb")), 6))
+      .filter(col("sim") >= lit(threshold))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(max(col("sim")).as("sim"))
+    val out = DocStreams.run(spark, verified, "graft_stream_embed_probe")
+    idx.unpersist(blocking = false)
+    out
+  }
+
   /** (cell, dim, n, s) → (cell, dim, n, centroid = s/n rounded). */
   def centroids(counts: DataFrame): DataFrame =
     counts.select(col("cell").cast("long").as("cell"),
