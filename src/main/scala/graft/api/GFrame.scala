@@ -316,6 +316,18 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def divFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
     alignedOp(other, PandasArith.truediv, fillValue)
 
+  /** pandas df.floordiv(other) / df.mod(other) — the remaining two ops
+    * of the reference's frame-binary suite (tests/pandas/
+    * df_binary_unaligned_column.py exercises add/sub/mul/div/floordiv/
+    * mod with unaligned columns + fill_value). mod is Python-signed
+    * (sign of the divisor), like the scalar PandasArith.pymod.
+    */
+  def floordivFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.floordiv, fillValue)
+
+  def modFrame(other: GFrame, fillValue: Option[Double] = None): GFrame =
+    alignedOp(other, PandasArith.pymod, fillValue)
+
   private def alignedOp(other: GFrame, op: (Column, Column) => Column,
                         fillValue: Option[Double]): GFrame = {
     require(index.nonEmpty && other.index.nonEmpty,

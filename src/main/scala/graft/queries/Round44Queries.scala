@@ -253,6 +253,64 @@ object Round44Queries {
                 SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
               QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 10""")),
 
+    // Frame⊕frame binary with UNALIGNED COLUMNS (reference
+    // tests/pandas/df_binary_unaligned_column.py: add/…/floordiv/mod
+    // with fill_value over frames whose column sets differ): the
+    // result's columns are the union; a column present on one side
+    // combines against fill_value (or stays null without one); rows
+    // align on the index simultaneously (f2 carries half the keys).
+    // One full-outer shuffle join — GFrame.alignedOp.
+    "q391_frame_align_cols" -> QueryDef(
+      (s, d) => {
+        val base = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(Num.sumMoney(col("l_quantity")).as("s1"),
+            Num.sumMoney(col("l_extendedprice")).as("s2"))
+        val f1 = graft.api.GFrame(base.select(col("l_orderkey"),
+          col("s1").as("a"), col("s2").as("b"))).setIndex("l_orderkey")
+        val f2 = graft.api.GFrame(base.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("s2").as("b"), col("s1").as("c")))
+          .setIndex("l_orderkey")
+        def proj(t: String, g: graft.api.GFrame) = g.df.select(
+          lit(t).as("op"), col("l_orderkey"),
+          Num.rnd(col("a"), 6).as("a"), Num.rnd(col("b"), 6).as("b"),
+          Num.rnd(col("c"), 6).as("c"))
+        proj("add", f1.addFrame(f2, Some(1.0)))
+          .unionByName(proj("floordiv", f1.floordivFrame(f2)))
+          .unionByName(proj("mod", f1.modFrame(f2, Some(2.0))))
+      },
+      Some("""WITH base AS (SELECT l_orderkey,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS s1,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS s2
+          FROM lineitem GROUP BY 1),
+        f1 AS (SELECT l_orderkey, s1 AS a, s2 AS b FROM base),
+        f2 AS (SELECT l_orderkey, s2 AS b, s1 AS c FROM base
+               WHERE l_orderkey % 2 = 0),
+        j AS (SELECT coalesce(f1.l_orderkey, f2.l_orderkey) AS k,
+            f1.a AS la, f1.b AS lb, f2.b AS rb, f2.c AS rc
+          FROM f1 FULL JOIN f2 ON f1.l_orderkey = f2.l_orderkey)
+        SELECT 'add' AS op, k AS l_orderkey,
+          round((CASE WHEN la IS NULL THEN NULL ELSE la + 1.0 END) * 1e6) / 1e6 AS a,
+          round((CASE WHEN lb IS NULL AND rb IS NULL THEN NULL
+            ELSE coalesce(lb, 1.0) + coalesce(rb, 1.0) END) * 1e6) / 1e6 AS b,
+          round((CASE WHEN rc IS NULL THEN NULL ELSE 1.0 + rc END) * 1e6) / 1e6 AS c
+        FROM j
+        UNION ALL
+        SELECT 'floordiv', k,
+          CAST(NULL AS DOUBLE) AS a,
+          round(floor(lb / rb) * 1e6) / 1e6 AS b,
+          CAST(NULL AS DOUBLE) AS c
+        FROM j
+        UNION ALL
+        SELECT 'mod', k,
+          round((CASE WHEN la IS NULL THEN NULL
+            ELSE ((la % 2.0) + 2.0) % 2.0 END) * 1e6) / 1e6 AS a,
+          round((CASE WHEN lb IS NULL AND rb IS NULL THEN NULL
+            ELSE ((coalesce(lb, 2.0) % coalesce(rb, 2.0)) + coalesce(rb, 2.0))
+              % coalesce(rb, 2.0) END) * 1e6) / 1e6 AS b,
+          round((CASE WHEN rc IS NULL THEN NULL
+            ELSE ((2.0 % rc) + rc) % rc END) * 1e6) / 1e6 AS c
+        FROM j""")),
+
     // Multi-column list assignment (reference tests/pandas/df_swap.py:
     // `ldf[["col2","col1"]] = ldf[["col1","col2"]]`): positional
     // pairing, all RHS read from the PRE-assignment frame (the swap is
