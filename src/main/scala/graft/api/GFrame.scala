@@ -929,6 +929,15 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
   def mergeEmbedIndex(index: GFrame): GFrame =
     GFrame(graft.similarity.Similarity.mergeEmbedIndex(index.df, df))
 
+  /** Banded-blocking operating-point sweep over this frame's
+    * embeddings — the (targetCell × R) recall/precision/candidate-cost
+    * grid (Similarity.bandedSweep; gated q388). Pick the cheapest point
+    * meeting a recall target with [[graft.similarity.Similarity.autoR]].
+    */
+  def bandedSweep(threshold: Double, rs: Seq[Int] = Seq(1, 2, 4, 8),
+                  cells: Seq[Int] = Seq(128, 256, 512)): GFrame =
+    GFrame(graft.similarity.Similarity.bandedSweep(df, threshold, rs, cells))
+
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))
