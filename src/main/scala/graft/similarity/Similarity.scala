@@ -50,8 +50,19 @@ object Similarity {
     Array.fill(planes, dims)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** b-bit hyperplane signature of an embedding column. */
+  /** b-bit hyperplane signature of an embedding column — the native
+    * fused-loop expression (r11). [[signBitsComposed]] is the original
+    * 32-DotProduct/when-chain composition, kept as the differential
+    * twin (SignBitsSpec pins bit-equality incl. null/mismatch corners).
+    */
   def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SignBitsExpr(ColumnBridge.expression(vec),
+      planes.map(_.toSeq).toSeq))
+  }
+
+  /** Composed-expression twin of [[signBits]] (differential tests). */
+  def signBitsComposed(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
