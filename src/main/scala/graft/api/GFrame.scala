@@ -938,6 +938,18 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
                   cells: Seq[Int] = Seq(128, 256, 512)): GFrame =
     GFrame(graft.similarity.Similarity.bandedSweep(df, threshold, rs, cells))
 
+  /** Sweep-then-dedup at the cheapest measured point meeting
+    * `targetRecall` (Similarity.semDedupAuto): returns the chosen
+    * (targetCell, R) and the deduped frame.
+    */
+  def semDedupAuto(threshold: Double, targetRecall: Double,
+                   sampleMod: Int = 1): ((Int, Int), GFrame) = {
+    val ((cell, r), kept) = graft.similarity.Similarity
+      .semDedupAuto(df, threshold, targetRecall, sampleMod)
+    ((cell, r), GFrame(df.join(kept.filter(col("kept")).select("vec_id"),
+      Seq("vec_id"), "left_semi"), index))
+  }
+
   /** Column-profiling report (describe-style; see operators/Profile). */
   def profile(cols: String*): GFrame =
     GFrame(graft.operators.Profile.report(df, cols))

@@ -668,6 +668,26 @@ object Similarity {
     (best.getInt(0), best.getInt(1))
   }
 
+  /** Sweep-then-dedup: measure the operating grid on a (deterministic)
+    * sample, choose the CHEAPEST point meeting `targetRecall`
+    * ([[autoR]]), then run [[semDedupBanded]] at that point over the
+    * full corpus — the turn-key form of the knob a 100 TB run tunes.
+    * Returns ((targetCell, r), keptFrame). The sample keeps the sweep's
+    * quadratic truth pass bounded regardless of corpus size; sampling
+    * is by deterministic id-hash so the choice is reproducible.
+    */
+  def semDedupAuto(corpus: DataFrame, threshold: Double,
+      targetRecall: Double, sampleMod: Int = 1,
+      rs: Seq[Int] = Seq(1, 2, 4, 8),
+      cells: Seq[Int] = Seq(128, 256, 512)): ((Int, Int), DataFrame) = {
+    val sample =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    val sweep = bandedSweep(sample, threshold, rs, cells)
+    val (cell, r) = autoR(sweep, targetRecall)
+    ((cell, r), semDedupBanded(corpus, threshold, tables = r, targetCell = cell))
+  }
+
   def mergeEmbedIndex(index: DataFrame, accepted: DataFrame): DataFrame = {
     val (c, tables) = indexMeta(index)
     val batchRows = (0 until tables).map { t =>

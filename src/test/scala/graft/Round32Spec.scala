@@ -68,6 +68,21 @@ class Round32Spec extends SparkSpec {
     sweep.unpersist()
   }
 
+  test("semDedupAuto: sweeps, picks the cheapest point meeting the target, runs banded there") {
+    import graft.similarity.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val sweep = Similarity.bandedSweep(em, 0.4, rs = Seq(1, 2),
+      cells = Seq(128, 256))
+    val minRecall = sweep.agg(min(col("recall"))).collect()(0).getDouble(0)
+    val ((cell, r), kept) = Similarity.semDedupAuto(em, 0.4, minRecall,
+      rs = Seq(1, 2), cells = Seq(128, 256))
+    assert(Seq(128, 256).contains(cell) && Seq(1, 2).contains(r))
+    // the returned frame IS banded-at-the-chosen-point, row for row
+    val direct = Similarity.semDedupBanded(em, 0.4, tables = r,
+      targetCell = cell).collect().map(_.toSeq).toSet
+    assert(kept.collect().map(_.toSeq).toSet == direct)
+  }
+
   test("setItems: simultaneous swap, preserved column order, appended target") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber",
       "l_quantity", "l_extendedprice").limit(50).cache()
