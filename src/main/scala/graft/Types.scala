@@ -94,6 +94,30 @@ object Types {
     }
   }
 
+  /** numpy/pandas dtype NAME → Spark type along the SURVEY §1.3 lattice
+    * (uints widen to the next signed; uint64 → DECIMAL(20,0)). Raises
+    * on an unknown name — the reference's read_csv/astype dtype-string
+    * error contract (`tests/io/read_csv_errors.py`,
+    * `tests/pandas/sr_astype_invalid.py`).
+    */
+  def sparkTypeOf(name: String): DataType = name match {
+    case "int8" => ByteType
+    case "int16" => ShortType
+    case "int32" => IntegerType
+    case "int64" | "int" => LongType
+    case "uint8" => ShortType
+    case "uint16" => IntegerType
+    case "uint32" => LongType
+    case "uint64" => DecimalType(20, 0)
+    case "float32" => FloatType
+    case "float64" | "float" => DoubleType
+    case "bool" => BooleanType
+    case "str" | "string" | "object" => StringType
+    case "datetime64[ns]" => TimestampType
+    case other =>
+      throw new IllegalArgumentException(s"unknown dtype '$other'")
+  }
+
   /** Reduction result dtypes (`types.py:445-466`): count/size → int,
     * mean/var/std → double, any/all → bool, else input dtype.
     */

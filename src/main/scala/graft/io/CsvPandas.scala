@@ -42,8 +42,56 @@ object CsvPandas {
       // <= 0 restores Spark's full-pass inferSchema.
       inferRows: Int = 3)
 
+  /** pandas `dtype=` as a name map — validated eagerly with the
+    * reference's error contract (`tests/io/read_csv_errors.py:35-37`):
+    * with `names` given, the map must cover EVERY name, and every dtype
+    * string must be a known numpy name (graft.Types.sparkTypeOf raises
+    * on 'flt'-style typos). Returns the equivalent schema.
+    */
+  def dtypeSchema(names: Seq[String], dtypes: Map[String, String]): StructType = {
+    require(names.nonEmpty, "dtype map requires names")
+    val missing = names.filterNot(dtypes.contains)
+    require(missing.isEmpty,
+      s"dtype map must cover every name; missing: ${missing.mkString(", ")}")
+    StructType(names.map(n => org.apache.spark.sql.types.StructField(
+      n, graft.Types.sparkTypeOf(dtypes(n)))))
+  }
+
+  /** The reference's eager argument checks (read_csv_errors.py): a
+    * multi-char `sep` and an empty path list raise at CALL time, not as
+    * a downstream parse surprise.
+    */
+  private def validate(o: ReadOptions): Unit = {
+    require(o.sep.length == 1, s"sep must be a single character: '${o.sep}'")
+    require(o.quotechar.length == 1, "quotechar must be a single character")
+    o.nrows.foreach(n => require(n >= 0, "nrows must be non-negative"))
+  }
+
+  /** read_csv with pandas `index_col` (reference
+    * `tests/io/read_csv_index.py`): positions (Int) or names (String),
+    * in the GIVEN order — `index_col=[1, 0]` yields a MultiIndex whose
+    * level 0 is column 1. Returns a GFrame carrying the index contract.
+    */
+  def readIndexed(spark: SparkSession, path: String, o: ReadOptions,
+                  indexCol: Seq[Any]): graft.api.GFrame = {
+    val df = read(spark, path, o)
+    val cols = df.columns
+    val levels = indexCol.map {
+      case i: Int =>
+        require(i >= 0 && i < cols.length, s"index_col position $i out of range")
+        cols(i)
+      case n: String =>
+        require(cols.contains(n), s"index_col '$n' not in columns")
+        n
+      case x => throw new IllegalArgumentException(
+        s"index_col must be Int or String, got $x")
+    }
+    graft.api.GFrame(df, levels)
+  }
+
   def read(spark: SparkSession, path: String, o: ReadOptions = ReadOptions()): DataFrame = {
     import org.apache.spark.sql.functions._
+    validate(o)
     // pandas true_values/false_values have no Spark CSV equivalent:
     // read boolean target columns as string, map after
     // (reference frontend/io.py true/false_values handling).

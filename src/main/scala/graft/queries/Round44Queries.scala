@@ -311,6 +311,36 @@ object Round44Queries {
             ELSE ((2.0 % rc) + rc) % rc END) * 1e6) / 1e6 AS c
         FROM j""")),
 
+    // read_csv with index_col (reference tests/io/read_csv_index.py:
+    // positions or names, in the GIVEN order — index_col=[1,0] makes
+    // column 1 the outer level) + the dtype-dict path (every name
+    // covered, every dtype a known numpy name — read_csv_errors.py's
+    // contract, negative paths spec'd in Round32Spec). Data round-trips
+    // through headerless CSV; the GFrame carries the (line, okey)
+    // MultiIndex.
+    "q392_csv_index_col" -> QueryDef(
+      (s, d) => {
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/csv_idx_$safe"
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double"), col("l_extendedprice").cast("double"))
+          .write.mode("overwrite").option("header", "false").csv(path)
+        val names = Seq("okey", "line", "qty", "price")
+        val g = graft.io.CsvPandas.readIndexed(s, path,
+          graft.io.CsvPandas.ReadOptions(header = false, names = names,
+            schema = Some(graft.io.CsvPandas.dtypeSchema(names, Map(
+              "okey" -> "int64", "line" -> "int32",
+              "qty" -> "float64", "price" -> "float64")))),
+          indexCol = Seq(1, 0))
+        g.df.select((g.index.map(col) ++
+          g.df.columns.filterNot(g.index.contains).map(col)): _*)
+      },
+      Some("""SELECT CAST(l_linenumber AS INTEGER) AS line,
+            l_orderkey AS okey,
+            CAST(l_quantity AS DOUBLE) AS qty,
+            CAST(l_extendedprice AS DOUBLE) AS price
+          FROM lineitem""")),
+
     // Multi-column list assignment (reference tests/pandas/df_swap.py:
     // `ldf[["col2","col1"]] = ldf[["col1","col2"]]`): positional
     // pairing, all RHS read from the PRE-assignment frame (the swap is

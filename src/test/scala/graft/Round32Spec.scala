@@ -68,6 +68,25 @@ class Round32Spec extends SparkSpec {
     sweep.unpersist()
   }
 
+  test("bandedSweep rows ≡ the independent q378/q379 operating-point pipelines") {
+    import graft.similarity.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val sweep = Similarity.bandedSweep(em, 0.4, rs = Seq(1, 4),
+      cells = Seq(256)).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // q378: single-table (seed 7) candidates — sweep's (256, R=1) row
+    val q378 = SparkEntry.queries("q378_lsh_operating_point")(spark, sf)
+      .collect()(0)
+    assert(sweep(1) == ((q378.getLong(0), q378.getLong(1), q378.getLong(2))),
+      s"R=1 ${sweep(1)} vs q378 $q378")
+    // q379: 4-table union — sweep's (256, R=4) row
+    val q379 = SparkEntry.queries("q379_lsh_banded_point")(spark, sf)
+      .collect()(0)
+    assert(sweep(4) == ((q379.getLong(0), q379.getLong(1), q379.getLong(2))),
+      s"R=4 ${sweep(4)} vs q379 $q379")
+  }
+
   test("semDedupAuto: sweeps, picks the cheapest point meeting the target, runs banded there") {
     import graft.similarity.Similarity
     val em = Tables.embeddings(spark, sf)
@@ -144,6 +163,40 @@ class Round32Spec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(fallback == refit)
     words.unpersist()
+  }
+
+  test("read_csv contract: index_col by position ≡ by name; errors raise eagerly (read_csv_errors.py)") {
+    import graft.io.CsvPandas
+    val path = "/root/repo/target/tmp/csv_idx_spec"
+    Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"))
+      .limit(100).write.mode("overwrite").option("header", "false").csv(path)
+    val names = Seq("okey", "line", "qty")
+    val opts = CsvPandas.ReadOptions(header = false, names = names,
+      schema = Some(CsvPandas.dtypeSchema(names,
+        Map("okey" -> "int64", "line" -> "int32", "qty" -> "float64"))))
+    val byPos = CsvPandas.readIndexed(spark, path, opts, Seq(1, 0))
+    val byName = CsvPandas.readIndexed(spark, path, opts, Seq("line", "okey"))
+    assert(byPos.index == Seq("line", "okey") && byName.index == byPos.index)
+    assert(byPos.df.collect().map(_.toSeq).toSet ==
+      byName.df.collect().map(_.toSeq).toSet)
+    // eager error contract
+    intercept[IllegalArgumentException] {
+      CsvPandas.read(spark, path, CsvPandas.ReadOptions(sep = "ab"))
+    }
+    intercept[IllegalArgumentException] { // dtype map missing a name
+      CsvPandas.dtypeSchema(Seq("a", "b"), Map("a" -> "float64"))
+    }
+    intercept[IllegalArgumentException] { // unknown dtype name
+      CsvPandas.dtypeSchema(Seq("a", "b"),
+        Map("a" -> "float64", "b" -> "flt"))
+    }
+    intercept[IllegalArgumentException] { // out-of-range position
+      CsvPandas.readIndexed(spark, path, opts, Seq(9))
+    }
+    intercept[IllegalArgumentException] { // unknown name
+      CsvPandas.readIndexed(spark, path, opts, Seq("nope"))
+    }
   }
 
   test("mg() survives items longer than 65535 UTF-8 bytes at shuffle time") {
