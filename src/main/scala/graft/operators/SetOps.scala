@@ -22,7 +22,10 @@ object SetOps {
 
   /** concat(axis=0) — union semantics (README.md:194-196). */
   def concatRows(dfs: Seq[DataFrame]): DataFrame =
-    dfs.reduce(_.unionByName(_, allowMissingColumns = false))
+    // pandas concat(axis=0) takes the OUTER union of columns — a frame
+    // missing a column contributes nulls there (r11; previously threw
+    // on misaligned inputs, which pandas only does with join="inner")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** drop_duplicates(subset, keep="any") — hash-agg distinct on subset.
     * For full-row dedup pass subset = all columns.

@@ -311,6 +311,28 @@ object Round44Queries {
             ELSE ((2.0 % rc) + rc) % rc END) * 1e6) / 1e6 AS c
         FROM j""")),
 
+    // concat(axis=0) with MISALIGNED columns (pandas outer-union
+    // default: a frame missing a column contributes nulls there —
+    // previously the engine threw, which pandas reserves for
+    // join="inner"). Two disjoint-ish projections of orders unioned;
+    // oracle = UNION ALL with explicit NULL columns.
+    "q393_concat_misaligned" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = graft.api.GFrame(o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey")))
+        val b = graft.api.GFrame(o.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").cast("double")
+            .as("price")))
+        graft.api.GFrame.concat(Seq(a, b)).df
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+            CAST(o_totalprice AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 3 = 1""")),
+
     // read_csv with index_col (reference tests/io/read_csv_index.py:
     // positions or names, in the GIVEN order — index_col=[1,0] makes
     // column 1 the outer level) + the dtype-dict path (every name
