@@ -211,6 +211,18 @@ object Round44Queries {
             CAST(a.u16 AS INT) AS u16v, CAST(b.u32 AS BIGINT) AS r32
           FROM $fx a JOIN $fx b ON a.u64 = b.u64""")),
 
+    // ORDER BY a uint64 key: DECIMAL(20,0) ordering must agree with
+    // native unsigned ordering across the full 2^64 range (values near
+    // 2^64-1 sort ABOVE everything — a signed-long reinterpretation
+    // would order them negative-first). TakeOrdered top-k, id tiebreak.
+    "q394_uint_topk" -> QueryDef(
+      (s, d) => graft.operators.Sorts.topK(
+          Tables.uintFixture(s).select(col("id"), col("u64")),
+          Seq("u64", "id"), Seq(false, true), 100)
+        .select(col("id"), col("u64").cast("string").as("u64s")),
+      Some(s"""SELECT id, CAST(u64 AS VARCHAR) AS u64s FROM $fx
+          ORDER BY u64 DESC, id LIMIT 100""")),
+
     // Group BY a uint32 key (widened to BIGINT on the Spark side,
     // native uint32 in DuckDB): grouping hashes and group identities
     // must agree; uint64 extremes inside the groups leave as exact
