@@ -21,11 +21,18 @@ object Casts {
     case "int16"   => c.cast("short")
     case "int32"   => c.cast("int")
     case "int64"   => c.cast("long")
-    // unsigned targets widen along the Types lattice (SURVEY §1.3)
-    case "uint8"   => c.cast("short")
-    case "uint16"  => c.cast("int")
-    case "uint32"  => c.cast("long")
-    case "uint64"  => c.cast("decimal(20,0)")
+    // unsigned targets: numpy astype WRAPS modulo 2^N (Series([300])
+    // .astype('uint8') == 44, .astype of -1 == 2^N - 1), then the value
+    // lives in the widened signed storage type of the SURVEY §1.3
+    // lattice. Float inputs truncate toward zero first (Spark's
+    // double→long cast), like the C conversion numpy performs.
+    case "uint8"   => pmod(c.cast("long"), lit(256L)).cast("short")
+    case "uint16"  => pmod(c.cast("long"), lit(65536L)).cast("int")
+    case "uint32"  => pmod(c.cast("long"), lit(4294967296L))
+    case "uint64"  =>
+      pmod(c.cast("decimal(38,0)"),
+        lit(new java.math.BigDecimal("18446744073709551616")))
+        .cast("decimal(20,0)")
     case "float32" => c.cast("float")
     case "float64" => c.cast("double")
     case "bool"    => c.cast("boolean")

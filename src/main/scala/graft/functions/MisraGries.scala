@@ -132,16 +132,38 @@ object MisraGries {
     val row = sketch.select(col("cand"), col("n"), col("sketch_k"))
       .collect()(0)
     val cand = row.getAs[scala.collection.Seq[String]](0).toArray
-    val n = row.getLong(1)
+    val nSketch = row.getLong(1)
     val sketchK = row.getInt(2)
-    val threshold = n.toDouble / (sketchK + 1)
     val exactAll: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       d => d.groupBy(itemCol).agg(count(lit(1)).as("cnt"))
-    val candTop = graft.operators.Sorts.topK(
-      exactAll(items.filter(org.apache.spark.sql.functions.col(itemCol)
-        .isin(cand.toIndexedSeq: _*))),
-      Seq("cnt", itemCol), Seq(false, true), k)
-    val topRows = candTop.collect() // ≤ k rows — the certification input
+    // ONE scan yields candidate counts AND the CURRENT corpus total:
+    // non-candidate rows collapse map-side into a single null-key group
+    // (the exchange still carries ≤ k+1 groups per partition). The
+    // current total matters for soundness on a corpus that GREW since
+    // the sketch was fit: a non-candidate could hold at most
+    // n_sketch/(sketchK+1) occurrences at fit time (the MG guarantee)
+    // plus every occurrence added since — certify against that bound,
+    // not the stale fit-time threshold, so a stale sketch on a grown
+    // corpus falls back instead of silently missing a new heavy item.
+    val grouped = items
+      .filter(col(itemCol).isNotNull)
+      .groupBy(when(col(itemCol).isin(cand.toIndexedSeq: _*), col(itemCol))
+        .otherwise(lit(null)).as(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val nNow = grouped.map(_.getLong(1)).sum
+    val candCounts = grouped.filter(!_.isNullAt(0))
+    val threshold = nSketch.toDouble / (sketchK + 1) +
+      math.max(0L, nNow - nSketch).toDouble
+    val topRows = candCounts
+      .sortBy(r => (-r.getLong(1), r.getString(0))).take(k)
+    val candTop = items.sparkSession.createDataFrame(
+      java.util.Arrays.asList(topRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(itemCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val certified = topRows.length == k &&
       topRows.map(_.getLong(1)).min > threshold
     if (certified) {

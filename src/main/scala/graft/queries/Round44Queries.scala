@@ -134,6 +134,8 @@ object Round44Queries {
           s"c_$tc AS (SELECT greatest(1, (n + ${tc - 1}) // $tc) AS c FROM nn)")
           .mkString(",\n          ")
         val res = Seq(128, 256, 512).map(cellBlock).mkString(" UNION ALL ")
+        // grid completion ≡ the Spark side (r11): every (targetCell, R)
+        // point appears, zero-candidate points carry 0s and NULL ratios
         s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
           $cBlocks,
           sig AS ($sigs),
@@ -145,13 +147,22 @@ object Round44Queries {
               FROM e a, e b WHERE a.vec_id < b.vec_id)
             WHERE sim >= 0.4),
           t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-          res AS ($res)
-          SELECT res.target_cell, res.r, t.n_truth, res.n_cand, res.n_tp,
-            round(CAST(res.n_tp AS DOUBLE) / CAST(res.n_cand AS DOUBLE) * 1e6)
-              / 1e6 AS precision,
-            round(CAST(res.n_tp AS DOUBLE) / CAST(t.n_truth AS DOUBLE) * 1e6)
-              / 1e6 AS recall
-          FROM res, t"""
+          res AS ($res),
+          grid AS (SELECT c.c AS target_cell, r.r
+            FROM (VALUES (128), (256), (512)) c(c)
+            CROSS JOIN (VALUES (1), (2), (4), (8)) r(r))
+          SELECT g.target_cell, g.r, t.n_truth,
+            coalesce(res.n_cand, 0) AS n_cand,
+            coalesce(res.n_tp, 0) AS n_tp,
+            CASE WHEN coalesce(res.n_cand, 0) > 0 THEN
+              round(CAST(coalesce(res.n_tp, 0) AS DOUBLE)
+                / CAST(res.n_cand AS DOUBLE) * 1e6) / 1e6 END AS precision,
+            CASE WHEN t.n_truth > 0 THEN
+              round(CAST(coalesce(res.n_tp, 0) AS DOUBLE)
+                / CAST(t.n_truth AS DOUBLE) * 1e6) / 1e6 END AS recall
+          FROM grid g
+          LEFT JOIN res ON res.target_cell = g.target_cell AND res.r = g.r
+          CROSS JOIN t"""
       }),
 
     // STREAMING incremental embedding dedup: the q382/q384 persisted

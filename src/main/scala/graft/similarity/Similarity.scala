@@ -437,7 +437,15 @@ object Similarity {
                     var acc = 0.0; var d = 0
                     while (d < aJ.length) { acc += aI(d).toDouble * aJ(d).toDouble; d += 1 }
                     val sim = acc / (nrm(i2) * nrm(j))
-                    if (sim > m) m = sim
+                    // NaN (a zero-norm side: 0/0) DOMINATES in the pair
+                    // formulation this kernel must match bit-for-bit —
+                    // Spark and DuckDB order NaN above every number, so
+                    // the old filter's rnd(NaN) >= t was TRUE. Emit NaN
+                    // as the max (the outside rnd-threshold keeps the
+                    // same total order); `NaN < cut` is false, so the
+                    // early-exit loop guard also stops here.
+                    if (java.lang.Double.isNaN(sim)) m = Double.NaN
+                    else if (sim > m) m = sim
                   }
                   i2 += 1
                 }
@@ -540,10 +548,10 @@ object Similarity {
     * would emit probes matching nothing and silently degrade recall.
     * Fails with a clear message on an empty index.
     */
-  private def indexMeta(index: DataFrame): (Long, Int) = {
+  private[graft] def indexMeta(index: DataFrame): (Long, Int) = {
     val row = index.agg(max(col("t")).as("maxT"), max(col("c")).as("c")).collect()(0)
     require(!row.isNullAt(1),
-      "probeEmbedIndex: index is empty — build it with embedCellIndex over a non-empty corpus first")
+      "embed cell index is empty — build it with embedCellIndex over a non-empty corpus first")
     (row.getLong(1), row.getInt(0) + 1)
   }
 
@@ -637,15 +645,29 @@ object Similarity {
         .agg(count(lit(1)).as("n_cand"),
           coalesce(sum(col("__tp")), lit(0L)).as("n_tp"))
         .select(lit(targetCell).as("target_cell"), col("r"),
-          lit(nTruth).as("n_truth"), col("n_cand"), col("n_tp"),
-          graft.functions.Num.rnd(
-            col("n_tp").cast("double") / col("n_cand").cast("double"), 6)
-            .as("precision"),
-          graft.functions.Num.rnd(
-            col("n_tp").cast("double") / lit(nTruth.toDouble), 6)
-            .as("recall"))
+          col("n_cand"), col("n_tp"))
     }
-    val result = perCell.reduce(_.unionAll(_)).localCheckpoint(true)
+    // COMPLETE the grid: a point with zero colliding pairs would emit
+    // no aggregation row at all — left-join the counts back onto the
+    // full (targetCell × R) grid so consumers (autoR, grid readers) see
+    // every point, with n_cand = 0 and NULL ratios where undefined
+    // (never a NaN-poisoned recall on an empty truth set).
+    val grid = cells.flatMap(c => rs.map(r => (c, r)))
+      .toDF("target_cell", "r")
+    val counts = perCell.reduce(_.unionAll(_))
+    val result = grid.join(counts, Seq("target_cell", "r"), "left_outer")
+      .select(col("target_cell"), col("r"), lit(nTruth).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .select(col("target_cell"), col("r"), col("n_truth"), col("n_cand"),
+        col("n_tp"),
+        when(col("n_cand") > 0, graft.functions.Num.rnd(
+          col("n_tp").cast("double") / col("n_cand").cast("double"), 6))
+          .as("precision"),
+        when(lit(nTruth) > 0, graft.functions.Num.rnd(
+          col("n_tp").cast("double") / lit(nTruth.toDouble), 6))
+          .as("recall"))
+      .localCheckpoint(true)
     proj.unpersist(blocking = false)
     result
   }
@@ -660,21 +682,29 @@ object Similarity {
     val rows = sweep.select(col("target_cell"), col("r"), col("n_cand"),
         col("recall")).collect()
     require(rows.nonEmpty, "autoR: empty sweep table")
-    val ok = rows.filter(_.getDouble(3) >= targetRecall)
+    val measured = rows.filter(!_.isNullAt(3))
+    require(measured.nonEmpty,
+      "autoR: sweep has no measured recall (empty truth set) — the " +
+        "threshold finds no true pairs on this sample, nothing to tune")
+    val ok = measured.filter(_.getDouble(3) >= targetRecall)
     require(ok.nonEmpty,
       s"autoR: no operating point reaches recall $targetRecall " +
-        s"(best measured: ${rows.map(_.getDouble(3)).max})")
+        s"(best measured: ${measured.map(_.getDouble(3)).max})")
     val best = ok.minBy(r => (r.getLong(2), r.getInt(1)))
     (best.getInt(0), best.getInt(1))
   }
 
-  /** Sweep-then-dedup: measure the operating grid on a (deterministic)
-    * sample, choose the CHEAPEST point meeting `targetRecall`
-    * ([[autoR]]), then run [[semDedupBanded]] at that point over the
-    * full corpus — the turn-key form of the knob a 100 TB run tunes.
-    * Returns ((targetCell, r), keptFrame). The sample keeps the sweep's
-    * quadratic truth pass bounded regardless of corpus size; sampling
-    * is by deterministic id-hash so the choice is reproducible.
+  /** Sweep-then-dedup: measure the operating grid, choose the CHEAPEST
+    * point meeting `targetRecall` ([[autoR]]), then run
+    * [[semDedupBanded]] at that point over the full corpus. Returns
+    * ((targetCell, r), keptFrame).
+    *
+    * The sweep's ground-truth pass is exact all-pairs — QUADRATIC in
+    * the swept rows. The default (sampleMod = 1) sweeps the full
+    * corpus, which is only appropriate at report scale; at corpus
+    * scale PASS `sampleMod` > 1 so the truth pass runs on the 1/mod
+    * deterministic id-hash sample (the choice stays reproducible and
+    * the full corpus is still deduped at the chosen point).
     */
   def semDedupAuto(corpus: DataFrame, threshold: Double,
       targetRecall: Double, sampleMod: Int = 1,

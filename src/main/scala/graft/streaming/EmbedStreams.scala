@@ -139,12 +139,15 @@ object EmbedStreams {
     * accepted remainder between batches (q384's contract).
     */
   def probeIndexStream(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4, tables: Int = 4): DataFrame = {
+      threshold: Double = 0.4): DataFrame = {
     import graft.similarity.Similarity
     val em = graft.Tables.embeddings(spark, sfDir)
     val corpus = em.filter(col("vec_id") % 97 =!= 0)
-    val idx = Similarity.embedCellIndex(corpus, tables).cache()
-    val c = idx.agg(max(col("c"))).collect()(0).getLong(0)
+    val idx = Similarity.embedCellIndex(corpus, tables = 4).cache()
+    // modulus AND table count from the index itself (indexMeta — same
+    // guard as the batch probe: empty index errors clearly, a wrong
+    // caller-supplied table count can't silently degrade recall)
+    val (c, tables) = Similarity.indexMeta(idx)
     val stream = spark.readStream.schema(embSchema).parquet(stageDir(sfDir))
       .filter(col("vec_id") % 97 === 0)
     val probes = (0 until tables).map { t =>

@@ -192,7 +192,13 @@ class PlanPinSpec extends SparkSpec {
     }
     assert(p232.exists(_.toLowerCase.contains("misra_gries")),
       "q232 lost its MG sketch pass")
-    assert(p232.exists(_.contains(TOP)), "candidate top-k lost TakeOrdered")
+    // r11: the candidate verify is ONE grouped aggregation whose
+    // exchange carries ≤ sketchK+1 groups (candidates + the collapsed
+    // null bucket that supplies the CURRENT corpus total for sound
+    // certification); the ≤ k ranking happens on the collected rows,
+    // so no TakeOrdered node exists anymore
+    assert(p232.exists(p => p.contains("HashAggregate")
+      || p.contains("ObjectHashAggregate")), "candidate verify pass lost its aggregation")
     // the AMORTIZED path: prefit top-k must fire NO MG pass at all —
     // reintroducing the full-corpus sketch scan fails here
     import org.apache.spark.sql.functions._

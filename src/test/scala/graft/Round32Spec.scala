@@ -133,9 +133,20 @@ class Round32Spec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       Casts.astype(col("x"), "datetime64[ns]")
     }
-    // the supported lattice still casts
-    assert(Casts.astype(lit(300), "uint8") != null)
-    assert(Casts.astype(lit("9"), "int64") != null)
+    // uint targets WRAP modulo 2^N like numpy astype (then live in the
+    // widened signed storage type)
+    val r = spark.range(1).select(
+      Casts.astype(lit(300), "uint8").as("a"),
+      Casts.astype(lit(-1), "uint8").as("b"),
+      Casts.astype(lit(70000), "uint16").as("c"),
+      Casts.astype(lit(-1L), "uint32").as("d"),
+      Casts.astype(lit(-1L), "uint64").cast("string").as("e"),
+      Casts.astype(lit("9"), "int64").as("f")).collect()(0)
+    assert(r.getShort(0) == 44 && r.getShort(1) == 255)
+    assert(r.getInt(2) == 4464)
+    assert(r.getLong(3) == 4294967295L)
+    assert(r.getString(4) == "18446744073709551615")
+    assert(r.getLong(5) == 9L)
   }
 
   test("heavy hitters: prefit sketch ≡ refit; stale-superset sketch stays exact via fallback") {
@@ -162,6 +173,21 @@ class Round32Spec extends SparkSpec {
     val fallback = MisraGries.topKFrequentPrefit(words, "word", 10, bogus)
       .collect().map(_.toSeq).toSeq
     assert(fallback == refit)
+    // GROWN corpus: the sketch predates a brand-new heavy word. The
+    // stale fit-time threshold would certify a wrong answer; the
+    // current-total-aware certification (bound = n_sketch/(k+1) +
+    // growth) must fall back to the exact aggregation instead.
+    import spark.implicits._
+    val grown = words.unionByName(
+      Seq.fill(3000)("zzznewheavy").toDF("word"))
+    val staleAnswer = MisraGries.topKFrequentPrefit(
+      grown, "word", 10, spark.read.parquet(path))
+      .collect().map(_.toSeq).toSeq
+    val exactGrown = MisraGries.topKFrequent(grown, "word", 10, 512)
+      .collect().map(_.toSeq).toSeq
+    assert(exactGrown.exists(_.head == "zzznewheavy"))
+    assert(staleAnswer == exactGrown,
+      "stale sketch on a grown corpus returned a wrong top-k")
     words.unpersist()
   }
 

@@ -57,7 +57,9 @@ class SemDedupKernelPropSpec extends SparkSpec {
             sorted.take(j).exists { case (_, u) =>
               u != null && u.length == v.length && {
                 val sim = dot(u, v) / (math.sqrt(dot(u, u)) * math.sqrt(dot(v, v)))
-                rnd6(sim) >= threshold
+                // NaN (zero-norm side) dominates: Spark/DuckDB order
+                // NaN above every number, so rnd(NaN) >= t is true
+                sim.isNaN || rnd6(sim) >= threshold
               }
             }
           id -> !dominated
@@ -79,6 +81,7 @@ class SemDedupKernelPropSpec extends SparkSpec {
         val v: Array[Float] =
           if (id % 31 == 7) null
           else if (id % 29 == 11) Array.fill(16)(rng.nextFloat()) // wrong dim
+          else if (id % 37 == 13) Array.fill(64)(0.0f) // zero norm → NaN sims
           else {
             val ctr = centers((id % 5).toInt)
             Array.tabulate(64)(d => ctr(d) + 0.05f * rng.nextGaussian().toFloat)
