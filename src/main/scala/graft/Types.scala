@@ -108,7 +108,7 @@ object Types {
     case "uint8" => ShortType
     case "uint16" => IntegerType
     case "uint32" => LongType
-    case "uint64" => DecimalType(20, 0)
+    case "uint64" | "uint" => DecimalType(20, 0) // 'uint' ≡ uint64 (types.py:207)
     case "float32" => FloatType
     case "float64" | "float" => DoubleType
     case "bool" => BooleanType

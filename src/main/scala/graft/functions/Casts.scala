@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Casts {
 
+  /** Truncate toward zero in decimal space, then wrap mod 2^N.
+    * decimal % 1 carries the dividend's sign (Java semantics), so
+    * `d - d % 1` truncates toward zero for both signs — matching the
+    * numpy float→int C conversion — while the decimal(38,6) carrier
+    * keeps exact integers up to 10^32 (the whole uint64 range plus the
+    * DECIMAL(38,0) products UnsignedOps can produce).
+    */
+  private def uintWrap(c: Column, modulus: String): Column = {
+    val d = c.cast("decimal(38,6)")
+    val t = (d - (d % lit(java.math.BigDecimal.ONE))).cast("decimal(38,0)")
+    pmod(t, lit(new java.math.BigDecimal(modulus)))
+  }
+
   def astype(c: Column, dtype: String): Column = dtype match {
     case "int8"    => c.cast("byte")
     case "int16"   => c.cast("short")
@@ -24,15 +37,18 @@ object Casts {
     // unsigned targets: numpy astype WRAPS modulo 2^N (Series([300])
     // .astype('uint8') == 44, .astype of -1 == 2^N - 1), then the value
     // lives in the widened signed storage type of the SURVEY §1.3
-    // lattice. Float inputs truncate toward zero first (Spark's
-    // double→long cast), like the C conversion numpy performs.
-    case "uint8"   => pmod(c.cast("long"), lit(256L)).cast("short")
-    case "uint16"  => pmod(c.cast("long"), lit(65536L)).cast("int")
-    case "uint32"  => pmod(c.cast("long"), lit(4294967296L))
-    case "uint64"  =>
-      pmod(c.cast("decimal(38,0)"),
-        lit(new java.math.BigDecimal("18446744073709551616")))
-        .cast("decimal(20,0)")
+    // lattice. All four widths go through the same decimal(38,6)
+    // truncate-toward-zero + pmod so inputs beyond long range (uint64
+    // values, DECIMAL(38,0) intermediates) wrap mod 2^N instead of
+    // clamping/nulling at a long cast; fractional inputs truncate
+    // toward zero like the C conversion numpy performs. |x| ≥ 10^32
+    // (reachable only from floats far past the uint64 range, where
+    // numpy's conversion is undefined) overflows the decimal carrier
+    // (null or error per the session's ANSI setting).
+    case "uint8"   => uintWrap(c, "256").cast("short")
+    case "uint16"  => uintWrap(c, "65536").cast("int")
+    case "uint32"  => uintWrap(c, "4294967296").cast("long")
+    case "uint64"  => uintWrap(c, "18446744073709551616").cast("decimal(20,0)")
     case "float32" => c.cast("float")
     case "float64" => c.cast("double")
     case "bool"    => c.cast("boolean")

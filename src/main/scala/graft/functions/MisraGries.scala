@@ -119,10 +119,21 @@ object MisraGries {
   /** The amortized path: exact top-k from a PREFIT sketch row
     * ([[fitSketch]], typically read back from parquet).  One candidate-
     * filtered aggregation per call — the full-corpus MG pass is gone;
-    * certification still re-proves exactness from the exact counts, so
-    * a stale-but-superset sketch stays correct (a sketch missing a new
-    * heavy item fails certification and falls back to the exact
-    * aggregation rather than returning a wrong answer).
+    * certification re-proves exactness from the exact counts.
+    *
+    * PRECONDITION: the corpus may only have GROWN by appends since
+    * [[fitSketch]] (the same append-only contract as the persisted
+    * LSH/embed indexes).  Under that contract a stale sketch is safe: a
+    * non-candidate held ≤ n_sketch/(sketchK+1) occurrences at fit time
+    * (the MG guarantee) plus at most `nNow - nSketch` added since, and
+    * certification uses exactly that bound — a sketch missing a new
+    * heavy item fails it and falls back to the exact aggregation.
+    * Under REPLACEMENT (rows deleted and re-added), `nNow - nSketch`
+    * understates the additions and certification can pass on a top-k
+    * missing a post-fit heavy item; refit the sketch after any
+    * non-append modification.  The one detectable violation — a corpus
+    * that SHRANK (`nNow < nSketch`) — forces the exact fallback
+    * unconditionally.
     */
   def topKFrequentPrefit(items: org.apache.spark.sql.DataFrame,
                          itemCol: String, k: Int,
@@ -164,7 +175,7 @@ object MisraGries {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val certified = topRows.length == k &&
+    val certified = nNow >= nSketch && topRows.length == k &&
       topRows.map(_.getLong(1)).min > threshold
     if (certified) {
       // the certified answer is already on the driver (≤ k rows) —

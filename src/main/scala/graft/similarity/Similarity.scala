@@ -583,21 +583,6 @@ object Similarity {
         (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
   }
 
-  /** Append a probed-and-ACCEPTED batch INTO a persisted
-    * [[embedCellIndex]] — the last arc of the incremental-curation
-    * contract (the embedding twin of MinHash.bucketIndex +
-    * DocStreams.incrementalDedup): dedup the corpus ONCE, then per
-    * crawl batch probe → accept the non-dups → merge them so the NEXT
-    * batch dedups against them too, never re-scanning the corpus. The
-    * batch hashes with the index's OWN frozen modulus and table set
-    * ([[indexMeta]] — read from the index, never re-derived from a
-    * count), so cell assignment is stable as the index grows:
-    * `probe(merge(index, b1), b2)` ≡ probing an index rebuilt over
-    * corpus ∪ b1 with the same frozen modulus
-    * (`embedCellIndex(…, frozenC = Some(c))`), row for row. Output
-    * keeps the (t, cell, vec_id, c) schema; write back partitioned by
-    * (t, cell) like the original build and probes keep pruning.
-    */
   /** Operating-point SWEEP for banded sign-signature blocking: for each
     * (targetCell, R) in the grid, the q378/q379-style report
     * (n_truth, n_cand, n_tp, precision, recall) — the table a 100 TB
@@ -718,6 +703,21 @@ object Similarity {
     ((cell, r), semDedupBanded(corpus, threshold, tables = r, targetCell = cell))
   }
 
+  /** Append a probed-and-ACCEPTED batch INTO a persisted
+    * [[embedCellIndex]] — the last arc of the incremental-curation
+    * contract (the embedding twin of MinHash.bucketIndex +
+    * DocStreams.incrementalDedup): dedup the corpus ONCE, then per
+    * crawl batch probe → accept the non-dups → merge them so the NEXT
+    * batch dedups against them too, never re-scanning the corpus. The
+    * batch hashes with the index's OWN frozen modulus and table set
+    * ([[indexMeta]] — read from the index, never re-derived from a
+    * count), so cell assignment is stable as the index grows:
+    * `probe(merge(index, b1), b2)` ≡ probing an index rebuilt over
+    * corpus ∪ b1 with the same frozen modulus
+    * (`embedCellIndex(…, frozenC = Some(c))`), row for row. Output
+    * keeps the (t, cell, vec_id, c) schema; write back partitioned by
+    * (t, cell) like the original build and probes keep pruning.
+    */
   def mergeEmbedIndex(index: DataFrame, accepted: DataFrame): DataFrame = {
     val (c, tables) = indexMeta(index)
     val batchRows = (0 until tables).map { t =>
@@ -760,16 +760,31 @@ object Similarity {
         (!(graft.functions.Num.rnd(col("m"), 6) >= lit(threshold))).as("kept"))
   }
 
-  def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double): DataFrame = {
-    // r11 shape: frozen-model cell assignment is a scan-stage
-    // expression; the election is the same partition-local kernel as
-    // [[semDedupScaled]] (one exchange, no pair join, no caches). The
-    // frozen model has no skew cap in its contract — cells carry their
-    // full population (maxCell = unbounded), as the original pair-join
-    // formulation did.
+  /** SemDeDup against a FROZEN IVF model's cells (the Abbas et al.
+    * formulation: cluster, then drop near-dups within each cluster).
+    *
+    * r11 shape: frozen-model cell assignment is a scan-stage
+    * expression; the election is the same partition-local kernel as
+    * [[semDedupScaled]] (one exchange, no pair join, no caches).
+    *
+    * MEMORY CONTRACT: the kernel buffers ONE CELL's vectors in a single
+    * task (O(|cell|·dim) heap) and compares O(|cell|²) pairs. By
+    * default (`maxCell = Int.MaxValue`) cells carry their full
+    * population — exact parity with the original pair-join formulation,
+    * but a heavily skewed model cell that the join formulation would
+    * have spilled through shuffle is instead bounded by one task's
+    * heap. If the model's cell histogram is skewed (or unknown), pass
+    * an explicit `maxCell`: rows past the cap (in vec_id rank order)
+    * neither dominate nor get dropped, the same documented degradation
+    * as [[semDedupScaled]]. [[semDedupScaled]] is the default
+    * 100 TB path precisely because its cells are sized ∝ n/targetCell
+    * by construction.
+    */
+  def semDedup(corpus: DataFrame, model: IVF.Model, threshold: Double,
+      maxCell: Int = Int.MaxValue): DataFrame = {
     val assigned = corpus.select(col("vec_id"),
       model.cell(col("embedding")).cast("int").as("cell"), col("embedding"))
-    semDedupKernel(assigned, threshold, maxCell = Int.MaxValue)
+    semDedupKernel(assigned, threshold, maxCell)
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("kept"))
   }
 }

@@ -147,6 +147,22 @@ class Round32Spec extends SparkSpec {
     assert(r.getLong(3) == 4294967295L)
     assert(r.getString(4) == "18446744073709551615")
     assert(r.getLong(5) == 9L)
+    // beyond-long-range inputs (uint64 values held as DECIMAL(20,0))
+    // wrap mod 2^N instead of clamping at a long cast, and fractional
+    // inputs still truncate toward zero (numpy C-cast semantics)
+    val big = new java.math.BigDecimal("18446744073709551615") // 2^64-1
+    val r2 = spark.range(1).select(
+      Casts.astype(lit(big).cast("decimal(20,0)"), "uint8").as("a"),
+      Casts.astype(lit(big).cast("decimal(20,0)"), "uint32").as("b"),
+      Casts.astype(lit(300.7), "uint8").as("c"),
+      Casts.astype(lit(-300.7), "uint8").as("d")).collect()(0)
+    assert(r2.getShort(0) == 255) // (2^64-1) mod 256
+    assert(r2.getLong(1) == 4294967295L) // (2^64-1) mod 2^32
+    assert(r2.getShort(2) == 44) // trunc(300.7)=300 → 44
+    assert(r2.getShort(3) == 212) // trunc(-300.7)=-300 → 256-44
+    // 'uint' dtype alias ≡ uint64 (reference types.py:207)
+    assert(graft.Types.sparkTypeOf("uint") ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
   }
 
   test("heavy hitters: prefit sketch ≡ refit; stale-superset sketch stays exact via fallback") {
@@ -188,6 +204,17 @@ class Round32Spec extends SparkSpec {
     assert(exactGrown.exists(_.head == "zzznewheavy"))
     assert(staleAnswer == exactGrown,
       "stale sketch on a grown corpus returned a wrong top-k")
+    // SHRUNK corpus: nNow < nSketch proves the append-only precondition
+    // was violated — certification must refuse and fall back to exact,
+    // regardless of how healthy the candidate counts look.
+    val shrunk = words.limit(words.count().toInt / 2)
+    val shrunkAnswer = MisraGries.topKFrequentPrefit(
+      shrunk, "word", 10, spark.read.parquet(path))
+      .collect().map(_.toSeq).toSeq
+    val exactShrunk = MisraGries.topKFrequent(shrunk, "word", 10, 512)
+      .collect().map(_.toSeq).toSeq
+    assert(shrunkAnswer == exactShrunk,
+      "shrunk corpus must force the exact fallback")
     words.unpersist()
   }
 
