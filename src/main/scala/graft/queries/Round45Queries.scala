@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Round-45 additions (build round 12): oracle gates for the two
+  * remaining VERDICT r11 "missing" items —
+  *
+  *  - the frame-metadata-op cluster (droplevel / swaplevel / iat /
+  *    set_axis / squeeze / copy / add_suffix) plus join-on-index, which
+  *    until now were ScalaTest-only (reference
+  *    `tests/pandas/df_droplevel.py`, `df_set_axis.py`, `df_iat.py`,
+  *    `df_join.py`);
+  *  - the datetime64[ns] precision contract: the reference stores
+  *    nanosecond int64 (`legate/pandas/common/types.py:112-121`), the
+  *    engine's TimestampType is µs — q396 pins the divergence exactly
+  *    (floor-truncation of the sub-µs residue) through a LongType-ns
+  *    round trip, so the one dtype-lattice hole is a measured contract,
+  *    not an undocumented loss.
+  */
+object Round45Queries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Composite metadata-op pipeline. One flow exercises every op with
+    // an observable effect: two iat() reads pin the MultiIndex sort
+    // order BEFORE and AFTER swaplevel (different offset-3 rows);
+    // droplevel removes the region level so the index-join is single-
+    // key; the right frame goes through set_axis (positional rename —
+    // its "n_cust" name survives to the output), copy (identity) and
+    // squeeze (single-data-column view); join(right) joins ON INDEX
+    // (left n_nationkey vs right nkey, right key dropped, pandas
+    // df.join semantics); add_suffix stamps every output column.
+    "q395_frame_metadata" -> QueryDef(
+      (s, d) => {
+        import graft.api.GFrame
+        val nf0 = GFrame(
+          Tables.nation(s, d).select("n_regionkey", "n_nationkey", "n_name"),
+          Seq("n_regionkey", "n_nationkey"))
+        val iatA = nf0.iat(3, "n_name").get.toString // (region, nation) order
+        val nf1 = nf0.swaplevel() // index now (n_nationkey, n_regionkey)
+        val iatB = nf1.iat(3, "n_name").get.toString // (nation, region) order
+        val nf2 = nf1.droplevel(1) // drop n_regionkey → single-level index
+        val cf = GFrame(
+          Tables.customer(s, d).groupBy("c_nationkey")
+            .agg(count(lit(1)).as("cnt")),
+          Seq("c_nationkey"))
+          .setAxis(Seq("nkey", "n_cust"))
+          .copy()
+          .squeeze()
+        nf2.join(cf, "left")
+          .assign("iat_a", lit(iatA))
+          .assign("iat_b", lit(iatB))
+          .addSuffix("_f")
+          .df
+      },
+      Some(
+        """WITH cf AS (SELECT c_nationkey AS nkey,
+              CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY 1)
+          SELECT n.n_nationkey AS n_nationkey_f, n.n_name AS n_name_f,
+            cf.n_cust AS n_cust_f,
+            (SELECT n_name FROM nation ORDER BY n_regionkey, n_nationkey
+              OFFSET 3 LIMIT 1) AS iat_a_f,
+            (SELECT n_name FROM nation ORDER BY n_nationkey, n_regionkey
+              OFFSET 3 LIMIT 1) AS iat_b_f
+          FROM nation n LEFT JOIN cf ON n.n_nationkey = cf.nkey""")),
+
+    // datetime64[ns] precision gate: synthesize genuine sub-µs values
+    // (event_id·137 mod 1000 ns past each event's µs timestamp — the
+    // corpus itself is µs), hold them in the reference's own storage
+    // representation (int64 ns), convert to the engine's TimestampType
+    // and back. Pins: ts_us = floor(ns/1000) µs exactly; the round trip
+    // loses exactly lost_ns = ns mod 1000 ∈ [0, 1000); calendar
+    // accessors (dt.year here) agree with the ns value they truncate
+    // from. This is the explicit-divergence alternative of VERDICT r11
+    // item 5: µs truncation is the documented COVERAGE.md contract, and
+    // ns-exact arithmetic stays available on the LongType twin.
+    "q396_ns_roundtrip" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("event_id") % 7 === 0)
+        ev.select(col("event_id"),
+            (unix_micros(col("ts")) * 1000 +
+              pmod(col("event_id") * 137, lit(1000))).as("ns"))
+          .select(col("event_id"), col("ns"),
+            timestamp_micros(expr("ns div 1000")).as("ts_us"))
+          .select(col("event_id"), col("ns"), col("ts_us"),
+            (unix_micros(col("ts_us")) * 1000).as("ns_back"),
+            (col("ns") - unix_micros(col("ts_us")) * 1000).as("lost_ns"),
+            year(col("ts_us")).cast("long").as("yr"))
+      },
+      Some(
+        """WITH ns_tbl AS (SELECT event_id,
+              epoch_us(ts) * 1000 + (event_id * 137) % 1000 AS ns
+            FROM events WHERE event_id % 7 = 0)
+          SELECT event_id, ns,
+            make_timestamp(ns // 1000) AS ts_us,
+            (ns // 1000) * 1000 AS ns_back,
+            ns % 1000 AS lost_ns,
+            CAST(year(make_timestamp(ns // 1000)) AS BIGINT) AS yr
+          FROM ns_tbl"""))
+  )
+}
