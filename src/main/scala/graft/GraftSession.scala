@@ -28,6 +28,20 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      // Experiment/deploy passthrough: "k=v;k=v" — lets perf A/B runs
+      // (and a real cluster submit) override any SQL conf without a
+      // rebuild. Ignored when unset.
+      .applyExtraConf
+
+  private implicit class ExtraConf(b: SparkSession.Builder) {
+    def applyExtraConf: SparkSession.Builder =
+      sys.env.get("SPARK_GRAFT_CONF").fold(b) { s =>
+        s.split(';').filter(_.contains('=')).foldLeft(b) { (bb, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          bb.config(k.trim, v.trim)
+        }
+      }
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
