@@ -70,4 +70,32 @@ object Tables {
     */
   val uintFixturePath = "/root/repo/fixtures/uint.parquet"
   def uintFixture(s: SparkSession): DataFrame = s.read.parquet(uintFixturePath)
+
+  /** Spread a SMALL scan across the cluster when the file layout caps
+    * its parallelism below the core count — CPU-heavy per-row kernels
+    * (md5 bucketing, shingling, tokenization) otherwise run single-
+    * threaded because a parquet scan parallelizes at row-group
+    * granularity and a small corpus is one row group (this corpus: every
+    * sf0.1 table is a single group, TESTDATA layout).
+    *
+    * The condition is decided from file bytes ÷ maxPartitionBytes — pure
+    * driver-side metadata, no job. At scale the inequality flips
+    * (thousands of splits ≥ cores) and the frame passes through
+    * UNTOUCHED, so this never adds an exchange to a 100 TB input; at toy
+    * scale it trades one exchange of megabytes for cores× kernel
+    * parallelism — the same adaptive scan-width choice DuckDB/Trino make
+    * inside their schedulers.
+    */
+  def fanout(df: DataFrame, sfDir: String, table: String): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val maxPart = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else Long.MaxValue
+    val splits = math.max(1L, bytes / maxPart)
+    if (splits < cores) df.repartition(cores) else df
+  }
 }

@@ -38,28 +38,42 @@ object Num {
     */
   def dec2(c: Column): Column = c.cast("decimal(12,2)")
 
-  /** ORDER-INDEPENDENT money sum: decimal addition is associative, so
+  /** Integer cents of an exactly-2-decimal money double. `c * 100` lands
+    * within ~1e-11 of the true integer (never near .5), so `rint` is
+    * exact and agrees with the DECIMAL(12,2) cast's HALF_UP.
+    */
+  def cents(c: Column): Column = rint(c * lit(100)).cast("long")
+
+  /** ORDER-INDEPENDENT money sum: integer addition is associative, so
     * Spark's partial-aggregate tree and DuckDB's sequential fold produce
     * the IDENTICAL exact value at any scale — unlike double sums, whose
     * last-ulp drift flips `rnd` at round boundaries once group sums grow
     * (bit us at sf0.1: a 6.8e7 revenue group rounded .85 vs .84).
+    *
+    * Implementation: exact int128 sum of long cents ([[Int128Sum]]) —
+    * same result as the earlier `sum(DECIMAL(12,2))` formulation
+    * (pinned by Int128SumSpec) but ~4× faster: the decimal sum's
+    * precision-22 accumulator falls off Spark's compact-long Decimal
+    * fast path onto BigDecimal, the int128 sum stays in codegen'd
+    * long arithmetic (measured r12 at sf0.1: 0.58 s → 0.16 s for q01's
+    * kernel).
     */
   def sumMoney(c: Column): Column =
-    round(sum(dec2(c)), 2).cast("double")
+    round(Int128Sum(cents(c), 2), 2).cast("double")
 
   /** Exact-sum-based mean of a money/2-dec column (skips nulls like
-    * pandas): exact decimal sum → identical double → identical divide.
+    * pandas): exact int128 sum → identical double → identical divide.
     */
   def avgMoney(c: Column, digits: Int = 6): Column =
-    rnd(sum(dec2(c)).cast("double") / count(c), digits)
+    rnd(Int128Sum(cents(c), 2).cast("double") / count(c), digits)
 
-  /** Revenue-style product sum: price × (1 − discount) in exact decimal
-    * (scale 2 × scale 2 → scale 4), summed exactly.
+  /** Revenue-style product sum: price × (1 − discount) exactly, as
+    * cents × (100 − discount-cents) scale-4 integer units, int128-summed.
     */
   def sumRevenue(price: Column, discount: Column): Column =
-    round(sum(dec2(price) * (lit(1) - dec2(discount))), 2).cast("double")
+    round(Int128Sum(cents(price) * (lit(100L) - cents(discount)), 4), 2).cast("double")
 
   /** price × discount variant (TPC-H Q6). */
   def sumPriceTimes(price: Column, factor: Column): Column =
-    round(sum(dec2(price) * dec2(factor)), 2).cast("double")
+    round(Int128Sum(cents(price) * cents(factor), 4), 2).cast("double")
 }

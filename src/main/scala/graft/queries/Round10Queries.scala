@@ -35,7 +35,9 @@ object Round10Queries {
     // synthetic corpus (28/475 at sf0.01) — production uses 8-13.
     "q221_decontaminate" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // shingling kernel: spread the row-group-capped corpus scan
+        // across cores (no-op at scale — see Tables.fanout)
+        val docs = Tables.fanout(Tables.documents(s, d), d, "documents")
         Decontaminate.flag(
           docs.filter(col("source") =!= "src9"), "doc_id", "text",
           docs.filter(col("source") === "src9"), "text", n = 4)

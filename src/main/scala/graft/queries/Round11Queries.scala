@@ -111,7 +111,7 @@ object Round11Queries {
     // to the full exact aggregation if the guarantee doesn't bind.
     "q232_heavy_hitters" -> QueryDef(
       (s, d) => graft.functions.MisraGries.topKFrequent(
-        Tables.documents(s, d)
+        Tables.fanout(Tables.documents(s, d), d, "documents")
           .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word")),
         "word", k = 10, sketchK = 512),
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

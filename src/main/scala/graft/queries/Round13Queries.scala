@@ -67,7 +67,8 @@ object Round13Queries {
     // The oracle replays each query independently — proving the shared
     // scan changes nothing.
     "q249_bm25_batch" -> QueryDef(
-      (s, d) => Bm25.topKBatch(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => Bm25.topKBatch(
+        Tables.fanout(Tables.documents(s, d), d, "documents"), "doc_id", "text",
         batchQueries, k = 20, k1 = bmK1, b = bmB),
       Some(bm25BatchOracleSql(batchQueries, 20)),
       headline = true))

@@ -140,7 +140,9 @@ object Round16Queries {
     // variant (no log) so the oracle replays it bit-for-bit.
     "q260_bigram_lm" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // md5-per-position kernel: spread a row-group-capped scan
+        // across cores (no-op at scale — see Tables.fanout)
+        val docs = Tables.fanout(Tables.documents(s, d), d, "documents")
         val (pu, pb) = BigramLm.tables(docs, "text")
         docs.select(col("doc_id"),
           BigramLm.score(col("text"), pu, pb).as("fluency"))

@@ -491,7 +491,8 @@ object Round8Queries {
     // min(struct(doc_id, idx)) per chunk hash, not a window sort.
     "q213_chunk_dedup" -> QueryDef(
       (s, d) => graft.text.ChunkDedup.rewrite(
-        Tables.documents(s, d), "doc_id", "text", k = 10),
+        Tables.fanout(Tables.documents(s, d), d, "documents"),
+        "doc_id", "text", k = 10),
       Some("""WITH t AS (SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
              FROM documents),

@@ -75,17 +75,31 @@ object BigramLm {
 
   /** Fluency score column: mean over positions 2..n of the interpolated
     * bucket probability.  Documents with fewer than 2 tokens score 0.
+    *
+    * Perf shape (measured r12): higher-order functions are interpreted
+    * (CodegenFallback), and a lambda body re-evaluates every inlined
+    * subtree per element — the original formulation recomputed
+    * `split(text)` at each of the 3 token references PER POSITION
+    * (O(n²·len)), and looked buckets up in map literals (O(buckets)
+    * linear scan per position). Two structural fixes, same values:
+    *   - bind the token array ONCE per row as a lambda variable
+    *     (`transform(array(tokens), tk -> …)[1]` — poor man's `let`);
+    *   - store the tables as array literals (O(1) `element_at`).
+    * The per-position double arithmetic is unchanged, so scores stay
+    * bit-identical to the oracle's list_reduce fold.
     */
   def score(text: Column, pu: Map[Int, Double], pb: Map[Int, Double]): Column = {
-    val puM = typedlit(pu)
-    val pbM = typedlit(pb)
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n < 2, lit(0.0)).otherwise(
-      aggregate(sequence(lit(2), n), lit(0.0), (acc, i) => {
-        val bg = concat(element_at(toks, i - 1), lit(" "), element_at(toks, i))
-        acc + (lit(WBi) * element_at(pbM, biBucket(bg))
-          + lit(WUni) * element_at(puM, uniBucket(element_at(toks, i))))
-      }) / (n - 1))
+    val puA = typedlit((0 until UniBuckets).map(pu))
+    val pbA = typedlit((0 until BiBuckets).map(pb))
+    element_at(
+      transform(array(tokens(text)), tk => {
+        val n = size(tk)
+        when(n < 2, lit(0.0)).otherwise(
+          aggregate(sequence(lit(2), n), lit(0.0), (acc, i) => {
+            val bg = concat(element_at(tk, i - 1), lit(" "), element_at(tk, i))
+            acc + (lit(WBi) * element_at(pbA, biBucket(bg) + 1)
+              + lit(WUni) * element_at(puA, uniBucket(element_at(tk, i)) + 1))
+          }) / (n - 1))
+      }), 1)
   }
 }

@@ -81,9 +81,37 @@ object ChunkDedup {
     * document; a document whose every chunk is a repeat survives with
     * empty text (n_kept = 0), mirroring C4's span removal (the
     * downstream length filter is a separate policy decision).
+    *
+    * Batch plan (r12 reshape): the election carries the chunk TEXT
+    * along with the winner (all chunks sharing an md5-prefix key are
+    * identical text, collision odds 2^-64), so the winning rows ARE the
+    * kept set — no join back to the exploded chunks, and the explode
+    * runs ONCE instead of three times (elect + join side + totals).
+    * `n_total` falls out of token counts in the base scan
+    * (ceil(n_tokens/k)), not a second explode. Two shuffles total
+    * (by chunk hash, then by winning doc) + one 1-row-per-doc join —
+    * each a plain hash exchange that scales with corpus size. The
+    * staged `chunks`/`elect`/`assemble` operators remain for the
+    * streaming twin, whose state must not carry chunk text.
     */
   def rewrite(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
     val c = chunks(df, idCol, textCol, k)
-    assemble(df, c, elect(c, idCol), idCol)
+    val elected = c.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("idx"))).as("keep"),
+        first(col("chunk")).as("chunk"))
+    val rebuilt = elected.groupBy(col(s"keep.$idCol").as(idCol))
+      .agg(
+        array_join(expr("transform(sort_array(collect_list(struct(keep.idx as idx, chunk))), x -> x.chunk)"),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        coalesce(
+          expr(s"cast(ceil(size(filter(split($textCol, ' '), x -> x != '')) / cast($k as double)) as bigint)"),
+          lit(0L)).as("n_total"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"))
   }
 }
