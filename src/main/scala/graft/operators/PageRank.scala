@@ -53,10 +53,20 @@ object PageRank {
     // construction latency was ~half the per-iteration wall) and the
     // exact pattern a 1000-executor run wants (edges stay put, ranks
     // move).
+    //
+    // The partition count is SIZE-DERIVED, not conf-pinned (r12): the
+    // cached layout's count propagates through every iteration's join
+    // stage (the shuffle-hash requirement defeats AQE coalescing
+    // there), so a conf-default 32 means 32 near-empty tasks per stage
+    // per iteration on a small graph — measured ~0.1 s fixed cost per
+    // task (hash-relation page alloc + agg-map zeroing) dwarfing the
+    // row work. ~1M edges per partition, capped for the huge end.
+    val nEdgeRows = e0.count() // e0 is checkpointed: a cheap local scan
+    val edgeParts = math.max(1L, math.min(2L * nEdgeRows / 1000000L + 1L, 20000L)).toInt
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .repartition(edgeParts, col("src"))
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
@@ -66,20 +76,29 @@ object PageRank {
 
     var pr = verts.select(col("id"), col("deg"), lit(Scale / n).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = sym.hint("shuffle_hash")
+      // ONE join + ONE aggregation per iteration: the apply step that
+      // used to be a second (verts ⋈ contrib) join is folded INTO the
+      // aggregation as a zero-contribution union branch that also
+      // carries each vertex's degree (max ignores the contribution
+      // rows' null deg; every id has exactly one verts row). Vertices
+      // receiving no mass still surface through the verts branch and
+      // get pure teleport — identical fixed-point values, one less
+      // join (≈2 fewer AQE stage dispatches) per iteration.
+      val contribRows = sym.hint("shuffle_hash")
         .join(pr.hint("shuffle_hash"), sym("src") === pr("id"))
-        .select(col("dst").as("id"), expr("pr div deg").as("c"))
-        .groupBy("id").agg(sum("c").as("mass"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"),
+          lit(null).cast("long").as("deg"))
       // eager localCheckpoint per iteration (r11): cuts lineage harder
       // than persist+count (the next iteration plans from a checkpoint
       // scan, not the whole join chain - measured: driver planning was
       // half the cold wall time), and blocks die with the object, so
       // there is no prev-unpersist dance and nothing to leak.
-      pr = verts.hint("shuffle_hash")
-        .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+      pr = contribRows
+        .unionByName(verts.select(col("id"), lit(0L).as("c"), col("deg")))
+        .groupBy("id").agg(sum("c").as("mass"), max("deg").as("deg"))
         .select(col("id"), col("deg"),
           (lit(teleport) +
-            expr(s"(85 * coalesce(mass, 0L)) div 100").cast("long")).as("pr"))
+            expr(s"(85 * mass) div 100").cast("long")).as("pr"))
         .localCheckpoint(true)
     }
     // cache ownership (r11): iterations are checkpointed (blocks die
@@ -203,10 +222,45 @@ object PageRank {
   def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    // distinct on the INTEGER key pair, then build string ids for the
+    // surviving pairs only — the concat ran per joined row (600k string
+    // builds at sf0.1 for a 16k-pair result) when it preceded distinct
     o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
       .select(concat(lit("c"), col("o_custkey")).as("cust"),
         concat(lit("s"), col("l_suppkey")).as("supp"))
+  }
+
+  /** [[tradeEdges]] on LONG vertex ids (custkey·2 even, suppkey·2+1
+    * odd — the key spaces are disjoint exactly like the c/s string
+    * prefixes). Iterating on longs keeps every join probe and
+    * aggregation on 8-byte hashes; the string form made UTF8String
+    * hashing/equality the hottest executor frames (JFR r12). Map back
+    * with [[vertexIdString]] for presentation.
+    */
+  def tradeEdgesLong(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
       .distinct()
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+  }
+
+  /** Decode a [[tradeEdgesLong]] vertex id back to its "c<k>"/"s<k>"
+    * string form.
+    */
+  def vertexIdString(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def half(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(IntegralDivide(
+        ColumnBridge.expression(c.cast("long")),
+        ColumnBridge.expression(lit(2L))))
+    when(id % 2 === 0, concat(lit("c"), half(id)))
+      .otherwise(concat(lit("s"), half(id - 1)))
   }
 
   /** [[tradeEdges]] with the lineitem multiplicity as an integer edge

@@ -15,15 +15,29 @@ object PipelineQueries {
     // multi-agg + distinct count (reference
     // benchmarks/mortgage/mortgage.py:448-510 pipeline shape).
     "q87_etl_pipeline" -> QueryDef(
-      (s, d) => Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-        .groupBy("c_mktsegment", "ym")
-        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-          Num.avgMoney(col("l_quantity")).as("avg_qty"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_lines")),
+      (s, d) => {
+        // countDistinct would EXPAND every joined row in two copies
+        // through the aggregate; instead aggregate per order first
+        // (orders are unique within a (segment, ym) group by
+        // construction), then roll orders up — halves the agg input
+        // and makes n_orders a plain count. Long integer partials stay
+        // exact: per-order sums are bounded (≤ 7 lines × 1e7 cents),
+        // the unbounded second stage uses the int128 kernel.
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .groupBy("c_mktsegment", "ym", "o_orderkey")
+          .agg(sum(Num.cents(col("l_extendedprice")) * (lit(100L) - Num.cents(col("l_discount")))).as("__rev_u"),
+            sum(Num.cents(col("l_quantity"))).as("__qty_c"),
+            count(col("l_quantity")).as("__qty_n"),
+            count(lit(1)).as("__n"))
+          .groupBy("c_mktsegment", "ym")
+          .agg(round(graft.functions.Int128Sum(col("__rev_u"), 4), 2).cast("double").as("revenue"),
+            Num.rnd(graft.functions.Int128Sum(col("__qty_c"), 2).cast("double") / sum(col("__qty_n")), 6).as("avg_qty"),
+            count(lit(1)).as("n_orders"),
+            sum(col("__n")).as("n_lines"))
+      },
       Some("""SELECT c_mktsegment,
              CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,

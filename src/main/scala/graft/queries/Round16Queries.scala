@@ -202,8 +202,14 @@ object Round16Queries {
     // so lineage stays flat.  Integer `div` arithmetic makes the
     // per-vertex mass sum order-independent and bit-replayable.
     "q263_pagerank" -> QueryDef(
-      (s, d) => graft.operators.PageRank.run(
-        graft.operators.PageRank.tradeEdges(s, d), "cust", "supp", iters = 3),
+      (s, d) => {
+        // iterate on LONG vertex ids (string hashing dominated the
+        // executor profile); decode to "c<k>"/"s<k>" only at the end
+        import graft.operators.PageRank
+        PageRank.run(PageRank.tradeEdgesLong(s, d), "cust", "supp", iters = 3)
+          .select(PageRank.vertexIdString(col("id")).as("id"),
+            col("deg"), col("pr"))
+      },
       Some(pageRankOracleSql), headline = true),
 
     // §2.8 JSON property extraction (pandas json_normalize /

@@ -1,11 +1,15 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{AbstractDataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership gate — the same Catalyst machinery Spark's
   * own runtime row-level filtering injects (`BloomFilterAggregate` +
@@ -72,9 +76,52 @@ object BloomGate {
   /** Membership predicate against a built filter — a codegen'd
     * Catalyst expression (no UDF); false positives possible, false
     * negatives not, so always pair with an exact verify join.
+    *
+    * The filter bytes travel as a TorrentBroadcast handle, NOT a plan
+    * literal: Spark's own `BloomFilterMightContain` takes the bytes as
+    * an expression, which embeds megabytes into the plan tree — every
+    * AQE stage then re-serializes them into its task binary (observed
+    * 5–10 MiB "large task binary" warnings, with inter-stage driver
+    * time dwarfing the stage walls), and at the 100 TB sizing (a GB-
+    * scale filter) a plan literal is simply not shippable. With the
+    * broadcast handle the task binary stays KB-sized and each executor
+    * fetches + deserializes the filter once.
     */
-  def mightContain(bloom: Array[Byte], c: Column): Column =
-    ColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bloom, BinaryType),
+  def mightContain(bloom: Array[Byte], c: Column): Column = {
+    val bcast = SparkSession.active.sparkContext.broadcast(bloom)
+    ColumnBridge.column(BloomMightContainBcast(bcast,
       ColumnBridge.expression(xxhash64(c))))
+  }
+}
+
+/** `mightContainLong` over a broadcast-shipped serialized BloomFilter
+  * (see [[BloomGate.mightContain]]). Child must be an xxhash64 long.
+  */
+case class BloomMightContainBcast(bcast: Broadcast[Array[Byte]],
+                                  child: Expression)
+    extends UnaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an xxhash64 LONG child, got ${child.dataType}")
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_might_contain_bcast"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
+
+  def mightContain(h: Long): Boolean = filter.mightContainLong(h)
+
+  override protected def nullSafeEval(h: Any): Any =
+    mightContain(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomGate", this,
+      classOf[BloomMightContainBcast].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $ref.mightContain($h);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainBcast =
+    copy(child = c)
 }

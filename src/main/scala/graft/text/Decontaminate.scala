@@ -35,12 +35,16 @@ object Decontaminate {
     * (shingle sets are distinct by construction).
     *
     * `expectedEvalGrams` sizes the bloom (see BloomGate.build's clamp
-    * note); default covers the distinct-gram count of benchmark-sized
-    * eval sets with bits to spare.
+    * note); the default (≤ 0) SELF-SIZES by counting the cached eval
+    * grams first — one cheap job on the small side that keeps the
+    * per-partition partial filters (and their 32-way driver merge)
+    * proportional to the actual eval set instead of a worst-case bound
+    * (measured r12: a 4M-item default meant 5 MB partials and a 0.8 s
+    * single-task merge for a 200k-gram eval set).
     */
   def flag(corpus: DataFrame, idCol: String, textCol: String,
            eval: DataFrame, evalTextCol: String, n: Int,
-           expectedEvalGrams: Long = 4L * 1024 * 1024): DataFrame = {
+           expectedEvalGrams: Long = 0L): DataFrame = {
     // Two consumers (bloom build + verify join); cached so the eval set
     // is shingled once. Small side by contract — at scale this is a
     // persisted gram table reused across corpus batches.
@@ -48,11 +52,18 @@ object Decontaminate {
       .select(explode(Shingles.shingles(col(evalTextCol), n)).as("g"))
       .distinct()
       .cache()
-    val bloom = BloomGate.build(evalGrams, col("g"), expectedEvalGrams)
+    val sizing =
+      if (expectedEvalGrams > 0) expectedEvalGrams
+      else math.max(evalGrams.count(), 1024L)
+    val bloom = BloomGate.build(evalGrams, col("g"), sizing)
     val hits = corpus
       .select(col(idCol), explode(Shingles.shingles(col(textCol), n)).as("g"))
       .filter(BloomGate.mightContain(bloom, col("g")))
-      .join(evalGrams, Seq("g"), "left_semi") // exact: kills bloom FPs
+      // exact verify kills bloom FPs; BROADCAST: the eval-gram table is
+      // small by contract (bounded eval suites vs unbounded corpus), and
+      // the alternative is a sort-merge join that sorts every surviving
+      // corpus gram string — the dominant cost of this plan at any scale
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("hit_grams"))
     corpus.select(col(idCol))
@@ -69,7 +80,7 @@ object Decontaminate {
     */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             eval: DataFrame, evalTextCol: String, n: Int,
-            expectedEvalGrams: Long = 4L * 1024 * 1024): DataFrame = {
+            expectedEvalGrams: Long = 0L): DataFrame = {
     val bad = flag(corpus, idCol, textCol, eval, evalTextCol, n,
       expectedEvalGrams)
       .filter(col("contaminated"))

@@ -27,11 +27,15 @@ object PerfProbe {
     @volatile var jobCount = 0
     @volatile var taskCount = 0
     @volatile var taskTimeMs = 0L
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stageCount += 1
         taskCount += sc.stageInfo.numTasks
         taskTimeMs += sc.stageInfo.taskMetrics.executorRunTime
+        val si = sc.stageInfo
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+        stageLog.add(f"    stage=${si.stageId}%-4d tasks=${si.numTasks}%-3d wall=${wall / 1000.0}%.2fs taskTime=${si.taskMetrics.executorRunTime / 1000.0}%.2fs  ${si.name.takeWhile(_ != '\n').take(70)}")
       }
       override def onJobStart(js: SparkListenerJobStart): Unit = jobCount += 1
     })
@@ -46,6 +50,7 @@ object PerfProbe {
       System.gc()
       val best = (1 to 4).map { _ =>
         stageCount = 0; jobCount = 0; taskCount = 0; taskTimeMs = 0L
+        stageLog.clear()
         val t0 = System.nanoTime()
         val fresh = qmap(n)(spark, sfDir) // what eager bench passes pay
         val t1 = System.nanoTime()
@@ -57,6 +62,8 @@ object PerfProbe {
           jobCount, stageCount, taskCount, taskTimeMs)
       }.minBy(_._1)
       println(f"PROBE $n%-24s total=${best._1}%.3f build=${best._2}%.3f plan=${best._3}%.3f exec=${best._4}%.3f jobs=${best._5} stages=${best._6} tasks=${best._7} taskTime=${best._8 / 1000.0}%.3f")
+      if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES"))
+        stageLog.forEach(s => println(s)) // last pass's stages (not min pass)
     }
     spark.stop()
   }

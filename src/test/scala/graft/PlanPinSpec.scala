@@ -54,7 +54,9 @@ class PlanPinSpec extends SparkSpec {
     // fact scanned once; 4 broadcast dims; one residual SMJ (orders)
     Pin("q203_tpch_q9", exact = Map(BHJ -> 4, CART -> 0),
       atMost = Map(HASH -> 3, SMJ -> 1)),
-    Pin("q213_chunk_dedup", exact = Map(BHJ -> 3, SMJ -> 0, CART -> 0),
+    // r12 fused rewrite: the election carries chunk text, so the only
+    // join left is the 1-row-per-doc assembly join (explode runs once)
+    Pin("q213_chunk_dedup", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0),
       atMost = Map(HASH -> 3)),
     // r10 shape: (vec_id, cell)-only pair join + by-id embedding fetch
     // for candidates — embeddings never ride the self-join (3.4× at
