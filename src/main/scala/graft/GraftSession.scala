@@ -25,6 +25,18 @@ object GraftSession {
       // alone serializes the aggregation. On a real cluster the same
       // default keeps reduce stages at executor parallelism.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Always use the sort-based (serialized) shuffle writer. The
+      // default bypass-merge writer kicks in whenever reducers <= 200 —
+      // i.e. EVERY shuffle at our 32-partition conf — and opens one
+      // DiskBlockObjectWriter + LZ4 stream PER REDUCER PER MAP TASK
+      // (32 x 32 = 1024 file opens + codec inits per shuffle; JFR r12
+      // showed DiskBlockObjectWriter.open/lz4Factory as the hottest map
+      // frames, ~0.25s of fixed cost per map task). The sort writer
+      // produces one file + index per map task regardless of reducer
+      // count — the same writer any >200-reducer cluster job uses, so
+      // this only removes a small-fanout pathology, never changes the
+      // scale path.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one explode to (chunk, doc, idx), one hash-keyed
   * partial-aggregatable min to elect each chunk's first occurrence
-  * (the shuffle carries a 16-byte hash + a (long,int) struct — never
+  * (the shuffle carries an 8-byte hash + a (long,int) struct — never
   * the chunk text twice), one equi-join back, and one per-doc
   * reassembly groupBy. No windows, no driver-side state; every stage
   * is a plain hash shuffle that scales with corpus size.
@@ -26,24 +26,23 @@ import org.apache.spark.sql.functions._
 object ChunkDedup {
 
   /** Explode to one row per chunk: (idCol, idx, chunk, h) where h is
-    * the 16-hex-char md5 prefix used as the dedup key. Stateless —
+    * the 64-bit xxhash64 of the chunk text, fused into the same
+    * native one-pass [[ChunkSet]] kernel that tokenizes and chunks (an
+    * 8-byte shuffle/state key; same 2^-64 collision odds as the
+    * md5-prefix key it replaced, at a fraction of the cost). Stateless —
     * works identically on a batch frame or a streaming source.
     */
-  def chunks(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
-        expr(s"filter(split($textCol, ' '), x -> x != '')").as("__t"))
-      .filter(size(col("__t")) > 0)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, cast((size(__t) + ${k - 1}) / $k as int) - 1), " +
-          s"i -> struct(i as idx, array_join(slice(__t, i * $k + 1, $k), ' ') as chunk))"))
-        .as("c"))
+  def chunks(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol), explode(ColumnBridge.column(
+        ChunkSet(ColumnBridge.expression(col(textCol)), k))).as("c"))
       .select(col(idCol), col("c.idx").as("idx"),
-        col("c.chunk").as("chunk"),
-        substring(md5(col("c.chunk")), 1, 16).as("h"))
+        col("c.chunk").as("chunk"), col("c.h").as("h"))
+  }
 
   /** First global occurrence per chunk hash: partial-aggregatable
     * lexicographic min over (doc_id, idx) — no window sort. On a
-    * stream this is the one stateful operator (state = 16-byte key +
+    * stream this is the one stateful operator (state = 8-byte key +
     * one (long,int) struct per distinct chunk).
     */
   def elect(chunksDf: DataFrame, idCol: String): DataFrame =
@@ -83,7 +82,7 @@ object ChunkDedup {
     * downstream length filter is a separate policy decision).
     *
     * Batch plan (r12 reshape): the election carries the chunk TEXT
-    * along with the winner (all chunks sharing an md5-prefix key are
+    * along with the winner (all chunks sharing an xxhash64 key are
     * identical text, collision odds 2^-64), so the winning rows ARE the
     * kept set — no join back to the exploded chunks, and the explode
     * runs ONCE instead of three times (elect + join side + totals).
@@ -104,9 +103,13 @@ object ChunkDedup {
         array_join(expr("transform(sort_array(collect_list(struct(keep.idx as idx, chunk))), x -> x.chunk)"),
           " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
+    val nToks = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(TokenCountWs(ColumnBridge.expression(col(textCol))))
+    }
     df.select(col(idCol),
         coalesce(
-          expr(s"cast(ceil(size(filter(split($textCol, ' '), x -> x != '')) / cast($k as double)) as bigint)"),
+          ceil(nToks / lit(k.toDouble)).cast("long"),
           lit(0L)).as("n_total"))
       .join(rebuilt, Seq(idCol), "left_outer")
       .select(col(idCol),

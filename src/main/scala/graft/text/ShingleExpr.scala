@@ -192,3 +192,113 @@ case class PrefixPairs(child: Expression, t: Double)
   override protected def withNewChildInternal(c: Expression): PrefixPairs =
     copy(child = c)
 }
+
+/** One-pass k-token chunking: split on single space (dropping empty
+  * tokens, the corpus convention — same tokenization as [[ShingleSet]])
+  * and emit one (idx, chunk) struct per consecutive k-token group, the
+  * last group possibly shorter. Semantically identical to the composed
+  * `transform(sequence(0, ceil(n/k)-1), i -> struct(i, array_join(
+  * slice(toks, i*k+1, k), ' ')))` chain — but those higher-order
+  * functions are CodegenFallback (interpreted, one lambda dispatch per
+  * element) and project-collapse re-inlines the tokenization subtree
+  * into the lambda body, making each slice re-tokenize the document:
+  * O(tokens · chunks) per row. This is one JVM pass; TextSpec pins the
+  * equivalence against the composed form.
+  */
+case class ChunkSet(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("chunk", StringType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_set"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("chunkset", this, classOf[ChunkSet].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // one (idx, chunk, h) row; h = xxhash64(chunk bytes, seed 42) — the
+  // exact value SQL `xxhash64(chunk)` would produce, fused into the
+  // same pass so no downstream (interpreted, post-generator) projection
+  // has to re-walk the string.
+  private def emit(out: java.util.ArrayList[Any], idx: Int,
+                   sb: java.lang.StringBuilder): Unit = {
+    val u = UTF8String.fromString(sb.toString)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](idx, u, h)))
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder()
+    var inChunk = 0 // tokens accumulated in the current chunk
+    var idx = 0
+    var i = 0
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) { // non-empty token
+        if (inChunk > 0) sb.append(' ')
+        sb.append(s, i, j)
+        inChunk += 1
+        if (inChunk == k) {
+          emit(out, idx, sb)
+          sb.setLength(0); inChunk = 0; idx += 1
+        }
+      }
+      i = j + 1
+    }
+    if (inChunk > 0) emit(out, idx, sb)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ChunkSet =
+    copy(child = c)
+}
+
+/** Whitespace token count: number of single-space-separated non-empty
+  * tokens — `size(filter(split(text, ' '), x -> x != ''))` without the
+  * interpreted filter lambda and per-token UTF8String boxing.
+  */
+case class TokenCountWs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count_ws"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokencountws", this, classOf[TokenCountWs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Int = {
+    val s = text.toString
+    val len = s.length
+    var n = 0
+    var i = 0
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) n += 1
+      i = j + 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenCountWs =
+    copy(child = c)
+}

@@ -57,4 +57,37 @@ class ChunkDedupSpec extends SparkSpec {
       .filter(col("o.text") =!= col("t.text_clean")).count()
     assert(diff == 0)
   }
+
+  test("native ChunkSet matches the composed HOF chunking (idx, chunk, hash)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = Tables.documents(spark, sf).limit(200)
+      .union(Seq((-1L, "  double  spaces  and tail ", "x", "x", 0L),
+        (-2L, "", "x", "x", 0L), (-3L, "   ", "x", "x", 0L),
+        (-4L, "short", "x", "x", 0L)).toDF(Tables.documents(spark, sf).columns: _*))
+    val k = 10
+    val native = docs.select(col("doc_id"), explode(ColumnBridge.column(
+        graft.text.ChunkSet(ColumnBridge.expression(col("text")), k))).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"),
+        col("c.h").as("h"))
+    val composed = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast((size(__t) + ${k - 1}) / $k as int) - 1), " +
+          s"i -> struct(i as idx, array_join(slice(__t, i * $k + 1, $k), ' ') as chunk))")).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"),
+        xxhash64(col("c.chunk")).as("h"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("native TokenCountWs matches size(filter(split))") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(col("text"))
+      .union(Seq(" a  b ", "", "   ", "one").toDF("text"))
+    val bad = docs.filter(
+      ColumnBridge.column(graft.text.TokenCountWs(ColumnBridge.expression(col("text")))) =!=
+        expr("size(filter(split(text, ' '), x -> x != ''))")).count()
+    assert(bad == 0)
+  }
 }
