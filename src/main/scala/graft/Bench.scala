@@ -78,7 +78,7 @@ object Bench {
     // constant-size two-phase-scan carries elsewhere stay amortized
     // (bounded driver state, planning-like).
     val eagerNames = Set(
-      "q232_heavy_hitters", "q240_bm25", "q249_bm25_batch",
+      "q232_heavy_hitters", "q240_bm25",
       "q260_bigram_lm", "q263_pagerank", "q266_label_prop", "q268_ppr",
       "q281_survivorship", "q287_mmr_diversity", "q294_hits",
       // corpus count() at construction derives the cell count

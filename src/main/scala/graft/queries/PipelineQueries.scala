@@ -17,21 +17,27 @@ object PipelineQueries {
     "q87_etl_pipeline" -> QueryDef(
       (s, d) => {
         // countDistinct would EXPAND every joined row in two copies
-        // through the aggregate; instead aggregate per order first
-        // (orders are unique within a (segment, ym) group by
-        // construction), then roll orders up — halves the agg input
-        // and makes n_orders a plain count. Long integer partials stay
-        // exact: per-order sums are bounded (≤ 7 lines × 1e7 cents),
-        // the unbounded second stage uses the int128 kernel.
+        // through the aggregate; and since (c_mktsegment, ym) are
+        // functions of the order, the per-order rollup doesn't need the
+        // join at all: aggregate lineitem BY l_orderkey FIRST (the
+        // fact table collapses ~4x before anything joins; partial agg
+        // runs map-side), then join the per-order rows to orders —
+        // which REUSES the aggregation's hash partitioning on the join
+        // key, so only the orders side shuffles — and broadcast
+        // customer. n_orders becomes a plain count. Long integer
+        // partials stay exact: per-order sums are bounded (≤ 7 lines ×
+        // 1e7 cents), the unbounded second stage uses the int128
+        // kernel. Aggregate-before-join is also the 100 TB shape: the
+        // join input shrinks from line-level to order-level.
         Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-          .groupBy("c_mktsegment", "ym", "o_orderkey")
+          .groupBy("l_orderkey")
           .agg(sum(Num.cents(col("l_extendedprice")) * (lit(100L) - Num.cents(col("l_discount")))).as("__rev_u"),
             sum(Num.cents(col("l_quantity"))).as("__qty_c"),
             count(col("l_quantity")).as("__qty_n"),
             count(lit(1)).as("__n"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .withColumn("ym", year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
           .groupBy("c_mktsegment", "ym")
           .agg(round(graft.functions.Int128Sum(col("__rev_u"), 4), 2).cast("double").as("revenue"),
             Num.rnd(graft.functions.Int128Sum(col("__qty_c"), 2).cast("double") / sum(col("__qty_n")), 6).as("avg_qty"),

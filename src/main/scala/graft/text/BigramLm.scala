@@ -60,12 +60,20 @@ object BigramLm {
     * count.  O(64)+O(256) driver state.
     */
   def tables(corpus: DataFrame, textCol: String): (Map[Int, Double], Map[Int, Double]) = {
-    val toks = corpus.select(tokens(col(textCol)).as("t"))
+    // NgramList (native one-pass) rather than the filter(split) /
+    // transform(element_at) HOF chains: one CodegenFallback HOF in the
+    // explode child used to drop the whole fit stage out of whole-stage
+    // codegen, turning the downstream md5/conv bucketing interpreted
+    // (measured r12: ~25s of task time at sf0.1 for two O(tokens)
+    // passes). Same token/bigram multisets by NgramSpec differential.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def ngrams(n: Int): Column =
+      ColumnBridge.column(NgramList(ColumnBridge.expression(col(textCol)), n))
     def counts(ex: DataFrame, b: Column): Map[Int, Long] =
       ex.groupBy(b.as("b")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val uc = counts(toks.select(explode(col("t")).as("w")), uniBucket(col("w")))
-    val bc = counts(toks.select(explode(bigrams(col("t"))).as("g")), biBucket(col("g")))
+    val uc = counts(corpus.select(explode(ngrams(1)).as("w")), uniBucket(col("w")))
+    val bc = counts(corpus.select(explode(ngrams(2)).as("g")), biBucket(col("g")))
     val uTot = uc.values.sum.toDouble + UniBuckets
     val bTot = bc.values.sum.toDouble + BiBuckets
     val pu = (0 until UniBuckets).map(b => b -> (uc.getOrElse(b, 0L) + 1.0) / uTot).toMap
@@ -89,6 +97,14 @@ object BigramLm {
     * bit-identical to the oracle's list_reduce fold.
     */
   def score(text: Column, pu: Map[Int, Double], pb: Map[Int, Double]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BigramLmScore(ColumnBridge.expression(text),
+      (0 until UniBuckets).map(pu).toArray, (0 until BiBuckets).map(pb).toArray))
+  }
+
+  /** Composed-HOF differential twin of the native [[BigramLmScore]]
+    * (BigramLmSpec pins bit-identity on the corpus + corner rows). */
+  def scoreComposed(text: Column, pu: Map[Int, Double], pb: Map[Int, Double]): Column = {
     val puA = typedlit((0 until UniBuckets).map(pu))
     val pbA = typedlit((0 until BiBuckets).map(pb))
     element_at(
@@ -102,4 +118,74 @@ object BigramLm {
           }) / (n - 1))
       }), 1)
   }
+}
+
+/** Native one-pass bigram-LM fluency score — the whole per-document
+  * fold of [[BigramLm.scoreComposed]] in one JVM loop: tokenize,
+  * md5-bucket each position's unigram and bigram, and accumulate the
+  * interpolated probability, left-associated from 0.0 with EXACTLY the
+  * composed form's rounding steps (0.7·pb + 0.3·pu per position; final
+  * mean acc/(n−1)). The composed form evaluates interpreted (HOF
+  * aggregate is CodegenFallback) with an md5 expression round-trip per
+  * position; this is a MessageDigest call per position in a tight
+  * loop. Bit-identical by BigramLmSpec.
+  */
+case class BigramLmScore(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    pu: Array[Double], pb: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "bigram_lm_score"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bigramlmscore", this, classOf[BigramLmScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // first-4-hex-chars bucket == first two md5 bytes as a big-endian
+  // 16-bit int, mod n — same value as conv(substring(md5(x),1,4),16,10)
+  private def bucket(md: java.security.MessageDigest, s: String, n: Int): Int = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % n
+  }
+
+  def compute(text: UTF8String): Double = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) toks.add(s.substring(i, j))
+      i = j + 1
+    }
+    val n = toks.size
+    if (n < 2) return 0.0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0.0
+    var w = 1
+    while (w < n) {
+      val cur = toks.get(w)
+      val bg = toks.get(w - 1) + " " + cur
+      // per-position rounding order matches the composed expression:
+      // a = 0.7*pb; b = 0.3*pu; acc = acc + (a + b)
+      acc = acc + (BigramLm.WBi * pb(bucket(md, bg, BigramLm.BiBuckets)) +
+        BigramLm.WUni * pu(bucket(md, cur, BigramLm.UniBuckets)))
+      w += 1
+    }
+    acc / (n - 1)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): BigramLmScore =
+    copy(child = c)
 }

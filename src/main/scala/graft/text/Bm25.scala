@@ -151,7 +151,8 @@ object Bm25 {
     */
   def topKBatch(docs: DataFrame, idCol: String, textCol: String,
                 queries: Seq[(Long, Seq[String])], k: Int,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k1: Double = 1.2, b: Double = 0.75,
+                cache: Boolean = true): DataFrame = {
     require(queries.nonEmpty, "topKBatch needs at least one query")
     // same contract as termCounts/topK: a term duplicated WITHIN one
     // query would map to the same slot twice and double its
@@ -164,7 +165,17 @@ object Bm25 {
     }
     val vocab = queries.flatMap(_._2).distinct
     val slot = vocab.zipWithIndex.toMap
-    val tcTab = countsTable(docs, idCol, textCol, vocab).cache()
+    // cache=true: ONE TermCounts corpus pass feeds both the stats agg
+    // and the scoring scan; the caller gets a bounded (≤|Q|·k rows)
+    // MATERIALIZED result so the cache can be released before return —
+    // the fit-style shape. cache=false: the counts table is recomputed
+    // by each consumer (TWO corpus passes) and the result is a fully
+    // LAZY, re-executable plan holding no cache and no driver state —
+    // the memory-tight / repeated-execution shape (each run re-pays the
+    // scans, the honest analogue of a SQL engine replaying the query).
+    // Identical results either way.
+    val tcTab0 = countsTable(docs, idCol, textCol, vocab)
+    val tcTab = if (cache) tcTab0.cache() else tcTab0
     try {
       val stats = corpusStats(tcTab, vocab.size)
       val qStructs = queries.map { case (qid, terms) =>
@@ -182,8 +193,9 @@ object Bm25 {
       // the window adds no exchange)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("bm25").desc, col(idCol).asc)
-      materialize(top.withColumn("rn", row_number().over(w).cast("long")))
-    } finally tcTab.unpersist(blocking = false)
+      val ranked = top.withColumn("rn", row_number().over(w).cast("long"))
+      if (cache) materialize(ranked) else ranked
+    } finally { if (cache) tcTab.unpersist(blocking = false) }
   }
 
   /** Collect a BOUNDED result (top-k outputs only) and rebuild it as a

@@ -302,3 +302,62 @@ case class TokenCountWs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenCountWs =
     copy(child = c)
 }
+
+/** All order-preserving token n-grams WITH repeats (space-joined) — the
+  * multiset twin of [[ShingleSet]] (which dedups). Replaces
+  * `transform(sequence(2, size(t)), i -> concat(element_at(t,i-1), ' ',
+  * element_at(t,i)))` chains: those higher-order functions are
+  * CodegenFallback, so one of them in a scan stage drops the WHOLE
+  * stage out of whole-stage codegen (every md5/conv downstream then
+  * evaluates interpreted), and project-collapse re-inlines the
+  * tokenization into the lambda body. One JVM pass; n = 1 yields the
+  * token list itself.
+  */
+case class NgramList(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_list"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramlist", this, classOf[NgramList].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) toks.add(s.substring(i, j))
+      i = j + 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(w + t))
+        t += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NgramList =
+    copy(child = c)
+}

@@ -41,6 +41,19 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("BigramLm native score is bit-identical to the composed HOF twin") {
+    val docs = Tables.documents(spark, sf)
+      .union(Seq((-1L, " pad  spaced   x y z ", "x", "x", 0L),
+        (-2L, "", "x", "x", 0L), (-3L, "solo", "x", "x", 0L))
+        .toDF(Tables.documents(spark, sf).columns: _*))
+    val (pu, pb) = BigramLm.tables(docs, "text")
+    val bad = docs.select(
+        BigramLm.score(col("text"), pu, pb).as("a"),
+        BigramLm.scoreComposed(col("text"), pu, pb).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+  }
+
   test("BigramLm: short docs score exactly 0; tables are partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val (pu, pb) = BigramLm.tables(docs, "text")
