@@ -99,6 +99,19 @@ object Round45Queries {
             (ns // 1000) * 1000 AS ns_back,
             ns % 1000 AS lost_ns,
             CAST(year(make_timestamp(ns // 1000)) AS BIGINT) AS yr
-          FROM ns_tbl"""))
+          FROM ns_tbl""")),
+
+    // File-sink streaming twin (VERDICT r11 item 7): the q137 curation
+    // stream re-gated through a foreachBatch parquet sink + read-back
+    // instead of the driver-bound memory sink — same transform, same
+    // oracle, executor-side distributed writes (the streaming-
+    // materialized-view shape a production deployment uses).
+    "q397_stream_curation_file" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.curateToFiles(s, d, minQuality = 0.5),
+      Some(s"""SELECT ${TextQueries.fingerprintSql} AS fp,
+             min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+             FROM documents
+             WHERE round(${TextQueries.qualitySql}, 6) >= 0.5
+             GROUP BY 1"""))
   )
 }

@@ -54,6 +54,32 @@ object DocStreams {
     run(spark, curateTransform(docs, minQuality), "graft_stream_curate")
   }
 
+  /** FILE-SINK twin of [[curate]] — the end-to-end production shape:
+    * the same streaming query, but each trigger lands the full
+    * aggregated result in a parquet directory via `foreachBatch`
+    * (executor-side distributed write, overwrite-per-trigger — the
+    * streaming-materialized-view idiom), and the RESULT is read back
+    * from the files.  Nothing driver-bound remains in the path: the
+    * memory sink used by the other gates is a test harness convenience,
+    * and this twin proves the same answer arrives through a sink a
+    * 100 TB deployment would actually use.  Same oracle as q137.
+    */
+  def curateToFiles(spark: SparkSession, sfDir: String,
+                    minQuality: Double = 0.5): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_files")
+      .toString
+    val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val q = curateTransform(docs, minQuality)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+  }
+
   /** STREAMING per-group reservoir (q337's twin): state = the k
     * smallest salted keys per source, held by the mergeable
     * [[graft.functions.TopKMinAgg]] — bounded at k strings per group
