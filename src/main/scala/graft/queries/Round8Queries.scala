@@ -218,20 +218,22 @@ object Round8Queries {
         // Push the part filter BELOW the ps derivation: the per-pair
         // min is computed only from rows of that pair's partkey, so
         // restricting to qualifying partkeys first preserves every
-        // surviving pair's min while the fact table is scanned ONCE
-        // (cached) instead of twice — at 100 TB this halves the
-        // dominant cost and shrinks the ps shuffle to matching parts.
-        val li = Tables.lineitem(s, d)
+        // surviving pair's min. The pair-min itself is a WINDOW
+        // aggregate over (partkey, suppkey) — the fact table is
+        // scanned ONCE and shuffled ONCE (the window's own hash
+        // exchange), with no cache and no self-join back (r12: the
+        // agg+join formulation paid a second exchange + a join stage
+        // and needed a cache to avoid re-scanning). At 100 TB this is
+        // one pass, one exchange over the filtered fact rows.
+        val pairW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, d)
           .join(broadcast(Tables.part(s, d)
               .filter(col("p_name").like("%widget%"))
               .select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"))
-          .cache()
-        val ps = li.groupBy(col("l_partkey").as("ps_partkey"),
-            col("l_suppkey").as("ps_suppkey"))
-          .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
-        li.join(ps, col("l_partkey") === col("ps_partkey") &&
-            col("l_suppkey") === col("ps_suppkey"))
+          .withColumn("ps_supplycost",
+            min(col("l_extendedprice") / col("l_quantity")).over(pairW))
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))

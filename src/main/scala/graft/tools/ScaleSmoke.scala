@@ -459,6 +459,45 @@ object ScaleSmoke {
       m -> dt
     }.toMap
 
+    // Embed-index MERGE loop (q384's probe->accept->merge->re-probe) at
+    // the rotated tiers — the 100 TB incremental-curation contract with
+    // the index actually PERSISTED: built+written once (untimed, like
+    // the one-off corpus indexing), then the timed loop reads it from
+    // parquet, probes batch 1, merges the accepted vectors (append-
+    // write of their R index rows), and re-probes batch 2 against the
+    // merged files. Candidate volume is linear in batch x cell size;
+    // the merge write is sized by the ACCEPTED batch, not the corpus.
+    val mergeTimes = Seq(10, 100).map { m =>
+      reclaim()
+      val dir = stageEmb(m)
+      val idxDir = s"/root/repo/target/tmp/emb_idx_$m"
+      val em = Tables.embeddings(spark, dir)
+      val corpus = em.filter(col("vec_id") % 89 >= 2)
+      val b1 = em.filter(col("vec_id") % 89 === 0)
+      val b2 = em.filter(col("vec_id") % 89 === 1)
+      graft.similarity.Similarity.embedCellIndex(corpus, tables = 4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/base")
+      val f = () => {
+        spark.sparkContext.setJobGroup("merge", "merge")
+        val idx = spark.read.parquet(s"$idxDir/base")
+        val p1 = graft.similarity.Similarity.probeEmbedIndex(idx, b1, corpus, 0.4)
+        val acc = b1.join(p1.filter(!col("is_dup"))
+          .select(col("new_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        graft.similarity.Similarity.mergeEmbedIndex(idx, acc)
+          .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/merged")
+        val merged = spark.read.parquet(s"$idxDir/merged")
+        graft.similarity.Similarity
+          .probeEmbedIndex(merged, b2, corpus.unionByName(acc), 0.4).count()
+      }
+      try f() catch { case _: Throwable => } // warm
+      val t0 = System.nanoTime()
+      val rows = try f() catch { case e: Throwable =>
+        println(s"FAILED op_embed_index_merge@$m: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"op_embed_index_merge@${m}x: $dt%.2fs rows=$rows")
+      m -> dt
+    }.toMap
+
     println("== scaling factors (100x time / 10x time; data grew 10x) ==")
     bounded.foreach { n =>
       println(f"$n: ${times((n, 100)) / times((n, 10))}%.1fx")
@@ -471,5 +510,6 @@ object ScaleSmoke {
     println(f"op_semdedup_banded: ${semBandedTimes(100) / semBandedTimes(10)}%.1fx")
     println(f"op_ivfpq: ${pqTimes(100) / pqTimes(10)}%.1fx")
     println(f"op_bm25: ${bmTimes(100) / bmTimes(10)}%.1fx")
+    println(f"op_embed_index_merge: ${mergeTimes(100) / mergeTimes(10)}%.1fx")
   }
 }

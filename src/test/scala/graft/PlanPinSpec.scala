@@ -51,9 +51,11 @@ class PlanPinSpec extends SparkSpec {
     Pin("q14_topk", exact = Map(TOP -> 1, HASH -> 0, RANGE -> 0)),
     Pin("q166_minhash_dedup", exact = Map(CART -> 0),
       atMost = Map(HASH -> 2, SMJ -> 1)),
-    // fact scanned once; 4 broadcast dims; one residual SMJ (orders)
-    Pin("q203_tpch_q9", exact = Map(BHJ -> 4, CART -> 0),
-      atMost = Map(HASH -> 3, SMJ -> 1)),
+    // r12 shape: fact scanned ONCE, pair-min via window (its hash
+    // exchange is the only fact shuffle), 3 broadcast dims, no
+    // self-join and no SMJ anywhere
+    Pin("q203_tpch_q9", exact = Map(BHJ -> 3, CART -> 0, SMJ -> 0),
+      atMost = Map(HASH -> 3)),
     // r12 fused rewrite: the election carries chunk text, so the only
     // join left is the 1-row-per-doc assembly join (explode runs once)
     Pin("q213_chunk_dedup", exact = Map(BHJ -> 1, SMJ -> 0, CART -> 0),
