@@ -89,8 +89,12 @@ object Tables {
   def fanout(df: DataFrame, sfDir: String, table: String): DataFrame = {
     val s = df.sparkSession
     val cores = s.sparkContext.defaultParallelism
-    val maxPart = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong
+    // Spark accepts byte-size suffixes here ("128m", "1g", "134217728b");
+    // parse with Spark's own utility so a SPARK_GRAFT_CONF override in
+    // any accepted form works (a bare stripSuffix("b").toLong threw on
+    // "128m" and crashed every fanout-using query at construction).
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bytes =

@@ -16,16 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Casts {
 
-  /** Truncate toward zero in decimal space, then wrap mod 2^N.
-    * decimal % 1 carries the dividend's sign (Java semantics), so
-    * `d - d % 1` truncates toward zero for both signs — matching the
-    * numpy float→int C conversion — while the decimal(38,6) carrier
-    * keeps exact integers up to 10^32 (the whole uint64 range plus the
-    * DECIMAL(38,0) products UnsignedOps can produce).
+  /** Truncate toward zero, then wrap mod 2^N.
+    *
+    * The truncation runs in the SOURCE type's own arithmetic (`%` carries
+    * the dividend's sign in double and decimal alike, so `c - c % 1`
+    * truncates toward zero for both signs — the numpy float→int C
+    * conversion). It must happen BEFORE any decimal cast: casting a
+    * double straight to decimal(38,6) HALF_UP-rounds at 1e-6, which
+    * pulled values within 5e-7 below an integer UP (255.9999999 → 256 →
+    * wraps to 0 where numpy truncates to 255). For doubles the
+    * subtraction is exact — below 2^53 both the remainder and the
+    * integral part are representable; at/above 2^53 every double is
+    * already integral and `% 1` is zero. The decimal(38,0) carrier then
+    * keeps exact integers up to 10^38 (the whole uint64 range plus the
+    * DECIMAL(38,0) products UnsignedOps can produce); past that the cast
+    * overflows (null or error per the session's ANSI setting).
     */
   private def uintWrap(c: Column, modulus: String): Column = {
-    val d = c.cast("decimal(38,6)")
-    val t = (d - (d % lit(java.math.BigDecimal.ONE))).cast("decimal(38,0)")
+    val t = (c - (c % lit(1))).cast("decimal(38,0)")
     pmod(t, lit(new java.math.BigDecimal(modulus)))
   }
 
@@ -37,14 +45,14 @@ object Casts {
     // unsigned targets: numpy astype WRAPS modulo 2^N (Series([300])
     // .astype('uint8') == 44, .astype of -1 == 2^N - 1), then the value
     // lives in the widened signed storage type of the SURVEY §1.3
-    // lattice. All four widths go through the same decimal(38,6)
-    // truncate-toward-zero + pmod so inputs beyond long range (uint64
-    // values, DECIMAL(38,0) intermediates) wrap mod 2^N instead of
-    // clamping/nulling at a long cast; fractional inputs truncate
-    // toward zero like the C conversion numpy performs. |x| ≥ 10^32
-    // (reachable only from floats far past the uint64 range, where
-    // numpy's conversion is undefined) overflows the decimal carrier
-    // (null or error per the session's ANSI setting).
+    // lattice. All four widths go through the same source-space
+    // truncate-toward-zero + decimal(38,0) pmod so inputs beyond long
+    // range (uint64 values, DECIMAL(38,0) intermediates) wrap mod 2^N
+    // instead of clamping/nulling at a long cast; fractional inputs
+    // truncate toward zero like the C conversion numpy performs.
+    // |x| ≥ 10^38 (floats far past the uint64 range, where numpy's
+    // conversion is undefined) overflows the decimal carrier (null or
+    // error per the session's ANSI setting).
     case "uint8"   => uintWrap(c, "256").cast("short")
     case "uint16"  => uintWrap(c, "65536").cast("int")
     case "uint32"  => uintWrap(c, "4294967296").cast("long")

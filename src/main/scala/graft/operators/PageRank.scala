@@ -75,7 +75,7 @@ object PageRank {
     val teleport = (3L * Scale) / (20L * n)
 
     var pr = verts.select(col("id"), col("deg"), lit(Scale / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // ONE join + ONE aggregation per iteration: the apply step that
       // used to be a second (verts ⋈ contrib) join is folded INTO the
       // aggregation as a zero-contribution union branch that also
@@ -88,18 +88,26 @@ object PageRank {
         .join(pr.hint("shuffle_hash"), sym("src") === pr("id"))
         .select(col("dst").as("id"), expr("pr div deg").as("c"),
           lit(null).cast("long").as("deg"))
-      // eager localCheckpoint per iteration (r11): cuts lineage harder
-      // than persist+count (the next iteration plans from a checkpoint
-      // scan, not the whole join chain - measured: driver planning was
-      // half the cold wall time), and blocks die with the object, so
-      // there is no prev-unpersist dance and nothing to leak.
+      // localCheckpoint per iteration (r11): cuts lineage harder than
+      // persist+count (the next iteration plans from a LogicalRDD
+      // checkpoint scan, not the whole join chain - measured: driver
+      // planning was half the cold wall time), and blocks die with the
+      // object, so there is no prev-unpersist dance and nothing to leak.
+      // Only the LAST iteration is EAGER (r12): a lazy localCheckpoint
+      // still rewrites the plan to LogicalRDD at construction — the
+      // lineage/planning benefit is identical — but defers
+      // materialization, so all iterations execute inside the single
+      // final-checkpoint job instead of one driver-dispatched job per
+      // iteration (~0.3 s fixed cost each at local scale). The final
+      // one stays eager so materialization happens while sym/verts are
+      // still cached (they are unpersisted on return).
       pr = contribRows
         .unionByName(verts.select(col("id"), lit(0L).as("c"), col("deg")))
         .groupBy("id").agg(sum("c").as("mass"), max("deg").as("deg"))
         .select(col("id"), col("deg"),
           (lit(teleport) +
             expr(s"(85 * mass) div 100").cast("long")).as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = it == iters)
     }
     // cache ownership (r11): iterations are checkpointed (blocks die
     // with their objects); only this call's sym/verts caches remain -

@@ -83,8 +83,12 @@ object Round45Queries {
         ev.select(col("event_id"),
             (unix_micros(col("ts")) * 1000 +
               pmod(col("event_id") * 137, lit(1000))).as("ns"))
+          // FLOOR division, not `div` (truncate-toward-zero): for a
+          // pre-1970 timestamp ns is negative and -1500 div 1000 = -1
+          // where the contract (and DuckDB's //) floors to -2. Exact in
+          // int64 space: subtract pmod(ns,1000) ∈ [0,1000) first.
           .select(col("event_id"), col("ns"),
-            timestamp_micros(expr("ns div 1000")).as("ts_us"))
+            timestamp_micros(expr("(ns - pmod(ns, 1000)) div 1000")).as("ts_us"))
           .select(col("event_id"), col("ns"), col("ts_us"),
             (unix_micros(col("ts_us")) * 1000).as("ns_back"),
             (col("ns") - unix_micros(col("ts_us")) * 1000).as("lost_ns"),
@@ -97,7 +101,7 @@ object Round45Queries {
           SELECT event_id, ns,
             make_timestamp(ns // 1000) AS ts_us,
             (ns // 1000) * 1000 AS ns_back,
-            ns % 1000 AS lost_ns,
+            ns - (ns // 1000) * 1000 AS lost_ns,
             CAST(year(make_timestamp(ns // 1000)) AS BIGINT) AS yr
           FROM ns_tbl""")),
 

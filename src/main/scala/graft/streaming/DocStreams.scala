@@ -66,18 +66,28 @@ object DocStreams {
     */
   def curateToFiles(spark: SparkSession, sfDir: String,
                     minQuality: Double = 0.5): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_curate_files")
-      .toString
+    // Repo-local FIXED path (same convention as stageDir), overwritten
+    // per call — a createTempDirectory in the system /tmp leaked one
+    // full result copy per construction (bench eager passes rebuild).
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/root/repo/target/tmp/curate_files_$safe"
     val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
-    val q = curateTransform(docs, minQuality)
+    val curated = curateTransform(docs, minQuality)
+    @volatile var wrote = false
+    val q = curated
       .writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        wrote = true
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(out)
+    if (wrote) spark.read.parquet(out)
+    else // zero microbatches (empty source): the result is an empty frame,
+         // not an unreadable empty directory
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), curated.schema)
   }
 
   /** STREAMING per-group reservoir (q337's twin): state = the k

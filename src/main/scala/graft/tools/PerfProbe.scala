@@ -54,6 +54,10 @@ object PerfProbe {
         val t0 = System.nanoTime()
         val fresh = qmap(n)(spark, sfDir) // what eager bench passes pay
         val t1 = System.nanoTime()
+        // force Catalyst analyze/optimize/physical-plan NOW so the
+        // plan/exec split is real (executedPlan is the lazy val the
+        // first action would otherwise pay inside `run`)
+        fresh.queryExecution.executedPlan
         val t2 = System.nanoTime()
         run(fresh)
         val t3 = System.nanoTime()

@@ -160,6 +160,16 @@ class Round32Spec extends SparkSpec {
     assert(r2.getLong(1) == 4294967295L) // (2^64-1) mod 2^32
     assert(r2.getShort(2) == 44) // trunc(300.7)=300 → 44
     assert(r2.getShort(3) == 212) // trunc(-300.7)=-300 → 256-44
+    // values within 5e-7 below an integer must TRUNCATE, not round up:
+    // a decimal(38,6) carrier cast HALF_UP-rounded 255.9999999 → 256 →
+    // wrapped to 0 (r12 review finding); numpy's C cast gives 255
+    val r3 = spark.range(1).select(
+      Casts.astype(lit(255.9999999), "uint8").as("a"),
+      Casts.astype(lit(0.9999995), "uint8").as("b"),
+      Casts.astype(lit(-0.9999995), "uint8").as("c")).collect()(0)
+    assert(r3.getShort(0) == 255)
+    assert(r3.getShort(1) == 0)
+    assert(r3.getShort(2) == 0) // trunc(-0.9999995) = 0
     // 'uint' dtype alias ≡ uint64 (reference types.py:207)
     assert(graft.Types.sparkTypeOf("uint") ==
       org.apache.spark.sql.types.DecimalType(20, 0))
