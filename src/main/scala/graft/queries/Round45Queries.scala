@@ -21,6 +21,13 @@ import graft.{QueryDef, Tables}
   */
 object Round45Queries {
 
+  /** floor(rate · 2^64) as 16 lowercase hex digits (q148's encoding). */
+  private def rateHex(r: Double): String = {
+    require(r > 0 && r < 1, "rate in (0,1)")
+    val t = (BigDecimal(BigInt(1) << 64) * r).toBigInt
+    String.format("%016x", t.bigInteger)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Composite metadata-op pipeline. One flow exercises every op with
@@ -116,6 +123,64 @@ object Round45Queries {
              min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
              FROM documents
              WHERE round(${TextQueries.qualitySql}, 6) >= 0.5
-             GROUP BY 1"""))
+             GROUP BY 1""")),
+
+    // Leakage-safe DECONTAMINATED train/eval split: hash-split the
+    // corpus (q148's deterministic md5 u64 draw, 90/10), find verified
+    // near-duplicate pairs (the q55 MinHash-LSH banding — bounded
+    // buckets, exact Jaccard verify), and QUARANTINE every train doc
+    // that near-duplicates an eval doc ('leak' tier) so eval never
+    // scores memorized training text. This is the split a real
+    // pretraining pipeline ships: dedup alone can't do it (the dup may
+    // straddle the split boundary) and a plain hash split leaks.
+    // Scale shape: the pair set comes from banded LSH (never all
+    // pairs); the leaked-id set is a doc_id semi-join, broadcastable
+    // by construction (≤ dup-pair count). Oracle replays the split
+    // arithmetic and the EXACT Jaccard pair set (LSH recall vs exact
+    // is 1.0 at t=0.5 on this corpus — the q55 gate pins that).
+    "q398_decontaminated_split" -> QueryDef(
+      (s, d) => {
+        val trainHex = rateHex(0.9)
+        val docs = Tables.documents(s, d)
+        val u = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 16)
+        val tagged = docs.select(col("doc_id"), col("source"), col("n_chars"),
+          when(u < lit(trainHex), "train").otherwise("eval").as("split0"))
+        val pairs = graft.text.MinHash
+          .nearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id1", "id2")
+        val sym = pairs.unionByName(
+          pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        val splits = tagged.select(col("doc_id"), col("split0"))
+        val leaked = sym
+          .join(splits.select(col("doc_id").as("id1"), col("split0").as("s1")), "id1")
+          .join(splits.select(col("doc_id").as("id2"), col("split0").as("s2")), "id2")
+          .filter(col("s1") === "train" && col("s2") === "eval")
+          .select(col("id1").as("doc_id")).distinct()
+        tagged
+          .join(broadcast(leaked.withColumn("leak", lit(true))), Seq("doc_id"), "left")
+          .withColumn("split",
+            when(col("split0") === "train" && col("leak"), "leak")
+              .otherwise(col("split0")))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      },
+      Some(s"""WITH ${TextQueries.pairsOracleCtesAt("0.5")},
+             sp AS (SELECT doc_id, source, n_chars,
+                 CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                      < '${rateHex(0.9)}' THEN 'train' ELSE 'eval' END AS split0
+               FROM documents),
+             sym AS (SELECT id1, id2 FROM pairs
+                     UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+             leaked AS (SELECT DISTINCT a.id1 AS doc_id
+               FROM sym a JOIN sp t ON a.id1 = t.doc_id
+                          JOIN sp e ON a.id2 = e.doc_id
+               WHERE t.split0 = 'train' AND e.split0 = 'eval'),
+             fin AS (SELECT CASE WHEN sp.split0 = 'train' AND l.doc_id IS NOT NULL
+                       THEN 'leak' ELSE sp.split0 END AS split, source, n_chars
+                     FROM sp LEFT JOIN leaked l ON sp.doc_id = l.doc_id)
+             SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             FROM fin GROUP BY 1, 2"""))
   )
 }
