@@ -92,8 +92,11 @@ object Round45Queries {
               pmod(col("event_id") * 137, lit(1000))).as("ns"))
           // FLOOR division, not `div` (truncate-toward-zero): for a
           // pre-1970 timestamp ns is negative and -1500 div 1000 = -1
-          // where the contract (and DuckDB's //) floors to -2. Exact in
-          // int64 space: subtract pmod(ns,1000) ∈ [0,1000) first.
+          // where the truncation contract floors to -2. Exact in int64
+          // space: subtract pmod(ns,1000) ∈ [0,1000) first. (DuckDB's
+          // `//` ALSO truncates toward zero — measured: -5 // 3 = -1 —
+          // so the oracle applies the same subtract-nonneg-mod form
+          // rather than a bare `//`.)
           .select(col("event_id"), col("ns"),
             timestamp_micros(expr("(ns - pmod(ns, 1000)) div 1000")).as("ts_us"))
           .select(col("event_id"), col("ns"), col("ts_us"),
@@ -104,13 +107,16 @@ object Round45Queries {
       Some(
         """WITH ns_tbl AS (SELECT event_id,
               epoch_us(ts) * 1000 + (event_id * 137) % 1000 AS ns
-            FROM events WHERE event_id % 7 = 0)
+            FROM events WHERE event_id % 7 = 0),
+          us_tbl AS (SELECT event_id, ns,
+              (ns - ((ns % 1000) + 1000) % 1000) // 1000 AS us
+            FROM ns_tbl)
           SELECT event_id, ns,
-            make_timestamp(ns // 1000) AS ts_us,
-            (ns // 1000) * 1000 AS ns_back,
-            ns - (ns // 1000) * 1000 AS lost_ns,
-            CAST(year(make_timestamp(ns // 1000)) AS BIGINT) AS yr
-          FROM ns_tbl""")),
+            make_timestamp(us) AS ts_us,
+            us * 1000 AS ns_back,
+            ns - us * 1000 AS lost_ns,
+            CAST(year(make_timestamp(us)) AS BIGINT) AS yr
+          FROM us_tbl""")),
 
     // File-sink streaming twin (VERDICT r11 item 7): the q137 curation
     // stream re-gated through a foreachBatch parquet sink + read-back

@@ -268,6 +268,86 @@ case class ChunkSet(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** One-pass SLIDING-window k-token chunking with stride: chunk i covers
+  * tokens [i·stride, i·stride+k). stride < k overlaps consecutive
+  * chunks (context-window prep keeps boundary-crossing text learnable);
+  * stride = k degenerates to [[ChunkSet]]'s tiling; stride > k samples
+  * with gaps. Chunk count: 0 for an empty/blank doc, 1 if n ≤ k, else
+  * ceil((n-k)/stride)+1 — the last chunk may be shorter than k but
+  * always starts within the document. Same single-space tokenization
+  * and fused xxhash64(seed 42) as [[ChunkSet]]; the composed
+  * transform(sequence(...), i -> slice(...)) twin re-tokenizes per
+  * chunk through CodegenFallback lambdas (the ChunkSet lesson), so the
+  * sliding variant gets the same native treatment. TextSpec pins the
+  * stride=k case ≡ ChunkSet and the overlap invariants.
+  */
+case class SlidingChunkSet(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "window k must be positive")
+  require(stride > 0, "stride must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("chunk", StringType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "sliding_chunk_set"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("slidingchunkset", this,
+      classOf[SlidingChunkSet].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // tokenize once: record (start, end) offsets of non-empty tokens
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) { starts.add(i); ends.add(j) }
+      i = j + 1
+    }
+    val n = starts.size()
+    val out = new java.util.ArrayList[Any]()
+    if (n > 0) {
+      val nc = if (n <= k) 1 else (n - k + stride - 1) / stride + 1
+      var idx = 0
+      while (idx < nc) {
+        val from = idx * stride
+        val until = math.min(from + k, n)
+        val sb = new java.lang.StringBuilder()
+        var t = from
+        while (t < until) {
+          if (t > from) sb.append(' ')
+          sb.append(s, starts.get(t), ends.get(t))
+          t += 1
+        }
+        val u = UTF8String.fromString(sb.toString)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx, u, h)))
+        idx += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SlidingChunkSet =
+    copy(child = c)
+}
+
 /** Whitespace token count: number of single-space-separated non-empty
   * tokens — `size(filter(split(text, ' '), x -> x != ''))` without the
   * interpreted filter lambda and per-token UTF8String boxing.
