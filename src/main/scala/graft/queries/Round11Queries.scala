@@ -112,7 +112,7 @@ object Round11Queries {
     "q232_heavy_hitters" -> QueryDef(
       (s, d) => graft.functions.MisraGries.topKFrequent(
         Tables.fanout(Tables.documents(s, d), d, "documents")
-          .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word")),
+          .select(explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("word")),
         "word", k = 10, sketchK = 512),
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                 FROM documents)

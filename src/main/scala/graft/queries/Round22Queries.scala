@@ -125,7 +125,7 @@ object Round22Queries {
       (s, d) => {
         val sw = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
           .distinct()
         val sizes = sw.groupBy("source").agg(count(lit(1)).as("sz"))
         val inter = sw.as("a").join(sw.as("b"),
@@ -162,7 +162,7 @@ object Round22Queries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
         val counts = toks.groupBy(col("source"),
             (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % 64).as("b"))
           .agg(count(lit(1)).as("c"))

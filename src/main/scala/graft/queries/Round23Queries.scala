@@ -137,7 +137,7 @@ object Round23Queries {
       (s, d) => {
         val sw = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
           .distinct()
         val slots = (0 until 16).map(i =>
           min(conv(substring(md5(concat(lit(s"mh$i:"), col("w"))), 1, 15), 16, 10)

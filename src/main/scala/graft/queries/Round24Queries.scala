@@ -21,7 +21,7 @@ object Round24Queries {
     "q307_collocations" -> QueryDef(
       (s, d) => {
         val toks = Tables.documents(s, d)
-          .select(filter(split(col("text"), " "), w => w =!= "").as("t"))
+          .select(graft.text.TextStats.tokensNonEmpty(col("text")).as("t"))
         val uni = toks.select(explode(col("t")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("nw"))
         val bi = toks.select(explode(graft.text.BigramLm.bigrams(col("t"))).as("b"))
@@ -68,7 +68,7 @@ object Round24Queries {
       (s, d) => {
         val sw = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
         val tf = sw.groupBy("source", "w").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val nS = Tables.documents(s, d).select("source").distinct().count()

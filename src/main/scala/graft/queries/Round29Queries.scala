@@ -26,7 +26,7 @@ object Round29Queries {
         val k = 64
         val tok = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
           .select(col("source"), substring(md5(col("w")), 1, 12).as("h"))
           .distinct()
         val srcs = tok.select(col("source")).distinct()

@@ -53,7 +53,7 @@ object Round31Queries {
       (s, d) => {
         val tc = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("c"))
         tc.groupBy("source").agg(
             count(lit(1)).as("vocab"),
@@ -89,7 +89,7 @@ object Round31Queries {
       (s, d) => {
         val tc = Tables.documents(s, d)
           .select(col("source"),
-            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+            explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("c"))
         val top = graft.plans.GroupTopK.topKPerKey(
           tc, Seq("source"), Seq(("c", true), ("w", false)), 100)

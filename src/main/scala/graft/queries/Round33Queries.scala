@@ -71,7 +71,7 @@ object Round33Queries {
         val docs = Tables.documents(s, d)
         val nDocs = docs.count()
         val tok = docs.select(col("doc_id"),
-          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+          explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("w"))
         val dfreq = tok.select(col("doc_id"), col("w")).distinct()
           .groupBy("w").agg(count(lit(1)).as("df"))
         val mass = tok.groupBy("w").agg(count(lit(1)).as("tf"))

@@ -261,7 +261,7 @@ object Round44Queries {
     "q389_heavy_hitters_prefit" -> QueryDef(
       (s, d) => {
         val words = Tables.documents(s, d)
-          .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+          .select(explode(graft.text.TextStats.tokensNonEmpty(col("text")))
             .as("word"))
         val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"/root/repo/target/tmp/mg_sketch_$safe"

@@ -33,18 +33,18 @@ object Round46Queries {
 
   // ---- q399 hybrid RRF ----
 
-  private val rrfTerms = Seq("spark", "join", "window", "hash")
-  private val rrfK1 = 1.2
-  private val rrfB = 0.75
+  private[queries] val rrfTerms = Seq("spark", "join", "window", "hash")
+  private[queries] val rrfK1 = 1.2
+  private[queries] val rrfB = 0.75
   private val rrfC = 60.0 // the standard RRF dampening constant
-  private val rrfDepth = 20
+  private[queries] val rrfDepth = 20
   private val rrfOut = 10
-  private val rrfQvec = 3L
+  private[queries] val rrfQvec = 3L
 
   /** q240's oracle SQL shape (Round13's generator, one query): BM25
     * rank list with the identical Lucene-idf association order.
     */
-  private def bm25RankCte: String = {
+  private[queries] def bm25RankCte: String = {
     val dl = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     def tfSql(t: String) =
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE)"
@@ -66,7 +66,7 @@ object Round46Queries {
   }
 
   /** q58's oracle shape, one query vector, rank list only. */
-  private def annRankCte: String =
+  private[queries] def annRankCte: String =
     s"""q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = $rrfQvec),
         c AS (SELECT vec_id, embedding FROM embeddings),
         annsims AS (SELECT c.vec_id AS vid,

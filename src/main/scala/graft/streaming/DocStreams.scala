@@ -496,7 +496,7 @@ object DocStreams {
   def heavyHittersStream(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
     val counts = stream
-      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .select(explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val table = run(spark, counts, "graft_stream_hh")
     graft.operators.Sorts.topK(table, Seq("cnt", "word"), Seq(false, true), k)

@@ -45,7 +45,7 @@ object BigramLm {
   def biBucket(bg: Column): Column = bucket(bg, BiBuckets)
 
   private def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    graft.text.TextStats.tokensNonEmpty(text)
 
   /** "prev cur" strings for positions 2..n (empty below 2 tokens — the
     * `when` guards Spark's descending `sequence(2, 1)`).

@@ -37,7 +37,7 @@ object Dsir {
     conv(substring(md5(word), 1, 4), 16, 10).cast("int") % Buckets
 
   private def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    graft.text.TextStats.tokensNonEmpty(text)
 
   /** Per-bucket add-1-smoothed ratio table from a target/raw split:
     * ratio(b) = ((t_b+1) * (R+B)) / ((T+B) * (r_b+1)), with t/r the

@@ -44,7 +44,7 @@ object QualityModel {
     Weights.map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
 
   private def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    graft.text.TextStats.tokensNonEmpty(text)
 
   /** md5 bucket, same cross-engine discipline as [[Dsir.bucket]]. */
   def bucket(w: Column): Column =

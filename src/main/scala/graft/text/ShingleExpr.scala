@@ -348,6 +348,47 @@ case class SlidingChunkSet(child: Expression, k: Int, stride: Int)
     copy(child = c)
 }
 
+/** Whitespace token ARRAY: the single-space-separated non-empty tokens
+  * — value-identical to `filter(split(text, ' '), x -> x != '')` but
+  * codegen'd. The composed form matters beyond its own cost: ArrayFilter
+  * is CodegenFallback, and ONE fallback HOF inside an explode child
+  * drops the WHOLE Generate stage out of whole-stage codegen (the
+  * ChunkDedup/BigramLm lesson) — every `explode(tokens)` consumer
+  * (heavy hitters, vocab stats, collocations) was paying an interpreted
+  * stage for one lambda. TextSpec pins ≡ against the composed twin.
+  */
+case class TokensWs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens_ws"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokensws", this, classOf[TokensWs].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) out.add(UTF8String.fromString(s.substring(i, j)))
+      i = j + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokensWs =
+    copy(child = c)
+}
+
 /** Whitespace token count: number of single-space-separated non-empty
   * tokens — `size(filter(split(text, ' '), x -> x != ''))` without the
   * interpreted filter lambda and per-token UTF8String boxing.

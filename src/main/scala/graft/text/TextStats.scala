@@ -17,6 +17,16 @@ object TextStats {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** NON-EMPTY whitespace tokens — value-identical to
+    * `filter(split(c, " "), w -> w != "")` but a single codegen'd pass
+    * ([[TokensWs]]): the composed form's ArrayFilter is CodegenFallback
+    * and drops any enclosing Generate stage out of whole-stage codegen.
+    * Use this for every `explode(tokens)` consumer.
+    */
+  def tokensNonEmpty(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TokensWs(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
   def nTokens(c: Column): Column = size(tokens(c))
 
   def nChars(c: Column): Column = length(c)

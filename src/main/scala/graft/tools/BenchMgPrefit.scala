@@ -16,7 +16,7 @@ object BenchMgPrefit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/repo/target/tmp/sf100x")
     def words = Tables.documents(spark, d)
-      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+      .select(explode(graft.text.TextStats.tokensNonEmpty(col("text")))
         .as("word"))
     def time(label: String)(f: => Long): Double = {
       val t0 = System.nanoTime(); val n = f

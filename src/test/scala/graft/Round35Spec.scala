@@ -51,6 +51,23 @@ class Round35Spec extends SparkSpec {
     assert(out(4L).map(_.getString(1)) == Seq("a b c")) // double space collapsed
   }
 
+  test("TokensWs ≡ filter(split) composed twin (incl. edge cases)") {
+    import spark.implicits._
+    val edge = Seq((100000L, ""), (100001L, " "), (100002L, "  a  b "),
+      (100003L, "héllo wörld"), (100004L, "a")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edge)
+    val a = docs.select(col("doc_id"),
+      graft.text.TextStats.tokensNonEmpty(col("text")).as("t"))
+    val b = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), w => w =!= "").as("t"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // exploded form too (the Generate-stage consumer)
+    val ea = a.select(explode(col("t")).as("w")).groupBy("w").count()
+    val eb = b.select(explode(col("t")).as("w")).groupBy("w").count()
+    assert(ea.exceptAll(eb).isEmpty && eb.exceptAll(ea).isEmpty)
+  }
+
   test("length filter: band is consistent with exact quantiles") {
     val out = SparkEntry.queries("q405_length_filter")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select(
