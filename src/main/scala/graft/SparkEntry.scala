@@ -69,7 +69,8 @@ object SparkEntry {
     graft.queries.Round44Queries.defs ++
     graft.queries.Round45Queries.defs ++
     graft.queries.Round46Queries.defs ++
-    graft.queries.Round47Queries.defs
+    graft.queries.Round47Queries.defs ++
+    graft.queries.Round48Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
