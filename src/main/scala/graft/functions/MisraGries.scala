@@ -194,4 +194,80 @@ object MisraGries {
         java.util.Arrays.asList(rows: _*), fullTop.schema)
     }
   }
+
+  // ---- fused TEXT paths (q232/q389): no explode, no string hash-agg ----
+
+  /** [[fitSketch]] consuming the text column directly: ONE tokenizing
+    * pass yields the MG candidates AND the token total
+    * ([[MisraGriesTextExpr]]) — the exploded form's separate
+    * count(itemCol) re-tokenized the corpus. Same persisted schema.
+    */
+  def fitSketchText(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    sketchK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.agg(MisraGriesTextExpr(sketchK)(col(textCol)).as("s"))
+      .select(col("s.cand").as("cand"), col("s.n").as("n"),
+        lit(sketchK).as("sketch_k"))
+  }
+
+  /** [[topKFrequentPrefit]] over the text column: the certify pass is
+    * ONE [[CandTokenCountsExpr]] aggregation (per-candidate exact
+    * counts + current total from a single tokenizing scan; the
+    * exchange carries one long[cand+1] per partition). Certification
+    * semantics identical — same bound, same exact fallback.
+    */
+  def topKFrequentPrefitText(docs: org.apache.spark.sql.DataFrame,
+                             textCol: String, k: Int,
+                             sketch: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val row = sketch.select(col("cand"), col("n"), col("sketch_k"))
+      .collect()(0)
+    val cand = row.getAs[scala.collection.Seq[String]](0).toArray
+    val nSketch = row.getLong(1)
+    val sketchK = row.getInt(2)
+    val counts = docs
+      .agg(CandTokenCountsExpr(cand.toIndexedSeq)(col(textCol)).as("c"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0)
+    val nNow = counts.last
+    val threshold = nSketch.toDouble / (sketchK + 1) +
+      math.max(0L, nNow - nSketch).toDouble
+    val topPairs = cand.zip(counts.dropRight(1))
+      .filter(_._2 > 0L)
+      .sortBy { case (w, c) => (-c, w) }.take(k)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val certified = nNow >= nSketch && topPairs.length == k &&
+      topPairs.map(_._2).min > threshold
+    if (certified) {
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(topPairs.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+    } else {
+      // exact fallback: full aggregation over the exploded tokens
+      val words = docs.select(explode(
+        graft.text.TextStats.tokensNonEmpty(col(textCol))).as("word"))
+      val fullTop = graft.operators.Sorts.topK(
+        words.groupBy("word").agg(count(lit(1)).as("cnt")),
+        Seq("cnt", "word"), Seq(false, true), k)
+      val rows = fullTop.collect()
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fullTop.schema)
+    }
+  }
+
+  /** [[topKFrequent]] over the text column: two tokenizing passes total
+    * (sketch + certify), where the exploded form paid two tokenizations
+    * PLUS two Generate stages and a string-keyed hash-agg. Result is
+    * identical: explode never splits one document's tokens across
+    * partitions, so the per-partition token sequences — and the merged
+    * MG candidate set — match the exploded form's exactly, and the
+    * certified answer is exact top-k either way.
+    */
+  def topKFrequentText(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       k: Int, sketchK: Int): org.apache.spark.sql.DataFrame =
+    topKFrequentPrefitText(docs, textCol, k, fitSketchText(docs, textCol, sketchK))
 }

@@ -110,10 +110,13 @@ object Round11Queries {
     // certification check (kth count > N/(k_sketch+1)) that falls back
     // to the full exact aggregation if the guarantee doesn't bind.
     "q232_heavy_hitters" -> QueryDef(
-      (s, d) => graft.functions.MisraGries.topKFrequent(
-        Tables.fanout(Tables.documents(s, d), d, "documents")
-          .select(explode(graft.text.TextStats.tokensNonEmpty(col("text"))).as("word")),
-        "word", k = 10, sketchK = 512),
+      // r12: the fused TEXT path — the MG sketch and the certify pass
+      // each consume `text` directly (MisraGriesTextExpr /
+      // CandTokenCountsExpr), eliminating both Generate stages and the
+      // InSet-filtered string hash-agg; identical exact result.
+      (s, d) => graft.functions.MisraGries.topKFrequentText(
+        Tables.fanout(Tables.documents(s, d), d, "documents"),
+        "text", k = 10, sketchK = 512),
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                 FROM documents)
               SELECT word, cnt FROM (

@@ -260,15 +260,15 @@ object Round44Queries {
     // Same oracle as q232: sketch-reuse ≡ refit, pinned against DuckDB.
     "q389_heavy_hitters_prefit" -> QueryDef(
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(graft.text.TextStats.tokensNonEmpty(col("text")))
-            .as("word"))
+        val docs = Tables.documents(s, d)
         val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"/root/repo/target/tmp/mg_sketch_$safe"
-        graft.functions.MisraGries.fitSketch(words, "word", 512)
+        // r12: fused text paths — fit and verify each tokenize once,
+        // with no explode stage (MgTextExpr scaladoc).
+        graft.functions.MisraGries.fitSketchText(docs, "text", 512)
           .write.mode("overwrite").parquet(path)
-        graft.functions.MisraGries.topKFrequentPrefit(
-          words, "word", 10, s.read.parquet(path))
+        graft.functions.MisraGries.topKFrequentPrefitText(
+          docs, "text", 10, s.read.parquet(path))
       },
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                 FROM documents)

@@ -54,4 +54,58 @@ class MisraGriesExprSpec extends SparkSpec {
       .agg(MisraGriesExpr(4)(col("item"))).collect()(0).getSeq[String](0)
     assert(empty.isEmpty)
   }
+
+  test("MisraGriesTextExpr ≡ MisraGriesExpr over exploded tokens (1 partition) + total") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").coalesce(1)
+    for (k <- Seq(8, 64, 512)) {
+      val fused = docs.agg(graft.functions.MisraGriesTextExpr(k)(col("text")).as("s"))
+        .select(col("s.cand"), col("s.n")).collect()(0)
+      val words = docs.select(explode(
+        graft.text.TextStats.tokensNonEmpty(col("text"))).as("word"))
+      val twin = words.agg(MisraGriesExpr(k)(col("word")).as("cand"),
+        count(col("word")).as("n")).collect()(0)
+      assert(fused.getSeq[String](0) == twin.getSeq[String](0), s"k=$k candidates")
+      assert(fused.getLong(1) == twin.getLong(1), s"k=$k total")
+    }
+  }
+
+  test("CandTokenCountsExpr ≡ isin-filtered exact counts + current total") {
+    val docs = Tables.documents(spark, sf).select("text")
+    val cand = Seq("the", "a", "spark", "join", "zzz_absent")
+    val arr = docs.agg(graft.functions.CandTokenCountsExpr(cand)(col("text")))
+      .collect()(0).getSeq[Long](0)
+    val words = docs.select(explode(
+      graft.text.TextStats.tokensNonEmpty(col("text"))).as("word"))
+    val exact = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cand.zipWithIndex.foreach { case (w, i) =>
+      assert(arr(i) == exact.getOrElse(w, 0L), s"count($w)")
+    }
+    assert(arr.last == words.count(), "total")
+  }
+
+  test("topKFrequentText ≡ topKFrequent (certified and shrunk-fallback paths)") {
+    val docs = Tables.documents(spark, sf)
+    val words = docs.select(explode(
+      graft.text.TextStats.tokensNonEmpty(col("text"))).as("word"))
+    val a = graft.functions.MisraGries.topKFrequentText(docs, "text", 10, 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = graft.functions.MisraGries.topKFrequent(words, "word", 10, 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b)
+    // uncertifiable sketch (flat vocab, tiny k) must fall back to exact
+    val c = graft.functions.MisraGries.topKFrequentText(docs, "text", 10, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(c == b)
+    // shrunk corpus vs sketch: prefit on full, probe on half → exact fallback
+    val sk = graft.functions.MisraGries.fitSketchText(docs, "text", 512)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val d = graft.functions.MisraGries.topKFrequentPrefitText(half, "text", 10, sk)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val halfWords = half.select(explode(
+      graft.text.TextStats.tokensNonEmpty(col("text"))).as("word"))
+    val e = graft.functions.MisraGries.topKFrequent(halfWords, "word", 10, 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(d == e)
+  }
 }
