@@ -451,6 +451,25 @@ object DocStreams {
     runAppend(spark, enc, "graft_stream_bpe")
   }
 
+  /** Streaming OVERLAPPING chunking — the ingest-time twin of batch
+    * q406: each arriving document is cut into sliding windows entirely
+    * in the scan stage (native [[graft.text.SlidingChunkSet]] pass).
+    * Stateless → microbatch-invariant by construction.
+    */
+  def chunkOverlapStream(spark: SparkSession, sfDir: String,
+                         k: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+    val out = stream.select(col("doc_id"),
+      explode(ColumnBridge.column(graft.text.SlidingChunkSet(
+        ColumnBridge.expression(col("text")), k, stride))).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("c.chunk"), " ")).as("n_toks"),
+        org.apache.spark.sql.functions.md5(col("c.chunk")).as("chunk_md5"))
+    runAppend(spark, out, "graft_stream_chunk_overlap")
+  }
+
   /** Streaming decontamination — the ingest-time twin of batch q221:
     * each arriving corpus document is checked against the STATIC eval
     * gram set entirely in the scan stage. The eval set is

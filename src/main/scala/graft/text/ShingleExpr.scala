@@ -348,6 +348,91 @@ case class SlidingChunkSet(child: Expression, k: Int, stride: Int)
     copy(child = c)
 }
 
+/** CONTENT-DEFINED chunking (token-level Rabin-style): a token starts a
+  * new chunk when its md5-derived draw hits 0 mod `modulus` — chunk
+  * boundaries depend on CONTENT, not position, so inserting or deleting
+  * a token perturbs only the chunk it lands in (every chunk after the
+  * next boundary hashes identically), where fixed-window chunking
+  * ([[ChunkSet]]) shifts every downstream chunk. This is the dedup
+  * chunking that survives edits — the property rsync/LBFS built on.
+  *
+  * Chunk index = running count of boundary tokens (≡ the SQL
+  * `sum(flag) OVER (ORDER BY pos)` replay; tokens before the first
+  * boundary form chunk 0, which is absent when the first token is
+  * itself a boundary). Boundary draw: first 8 hex chars of md5(token)
+  * as an integer, mod `modulus` — expected chunk length ≈ modulus
+  * tokens. One pass, fused xxhash64(chunk) like the siblings.
+  */
+case class CdcChunkSet(child: Expression, modulus: Int)
+    extends UnaryExpression {
+
+  require(modulus > 0, "modulus must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("chunk", StringType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunk_set"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcchunkset", this, classOf[CdcChunkSet].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** First 8 hex chars of md5(token) as a long (0..2^32). */
+  private def draw(md: java.security.MessageDigest, tok: String): Long = {
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 bytes = first 8 hex chars, unsigned
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder()
+    var idx = 0
+    var hasTok = false
+    def flush(): Unit = {
+      if (hasTok) {
+        val u = UTF8String.fromString(sb.toString)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx, u, h)))
+        sb.setLength(0); hasTok = false
+      }
+    }
+    var i = 0
+    while (i < len) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = len
+      if (j > i) {
+        val tok = s.substring(i, j)
+        if (draw(md, tok) % modulus == 0L) { flush(); idx += 1 }
+        if (hasTok) sb.append(' ')
+        sb.append(tok)
+        hasTok = true
+      }
+      i = j + 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunkSet =
+    copy(child = c)
+}
+
 /** Whitespace token ARRAY: the single-space-separated non-empty tokens
   * — value-identical to `filter(split(text, ' '), x -> x != '')` but
   * codegen'd. The composed form matters beyond its own cost: ArrayFilter
