@@ -266,7 +266,14 @@ object ScaleSmoke {
       // BPE encode: linear scan path; the salt multiplies the VOCAB 100×
       // (each copy's words are distinct), so this also stresses the
       // per-partition word cache under vocabulary growth.
-      "q217_bpe_tokenize")
+      "q217_bpe_tokenize",
+      // round-12 wave ops: containment pairs (inverted-index, same
+      // family as q54), CDC + sliding chunking (pure scan kernels; the
+      // CDC dedup's group key is the chunk hash — salt-disjoint copies
+      // keep the duplicated-chunk density constant), and the
+      // exact-quantile length filter (bisection count passes).
+      "q409_containment_dup", "q415_cdc_chunking", "q416_cdc_dedup",
+      "q406_chunk_overlap", "q405_length_filter")
     val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
       .map(_.split(",").toSeq).getOrElse(all)
     // Shuffle files live until their shuffle dependency is GC'd
