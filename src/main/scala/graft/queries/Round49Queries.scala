@@ -20,14 +20,14 @@ import graft.text.CdcChunkSet
   */
 object Round49Queries {
 
-  private val cdcMod = 8 // expected chunk length ≈ 8 tokens
+  private[queries] val cdcMod = 8 // expected chunk length ≈ 8 tokens
 
   /** Shared oracle CTE ending in `chunks(doc_id, chunk_id, chunk)` —
     * the window-replay of the native one-pass kernel: boundary when
     * the first 8 md5 hex chars of the token, as an integer, hit
     * 0 mod 8; chunk id = running boundary count.
     */
-  private val cdcChunksCte: String =
+  private[queries] val cdcChunksCte: String =
     s"""tk AS (SELECT doc_id, unnest(toks) AS tok,
            generate_subscripts(toks, 1) AS pos
          FROM (SELECT doc_id,
