@@ -125,20 +125,16 @@ object Round47Queries {
     // pair-shaped, so the q54 quadratic-output caveat and its bounded
     // twins (q55 banding) apply unchanged.
     "q409_containment_dup" -> QueryDef(
+      // r12b: reuses q54's gated pair-counting core (adaptive singleton
+      // bloom pre-filter + PackedPairs) instead of re-implementing the
+      // pipeline. Same-run salted smoke pins the cost AT q54-parity
+      // (100×: q409 28.4 s vs q54 28.8 s; factors 15.5× vs 13.4× —
+      // both the exact metric's own growth on this machine state, see
+      // BASELINE round-12b smoke note).
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = docs.select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-        val lists = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-          .groupBy("g")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-        val common = lists.select(explode(ColumnBridge.column(
-            graft.text.PackedPairs(ColumnBridge.expression(col("ds"))))).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("common"))
-          .select(shiftrightunsigned(col("pk"), 32).as("id1"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
-            col("common"))
+        graft.text.ScaleGuidance.checkExactPairs(docs, "q409_containment_dup")
+        val (common, sizes) = TextQueries.gatedPairCounts(s, docs, kernel = false)
         common
           .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
           .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")

@@ -36,6 +36,9 @@ object SimilarityQueries {
   /** `sqlCos` for sibling query files (q373's scaled-SemDeDup oracle). */
   private[queries] def sqlCosPub(a: String, b: String): String = sqlCos(a, b)
 
+  /** `sqlDot` for sibling query files (q422's prefix coarse metric). */
+  private[queries] def sqlDotPub(a: String, b: String): String = sqlDot(a, b)
+
   /** 32-bit sign signature with `Similarity.semDedupScaled`'s plane set
     * (seed 7) — the oracle-side twin of `signBits(vec, planeLiterals(32,
     * 64, 7))`.

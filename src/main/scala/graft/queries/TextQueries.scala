@@ -42,10 +42,30 @@ object TextQueries {
 
   private def exactPairsFrom(s: org.apache.spark.sql.SparkSession, d: String,
                              kernel: Boolean): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d)
     graft.text.ScaleGuidance.checkExactPairs(docs,
       if (kernel) "TextQueries.exactPairsKernel" else "TextQueries.exactPairs")
+    val (common, sizes) = gatedPairCounts(s, docs, kernel)
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard", Num.rnd(
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** The shared gated pair-counting core (q54 Jaccard, q409
+    * containment): distinct-3-shingle inverted index with the ADAPTIVE
+    * singleton bloom pre-filter, map-side PackedPairs expansion and
+    * partial-agg counts. Returns (common(id1, id2, common),
+    * sizes(doc_id, n)).
+    */
+  private[queries] def gatedPairCounts(s: org.apache.spark.sql.SparkSession,
+                                       docs: org.apache.spark.sql.DataFrame,
+                                       kernel: Boolean):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
     val sh = docs
       .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
       .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)
@@ -125,13 +145,7 @@ object TextQueries {
       .select(shiftrightunsigned(col("pk"), 32).as("id1"),
         col("pk").bitwiseAND(lit(0xffffffffL)).as("id2"),
         col("common"))
-    common
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-      .withColumn("jaccard", Num.rnd(
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    (common, sizes)
   }
 
   /** Oracle CTE chain ending in `pairs(id1, id2, jaccard)` — the naive

@@ -311,6 +311,37 @@ object DocStreams {
     spark.table(name).distinct()
   }
 
+  /** STREAMING chunk-index probe — the live-ingest twin of q419: new
+    * documents arrive as a stream, are CDC-chunked in the scan stage
+    * (native kernel), and each chunk stream-static joins the persisted
+    * corpus chunk index (built once, cached for the run). The per-doc
+    * report is a streaming aggregation keyed by doc_id — state is one
+    * row per in-flight document. At 100 TB the index summary is loaded
+    * once per executor; each microbatch pays only its own chunking plus
+    * a hash join keyed by chunk hash.
+    */
+  def chunkIndexProbeStream(spark: SparkSession, sfDir: String,
+                            modulus: Int = 8): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val index = graft.text.ChunkIndex
+      .build(corpus, "doc_id", "text", modulus)
+      .select(col("chunk_md5"), lit(true).as("__hit")).cache()
+    try {
+      val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+        .filter(col("doc_id") % 10 === 0)
+      val report = graft.text.ChunkIndex
+        .chunks(stream, "doc_id", "text", modulus)
+        .join(index, Seq("chunk_md5"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__hit"), 1L).otherwise(0L)).as("n_dup_idx"),
+          sum(when(col("__hit"), col("n_toks").cast("long")).otherwise(0L))
+            .as("dup_tokens"))
+      run(spark, report, "graft_stream_chunk_probe")
+    } finally index.unpersist(blocking = false)
+  }
+
   /** STREAMING incremental near-dup — the live-ingest twin of
     * q194_incremental_dedup: new documents arrive as a stream and
     * probe a STATIC corpus LSH bucket index
