@@ -43,4 +43,28 @@ class Round40Spec extends SparkSpec {
     // Matryoshka training makes the prefix deliberately informative)
     assert(hit.toDouble / tot >= 0.3, s"prefix recall ${hit.toDouble / tot}")
   }
+
+  test("audio PCM: byte round-trip decodes to the synth samples; silence flags") {
+    val ids = Seq(0L, 4L, 7L, 123L)
+    ids.foreach { id =>
+      val bytes = graft.multimodal.AudioPcm.synthPcm(id)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val back = Array.tabulate(bytes.length / 2)(i => bb.getShort(i * 2))
+      assert(back.toSeq == graft.multimodal.AudioPcm.synthSamples(id).toSeq)
+    }
+    val rows = SparkEntry.queries("q423_audio_energy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nf, ns) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ns <= nf)
+      // attenuated clips (id % 4 == 0, note id % 5 == 0 selection) are
+      // fully silent; full-scale clips fully loud
+      if (id % 4 == 0) assert(ns == nf, s"clip $id should be silent")
+      // loud clips: every FULL frame is loud; the runt last frame
+      // (n % 64 samples) may legitimately dip under the per-sample
+      // power threshold, so allow at most that one
+      else assert(ns <= 1, s"clip $id should be loud (ns=$ns)")
+    }
+  }
 }
