@@ -21,34 +21,43 @@ object Round53Queries {
   private val FRAME = 64     // samples per frame
   private val SIL = 100000000L // silence power threshold per sample
 
+  /** Stage the synthetic PCM clips (executor-parallel, local-mode
+    * shared FS as q183), read them back through the binaryFile source,
+    * and decode to per-frame energies — the shared front half of q423
+    * (trim report) and q430 (VAD utterance segmentation).
+    */
+  private[queries] def stagedFrames(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/root/repo/target/tmp/pcm_$safe"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val ls = java.nio.file.Files.list(p)
+      try ls.forEach(f => java.nio.file.Files.delete(f))
+      finally ls.close()
+    } else java.nio.file.Files.createDirectories(p)
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(SEL)) === 0).as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"clip_$id.pcm"),
+            AudioPcm.synthPcm(id))
+        }
+      }
+    val bin = Multimodal.readBinaryDir(s, dir)
+      .select(regexp_extract(col("path"), "clip_(\\d+)\\.pcm", 1)
+        .cast("long").as("doc_id"), col("content").as("payload"))
+    AudioPcm.frameEnergies(bin, FRAME, SIL)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     "q423_audio_energy" -> QueryDef(
       (s, d) => {
-        import s.implicits._
-        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val dir = s"/root/repo/target/tmp/pcm_$safe"
-        val p = java.nio.file.Paths.get(dir)
-        if (java.nio.file.Files.exists(p)) {
-          val ls = java.nio.file.Files.list(p)
-          try ls.forEach(f => java.nio.file.Files.delete(f))
-          finally ls.close()
-        } else java.nio.file.Files.createDirectories(p)
-        // executor-parallel staging (local-mode shared FS, as q183)
-        Tables.documents(s, d).select(col("doc_id"))
-          .filter(pmod(col("doc_id"), lit(SEL)) === 0).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, s"clip_$id.pcm"),
-                AudioPcm.synthPcm(id))
-            }
-          }
-        val bin = Multimodal.readBinaryDir(s, dir)
-          .select(regexp_extract(col("path"), "clip_(\\d+)\\.pcm", 1)
-            .cast("long").as("doc_id"), col("content").as("payload"))
         // per-clip trim report: frames, silent frames, kept energy
-        AudioPcm.frameEnergies(bin, FRAME, SIL)
+        stagedFrames(s, d)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_frames"),
             sum(when(col("is_silence"), 1L).otherwise(0L)).as("n_silent"),
