@@ -273,7 +273,15 @@ object ScaleSmoke {
       // keep the duplicated-chunk density constant), and the
       // exact-quantile length filter (bisection count passes).
       "q409_containment_dup", "q415_cdc_chunking", "q416_cdc_dedup",
-      "q406_chunk_overlap", "q405_length_filter")
+      "q406_chunk_overlap", "q405_length_filter",
+      // round-12 wave 10/11: span report + removal (gram hash-agg +
+      // join-back; salt-disjoint copies keep the duplicated-gram
+      // density constant so both stay ∝ tokens), the one-pass lexicon
+      // matcher (pure scan; salted words make every count 0 — the scan
+      // is what's timed), and the epoch-shuffle rank (3 bounded
+      // exchanges ∝ docs)
+      "q424_dup_span_report", "q429_dup_span_removal",
+      "q426_blocklist_phrases", "q427_epoch_shuffle")
     val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
       .map(_.split(",").toSeq).getOrElse(all)
     // Shuffle files live until their shuffle dependency is GC'd
