@@ -701,8 +701,8 @@ final case class GFrame(df: DataFrame, index: Seq[String] = Seq()) {
     require(index.nonEmpty, "expanding needs an index order")
     val f = math.pow(10.0, scale)
     val cents = df.withColumn("__cents", round(col(valueCol) * f))
-    val summed = Cumulative.globalScan(cents, index, "__cents", "__cum", Cumulative.SumOp)
-    val counted = Cumulative.globalRowNumber(summed, index, "__n")
+    val counted = Cumulative.globalScanRowNumber(
+      cents, index, "__cents", "__cum", "__n")
     GFrame(counted
       .withColumn(s"${valueCol}_exp_sum", col("__cum") / lit(f))
       .withColumn(s"${valueCol}_exp_mean", col("__cum") / lit(f) / col("__n"))

@@ -106,6 +106,52 @@ object Cumulative {
       .drop("__pid", "__carry")
   }
 
+  /** Fused [[globalScan]](Sum) + [[globalRowNumber]] over the SAME
+    * ordering: one range exchange, one cached sorted frame, ONE
+    * per-partition totals job collecting (sum, count) per pid, and one
+    * window operator emitting BOTH the running sum and the global row
+    * number (the two window functions share a WindowSpec, so Spark
+    * evaluates them in a single pass). Callers that chained the two
+    * helpers (RankMethods, GFrame.expanding) paid the whole two-phase
+    * machinery — exchange, cache, driver job, window — twice.
+    */
+  def globalScanRowNumber(df: DataFrame, orderCols: Seq[String],
+                          valueCol: String, cumOut: String,
+                          rnOut: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val v0 = col(valueCol).cast("double")
+    val v = when(v0.isNotNull && !isnan(v0), v0)
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val totals = sorted.groupBy(col("__pid"))
+      .agg(sum(v).as("t"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val carries = scala.collection.mutable.Map[Int, Double]()
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    var accV = 0.0
+    var accC = 0L
+    totals.foreach { case (pid, t, c) =>
+      carries(pid) = accV; accV += t
+      offsets(pid) = accC; accC += c
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarries = PidCarry.withLookup(
+      PidCarry.withLookup(sorted, col("__pid"), carries.toMap, lit(0.0), "__carry"),
+      col("__pid"), offsets.toMap, lit(0L), "__off")
+    withCarries
+      .withColumn(cumOut,
+        when(v.isNull, lit(null)).otherwise(col("__carry") + sum(v).over(wc)))
+      .withColumn(rnOut, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__carry", "__off")
+  }
+
   /** Distributed GLOBAL row number in `orderCols` order — the same
     * two-phase shape as [[globalScan]] (range shuffle, per-partition
     * counts to the driver, partition-local row_number + offset). The

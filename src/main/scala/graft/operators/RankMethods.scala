@@ -37,10 +37,12 @@ object RankMethods {
            ascending: Boolean = true): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(valueCol).agg(count(lit(1)).cast("double").as("__cnt"))
-    val ordered = Cumulative.globalScan(
-      counts, Seq(valueCol), "__cnt", "__cum", Cumulative.SumOp)
-    val dense = Cumulative.globalRowNumber(
-      ordered, Seq(valueCol), "__dense")
+    // fused two-phase pass: ONE range exchange + ONE window operator
+    // yields both the cumulative count and the dense index (r12c; the
+    // chained globalScan → globalRowNumber spelling paid the exchange,
+    // cache, driver job, and window twice)
+    val dense = Cumulative.globalScanRowNumber(
+      counts, Seq(valueCol), "__cnt", "__cum", "__dense")
     // total row count — only the descending variant needs it
     lazy val n = counts.agg(sum("__cnt")).collect()(0) match {
       case r if r.isNullAt(0) => 0.0
