@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.GramIndex
+
+/** Round-12 wave 12: persisted gram-index append loop (q431/q432). */
+class Round43Spec extends SparkSpec {
+
+  private val L = 8
+
+  test("gram-index merge ≡ from-scratch rebuild over corpus ∪ batch") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val merged = GramIndex.merge(
+      GramIndex.build(corpus, "doc_id", "text", L), batch, "doc_id", "text", L)
+    val rebuilt = GramIndex.build(docs, "doc_id", "text", L)
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
+  }
+
+  test("gram-index probe ≡ in-JVM batch-vs-corpus span replay") {
+    def toks(t: String) = t.split(' ').filter(_.nonEmpty)
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val corpusGrams = all.filter(_._1 % 10 != 0).flatMap { case (_, t) =>
+      val tk = toks(t)
+      (0 to tk.length - L).map(p => tk.slice(p, p + L).mkString(" "))
+    }.toSet
+    val expected = all.filter(_._1 % 10 == 0).flatMap { case (id, t) =>
+      val tk = toks(t)
+      val ps = (0 to tk.length - L).filter(p =>
+        corpusGrams(tk.slice(p, p + L).mkString(" "))).map(_ + 1)
+      if (ps.isEmpty) None else {
+        var spans = List.empty[(Int, Int)]
+        ps.foreach { p =>
+          spans match {
+            case (s0, e0) :: rest if p <= e0 + 1 =>
+              spans = (s0, math.max(e0, p + L - 1)) :: rest
+            case _ => spans = (p, p + L - 1) :: spans
+          }
+        }
+        Some(id -> (spans.size.toLong,
+          spans.map { case (s0, e0) => (e0 - s0 + 1).toLong }.sum))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q431_gram_index_probe")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+}
