@@ -86,10 +86,23 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .withColumn("sim", graft.functions.Num.rnd(
         dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    topKRanked(sims, k)
+  }
+
+  /** Per-query top-k + rank via GroupTopK partial heaps: the map side
+    * keeps ≤ k rows per (query × partition), so the exchange carries
+    * k·partitions rows instead of EVERY scored pair (the previous
+    * row_number window shuffled the full |queries|×|corpus| sim set to
+    * |queries| groups — the anti-pattern at 10⁹ vectors). The rank
+    * column is recomputed by a window over the ≤ k·|queries| survivors.
+    */
+  private def topKRanked(sims: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.GroupTopK.topKPerKey(
+      sims.select(col("qid"), col("vid"), col("sim")),
+      Seq("qid"), Seq(("sim", true), ("vid", false)), k)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vid"), col("sim"), col("rn").cast("long").as("rn"))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("qid"), col("vid"), col("sim"), col("rn"))
   }
 
   /** LSH-bucketed ANN: candidates must share the full b-bit bucket with
@@ -108,10 +121,7 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .withColumn("sim", graft.functions.Num.rnd(
         dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vid"), col("sim"), col("rn").cast("long").as("rn"))
+    topKRanked(sims, k)
   }
 
   /** Embedding near-dup pairs: all (id1<id2) with cosine ≥ threshold.

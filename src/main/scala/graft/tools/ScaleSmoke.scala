@@ -281,7 +281,10 @@ object ScaleSmoke {
       // is what's timed), and the epoch-shuffle rank (3 bounded
       // exchanges ∝ docs)
       "q424_dup_span_report", "q429_dup_span_removal",
-      "q426_blocklist_phrases", "q427_epoch_shuffle")
+      "q426_blocklist_phrases", "q427_epoch_shuffle",
+      // wave 12: the gram-index append loop (build+probe / build+merge
+      // on the salted corpus; index rows ∝ distinct grams)
+      "q431_gram_index_probe", "q432_gram_index_merge")
     val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
       .map(_.split(",").toSeq).getOrElse(all)
     // Shuffle files live until their shuffle dependency is GC'd
