@@ -85,10 +85,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqenc", this, classOf[PqEncode].getName)
+    val r = ctx.freshName("pqr") // fixed locals collide if the expr appears twice in one scope
     nullSafeCodeGen(ctx, ev, a => s"""
-      Object r = $self.compute($a);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      Object $r = $self.compute($a);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
     """)
   }
 

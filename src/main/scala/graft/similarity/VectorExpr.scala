@@ -51,10 +51,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("dotprod", this, classOf[DotProduct].getName)
+    // freshName, NOT a fixed local: two dot_products in one projection
+    // (e.g. the PCA-distance expansion ‖q‖²−2q·c+‖c‖²) otherwise emit
+    // two `r` declarations in one codegen scope — janino rejects the
+    // whole stage and it silently runs interpreted (caught r12c: the
+    // q256/q259 plans were falling back).
+    val r = ctx.freshName("dotr")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = $self.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = $self.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
     """)
   }
 
