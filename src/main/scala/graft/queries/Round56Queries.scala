@@ -38,18 +38,8 @@ object Round56Queries {
        gr AS (SELECT doc_id, p, md5(array_to_string(toks[p:p+${L - 1}], ' ')) AS h
          FROM tk, unnest(range(1, len(toks) - ${L - 2})) t(p))"""
 
-  val defs: Seq[(String, QueryDef)] = Seq(
-
-    "q431_gram_index_probe" -> QueryDef(
-      (s, d) => {
-        val (corpus, batch) = splitDocs(s, d)
-        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"/root/repo/target/tmp/gram_index_$safe"
-        GramIndex.build(corpus, "doc_id", "text", L)
-          .write.mode("overwrite").parquet(path)
-        GramIndex.probe(s.read.parquet(path), batch, "doc_id", "text", L)
-      },
-      Some(s"""WITH $gramCte,
+  private val probeOracle: Option[String] =
+    Some(s"""WITH $gramCte,
              idx AS (SELECT DISTINCT h FROM gr WHERE doc_id % 10 != 0),
              dp AS (SELECT g.doc_id, g.p FROM gr g JOIN idx ON g.h = idx.h
                WHERE g.doc_id % 10 = 0),
@@ -66,7 +56,20 @@ object Round56Queries {
                FROM iid GROUP BY 1, 2)
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
-             FROM sp GROUP BY 1""")),
+             FROM sp GROUP BY 1""")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "q431_gram_index_probe" -> QueryDef(
+      (s, d) => {
+        val (corpus, batch) = splitDocs(s, d)
+        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/root/repo/target/tmp/gram_index_$safe"
+        GramIndex.build(corpus, "doc_id", "text", L)
+          .write.mode("overwrite").parquet(path)
+        GramIndex.probe(s.read.parquet(path), batch, "doc_id", "text", L)
+      },
+      probeOracle),
 
     // merge ≡ rebuild: the oracle aggregates the FULL corpus from
     // scratch; the engine merges the persisted corpus index with the
@@ -83,6 +86,13 @@ object Round56Queries {
       Some(s"""WITH $gramCte
              SELECT h AS gram_md5, min(doc_id) AS owner,
                CAST(count(*) AS BIGINT) AS n_occ
-             FROM gr GROUP BY 1"""))
+             FROM gr GROUP BY 1""")),
+
+    // Streaming twin of the probe — same contract, so the batch oracle
+    // gates the stream (the islands window becomes a closed-form fold
+    // over the doc's sorted hit positions; see DocStreams scaladoc).
+    "q433_stream_gram_probe" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.gramIndexProbeStream(s, d, L),
+      probeOracle)
   )
 }

@@ -447,6 +447,42 @@ object DocStreams {
       elected, "doc_id")
   }
 
+  /** STREAMING gram-index probe — the live-ingest twin of q431: new
+    * documents arrive as a stream, are gram-scanned in the scan stage
+    * (native NgramList), and each gram stream-static joins the
+    * persisted corpus gram index. The per-doc streaming aggregation
+    * collects the HIT POSITIONS (state ∝ the doc's own duplicated
+    * grams — bounded by doc length); the maximal spans are then a
+    * scan-stage fold over the sorted positions: union length =
+    * L + Σ min(gap, L), span count = 1 + #{gap > L} — the closed form
+    * of the batch islands window, so the stream needs no window at all.
+    */
+  def gramIndexProbeStream(spark: SparkSession, sfDir: String,
+                           L: Int = 8): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val index = graft.text.GramIndex.build(corpus, "doc_id", "text", L)
+      .select(col("gram_md5")).cache()
+    try {
+      val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+        .filter(col("doc_id") % 10 === 0)
+      val report = graft.text.GramIndex.grams(stream, "doc_id", "text", L)
+        .join(index, Seq("gram_md5"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"), expr(
+          s"""aggregate(slice(ps, 2, greatest(size(ps) - 1, 0)),
+              named_struct('prev', ps[0], 'tok', $L, 'spans', 1),
+              (a, x) -> named_struct('prev', x,
+                'tok', a.tok + least(x - a.prev, $L),
+                'spans', a.spans + IF(x - a.prev > $L, 1, 0)))""").as("r"))
+        .select(col("doc_id"),
+          col("r.spans").cast("long").as("n_spans"),
+          col("r.tok").cast("long").as("dup_tokens"))
+      run(spark, report, "graft_stream_gram_probe")
+    } finally index.unpersist(blocking = false)
+  }
+
   def run(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q = streamed.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()

@@ -48,4 +48,10 @@ class Round43Spec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("streaming gram probe ≡ batch q431 (closed-form fold ≡ islands window)") {
+    val a = SparkEntry.queries("q433_stream_gram_probe")(spark, sf)
+    val b = SparkEntry.queries("q431_gram_index_probe")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
