@@ -68,6 +68,42 @@ object GramIndex {
         sum((col("e") - col("s") + 1).cast("long")).as("dup_tokens"))
   }
 
+  /** RETENTION repair — delete a doc set from the index without
+    * rebuilding it (the GDPR/tombstone loop). Counts are repaired
+    * INDEX-ONLY (decrement by the deleted docs' own gram counts — the
+    * deleted docs are re-scanned, never the corpus); grams whose
+    * canonical owner was deleted are re-elected from SURVIVOR
+    * occurrences, with the survivor gram scan semi-joined down to
+    * exactly the stale grams — the repair's shuffle is ∝ stale grams,
+    * not index size. min() is not deletion-invertible, which is why
+    * the stale slice (and only it) pays the re-election; q434 pins
+    * repair ≡ rebuild-from-survivors row-for-row.
+    */
+  def retentionRepair(index: DataFrame, deleted: DataFrame,
+                      survivors: DataFrame, idCol: String, textCol: String,
+                      L: Int): DataFrame = {
+    val dg = build(deleted, idCol, textCol, L)
+      .select(col("gram_md5"), col("n_occ").as("d_n"))
+    val dIds = deleted.select(col(idCol).as("__del_id")).distinct()
+    val dec = index.join(dg, Seq("gram_md5"), "left")
+      .select(col("gram_md5"), col("owner"),
+        (col("n_occ") - coalesce(col("d_n"), lit(0L))).as("n_occ"))
+      .filter(col("n_occ") > 0)
+    val flagged = dec.join(dIds, col("owner") === col("__del_id"), "left")
+      .withColumn("__stale", col("__del_id").isNotNull).drop("__del_id")
+    val fresh = flagged.filter(!col("__stale"))
+      .select("gram_md5", "owner", "n_occ")
+    val stale = flagged.filter(col("__stale")).select("gram_md5", "n_occ")
+    // counts were exact, so every stale gram with n_occ > 0 still has
+    // survivor occurrences — the re-election inner join is total
+    val reelect = grams(survivors, idCol, textCol, L)
+      .join(stale.select("gram_md5"), Seq("gram_md5"))
+      .groupBy("gram_md5").agg(min(col(idCol)).as("owner"))
+    fresh.unionByName(
+      stale.join(reelect, Seq("gram_md5"))
+        .select(col("gram_md5"), col("owner"), col("n_occ")))
+  }
+
   /** Append an ACCEPTED batch into the index: full-outer merge on the
     * gram hash with min/sum combination — exactly the summary a
     * from-scratch rebuild over corpus ∪ batch produces.

@@ -49,6 +49,20 @@ class Round43Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("retention repair ≡ rebuild from survivors; re-election exercised") {
+    val docs = Tables.documents(spark, sf)
+    val repaired = SparkEntry.queries("q434_retention_delete")(spark, sf)
+    val rebuilt = graft.text.GramIndex
+      .build(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", L)
+    assert(repaired.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(repaired).isEmpty)
+    // the fixture must actually exercise the stale-owner path: some
+    // full-index gram is owned by a deleted doc but survives deletion
+    val full = graft.text.GramIndex.build(docs, "doc_id", "text", L)
+    val stale = full.filter(col("owner") % 7 === 0)
+      .join(rebuilt.select("gram_md5"), Seq("gram_md5")).count()
+    assert(stale > 0, "no stale-owner grams — re-election not exercised")
+  }
+
   test("streaming gram probe ≡ batch q431 (closed-form fold ≡ islands window)") {
     val a = SparkEntry.queries("q433_stream_gram_probe")(spark, sf)
     val b = SparkEntry.queries("q431_gram_index_probe")(spark, sf)
