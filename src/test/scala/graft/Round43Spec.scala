@@ -68,4 +68,26 @@ class Round43Spec extends SparkSpec {
     val b = SparkEntry.queries("q431_gram_index_probe")(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("DoReMi reweight: weights simplex + boost monotone in mean quality") {
+    val rows = SparkEntry.queries("q435_doremi_reweight")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._5).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    rows.foreach { case (_, _, _, b, w) => assert(b > 0 && w >= 0 && w <= 1) }
+    // boost strictly increases with mean quality (exp is monotone)
+    val byQ = rows.sortBy(_._3)
+    byQ.sliding(2).foreach {
+      case Array(a, b2) =>
+        assert(a._3 == b2._3 || a._4 <= b2._4, s"${a._1} vs ${b2._1}")
+      case _ =>
+    }
+    // a source with above-corpus quality gains mass vs its token share
+    val totToks = rows.map(_._2).sum.toDouble
+    rows.filter(_._4 > 1.0).foreach { case (s0, t, _, _, w) =>
+      assert(w >= t / totToks * 0.999, s"$s0 should gain mass")
+    }
+  }
 }
