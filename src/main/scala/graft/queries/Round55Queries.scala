@@ -85,7 +85,7 @@ object Round55Queries {
     // attenuated synth) yield no row — the trim-everything case.
     "q430_audio_vad" -> QueryDef(
       (s, d) => {
-        val fr = Round53Queries.stagedFrames(s, d)
+        val fr = Round53Queries.stagedFrames(s, d, "q430")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("frame_idx")
         fr.filter(!col("is_silence"))

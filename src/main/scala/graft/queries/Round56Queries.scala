@@ -63,8 +63,7 @@ object Round56Queries {
     "q431_gram_index_probe" -> QueryDef(
       (s, d) => {
         val (corpus, batch) = splitDocs(s, d)
-        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"/root/repo/target/tmp/gram_index_$safe"
+        val path = graft.tools.Staging.dir("gram_index_probe", d)
         GramIndex.build(corpus, "doc_id", "text", L)
           .write.mode("overwrite").parquet(path)
         GramIndex.probe(s.read.parquet(path), batch, "doc_id", "text", L)
@@ -77,8 +76,7 @@ object Round56Queries {
     "q432_gram_index_merge" -> QueryDef(
       (s, d) => {
         val (corpus, batch) = splitDocs(s, d)
-        val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"/root/repo/target/tmp/gram_index_$safe"
+        val path = graft.tools.Staging.dir("gram_index_merge", d)
         GramIndex.build(corpus, "doc_id", "text", L)
           .write.mode("overwrite").parquet(path)
         GramIndex.merge(s.read.parquet(path), batch, "doc_id", "text", L)

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Per-phrase occurrence counts over the whitespace token stream — ONE
+/** Per-phrase occurrence counts over the space-delimited token stream
+  * (split on U+0020 only — the repo-wide `split(' ')` convention shared
+  * with the DuckDB oracles; tabs/newlines do NOT delimit tokens) — ONE
   * pass per document for the WHOLE phrase lexicon (blocklist filtering,
   * policy lexicons, boilerplate markers).
   *

@@ -66,7 +66,12 @@ def main():
             results[name] = None
             dnf.append(name)
         print(f"{name}: {results[name]}", file=sys.stderr)
+    # value sums only completed queries; value_clamped adds the full
+    # budget per DNF so a consumer reading one number can never mistake
+    # a timed-out baseline for a fast one (ADVICE r12).
     print(json.dumps({"metric": "duckdb_iso_total", "value": round(total, 3),
+                      "value_clamped": round(total + budget * len(dnf), 3),
+                      "dnf_count": len(dnf),
                       "unit": "sec", "queries": results, "dnf": dnf,
                       "budget_s": budget, "sf": sf}))
 
