@@ -38,7 +38,7 @@ object Round56Queries {
        gr AS (SELECT doc_id, p, md5(array_to_string(toks[p:p+${L - 1}], ' ')) AS h
          FROM tk, unnest(range(1, len(toks) - ${L - 2})) t(p))"""
 
-  private val probeOracle: Option[String] =
+  private[queries] val probeOracle: Option[String] =
     Some(s"""WITH $gramCte,
              idx AS (SELECT DISTINCT h FROM gr WHERE doc_id % 10 != 0),
              dp AS (SELECT g.doc_id, g.p FROM gr g JOIN idx ON g.h = idx.h

@@ -29,8 +29,7 @@ object DocStreams {
 
   /** Stage documents.parquet into a watchable dir (repo-local tmp). */
   private def stageDir(sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = Paths.get(s"/root/repo/target/tmp/stream_docs_$safe")
+    val dir = Paths.get(graft.tools.Staging.dir("stream_docs", sfDir))
     Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/documents.parquet")
     val dst = dir.resolve("documents.parquet")
@@ -66,11 +65,10 @@ object DocStreams {
     */
   def curateToFiles(spark: SparkSession, sfDir: String,
                     minQuality: Double = 0.5): DataFrame = {
-    // Repo-local FIXED path (same convention as stageDir), overwritten
-    // per call — a createTempDirectory in the system /tmp leaked one
-    // full result copy per construction (bench eager passes rebuild).
-    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"/root/repo/target/tmp/curate_files_$safe"
+    // FIXED per-query path (Staging convention), overwritten per call —
+    // a createTempDirectory in the system /tmp leaked one full result
+    // copy per construction (bench eager passes rebuild).
+    val out = graft.tools.Staging.dir("curate_files", sfDir)
     val docs = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
     val curated = curateTransform(docs, minQuality)
     @volatile var wrote = false
@@ -458,7 +456,37 @@ object DocStreams {
     * of the batch islands window, so the stream needs no window at all.
     */
   def gramIndexProbeStream(spark: SparkSession, sfDir: String,
-                           L: Int = 8): DataFrame = {
+                           L: Int = 8): DataFrame =
+    gramProbe(spark, sfDir, L)(run(spark, _, "graft_stream_gram_probe"))
+
+  /** FILE-SINK twin of [[gramIndexProbeStream]] (the q397 idiom applied
+    * to the index-probe family): the identical streaming query, but
+    * each trigger lands the probe report in a parquet directory via
+    * `foreachBatch` (executor-side distributed write, overwrite-per-
+    * trigger) and the result is read back from the files — retiring the
+    * memory-sink caveat for the stateful index-probe path too.  Same
+    * oracle as q431/q433.
+    */
+  def gramIndexProbeStreamToFiles(spark: SparkSession, sfDir: String,
+                                  L: Int = 8): DataFrame =
+    gramProbe(spark, sfDir, L) { report =>
+      val out = graft.tools.Staging.dir("gram_probe_files", sfDir)
+      @volatile var wrote = false
+      val q = report.writeStream.outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+          wrote = true
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      if (wrote) spark.read.parquet(out)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), report.schema)
+    }
+
+  private def gramProbe(spark: SparkSession, sfDir: String, L: Int)
+                       (sink: DataFrame => DataFrame): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val index = graft.text.GramIndex.build(corpus, "doc_id", "text", L)
@@ -479,7 +507,7 @@ object DocStreams {
         .select(col("doc_id"),
           col("r.spans").cast("long").as("n_spans"),
           col("r.tok").cast("long").as("dup_tokens"))
-      run(spark, report, "graft_stream_gram_probe")
+      sink(report)
     } finally index.unpersist(blocking = false)
   }
 
