@@ -25,6 +25,15 @@ object GraftSession {
       // alone serializes the aggregation. On a real cluster the same
       // default keeps reduce stages at executor parallelism.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE's coalescing floor defaults to 1 MiB per partition, which
+      // serializes small-byte but CPU-heavy reduce stages (r13 probe:
+      // q203's window stage carried 0.78 s of task time in a ~2 MiB
+      // shuffle → AQE coalesced it to 2 tasks; 64k floor → 32 tasks,
+      // query best 1.26→0.53 s; the 12-query floor-set A/B improved
+      // 9.0→8.1 s with no regressions). At cluster scale shuffle
+      // partitions are ≫ 64k, so the lower floor is inert there —
+      // parallelismFirst still targets default parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // Always use the sort-based (serialized) shuffle writer. The
       // default bypass-merge writer kicks in whenever reducers <= 200 —
       // i.e. EVERY shuffle at our 32-partition conf — and opens one

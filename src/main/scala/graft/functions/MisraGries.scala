@@ -210,6 +210,46 @@ object MisraGries {
         lit(sketchK).as("sketch_k"))
   }
 
+  /** Driver-side cache for PERSISTED sketch rows (path → (dir modTime,
+    * (cand, n, sketchK))): a fit-once/probe-many workload re-reads the
+    * same one-row parquet every call, which costs a full Spark job per
+    * probe — the dominant per-call overhead once the fit is amortized.
+    * Keyed by the staging directory's modification time, so a re-fit
+    * (overwrite) invalidates; bounded LRU like BloomGate's broadcast
+    * cache. Correctness does not depend on freshness — a stale sketch
+    * only risks the exact fallback via certification.
+    */
+  private val sketchCache =
+    new java.util.LinkedHashMap[String, (Long, (Array[String], Long, Int))](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, (Array[String], Long, Int))]): Boolean =
+        size() > 8
+    }
+
+  /** Read a persisted [[fitSketch]]/[[fitSketchText]] row through the
+    * modTime-keyed driver cache.
+    */
+  def readSketchCached(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[String], Long, Int) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mt = fs.getFileStatus(hp).getModificationTime
+    sketchCache.synchronized {
+      val hit = sketchCache.get(path)
+      if (hit != null && hit._1 == mt) return hit._2
+    }
+    val row = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("cand"),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.col("sketch_k"))
+      .collect()(0)
+    val v = (row.getAs[scala.collection.Seq[String]](0).toArray,
+      row.getLong(1), row.getInt(2))
+    sketchCache.synchronized { sketchCache.put(path, (mt, v)) }
+    v
+  }
+
   /** [[topKFrequentPrefit]] over the text column: the certify pass is
     * ONE [[CandTokenCountsExpr]] aggregation (per-candidate exact
     * counts + current total from a single tokenizing scan; the
@@ -223,9 +263,20 @@ object MisraGries {
     import org.apache.spark.sql.functions._
     val row = sketch.select(col("cand"), col("n"), col("sketch_k"))
       .collect()(0)
-    val cand = row.getAs[scala.collection.Seq[String]](0).toArray
-    val nSketch = row.getLong(1)
-    val sketchK = row.getInt(2)
+    topKFrequentPrefitText(docs, textCol, k,
+      (row.getAs[scala.collection.Seq[String]](0).toArray,
+        row.getLong(1), row.getInt(2)))
+  }
+
+  /** [[topKFrequentPrefitText]] from an already-collected sketch row
+    * (e.g. via [[readSketchCached]]) — one Spark job per call total.
+    */
+  def topKFrequentPrefitText(docs: org.apache.spark.sql.DataFrame,
+                             textCol: String, k: Int,
+                             sketchRow: (Array[String], Long, Int)):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (cand, nSketch, sketchK) = sketchRow
     val counts = docs
       .agg(CandTokenCountsExpr(cand.toIndexedSeq)(col(textCol)).as("c"))
       .collect()(0).getAs[scala.collection.Seq[Long]](0)

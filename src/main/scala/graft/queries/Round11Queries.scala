@@ -129,7 +129,8 @@ object Round11Queries {
           graft.functions.MisraGries.fitSketchText(docs, "text", 512)
             .write.mode("overwrite").parquet(path)
         graft.functions.MisraGries.topKFrequentPrefitText(
-          docs, "text", k = 10, s.read.parquet(path))
+          docs, "text", k = 10,
+          graft.functions.MisraGries.readSketchCached(s, path))
       },
       Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                 FROM documents)

@@ -230,32 +230,35 @@ object ScaleSmoke {
     * paths. Compare per-op times against the same-construction 10×
     * run this tier prints first.
     */
-  private def boundedTier(spark: SparkSession, src: String): Unit = {
-    def stage(mult: Int): String = {
-      val p = s"/root/repo/target/tmp/docs_salted_$mult"
-      if (!new java.io.File(s"$p/documents.parquet").exists()) {
-        val docs = Tables.documents(spark, src)
-        val copies = (0 until mult).map { k =>
-          // Salting v2 (round 7): the tag is ALSO inserted every 8
-          // chars inside long tokens, so no char-20-gram window is
-          // salt-free — v1's word-suffix-only salting let grams inside
-          // >20-char tokens collide ACROSS copies, which made the
-          // char-gram ops (q169/q198) quadratic in copies: a harness
-          // artifact, not operator behavior (word-shingle ops were
-          // immune — every 3-word shingle carries a salt). Intra-copy
-          // duplication structure is untouched (the same rewrite is
-          // applied to every doc in a copy).
-          docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
-            .withColumn("text", array_join(
-              transform(split(col("text"), " "), w =>
-                concat(regexp_replace(w, "(.{8})", "$1_" + k), lit("_" + k))),
-              " "))
-        }
-        copies.reduce(_.unionByName(_)).repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$p/documents.parquet")
+  /** Salted-corpus staging (shared with [[GramIndexSmoke]]).
+    * Salting v2 (round 7): the tag is ALSO inserted every 8 chars
+    * inside long tokens, so no char-20-gram window is salt-free — v1's
+    * word-suffix-only salting let grams inside >20-char tokens collide
+    * ACROSS copies, which made the char-gram ops (q169/q198) quadratic
+    * in copies: a harness artifact, not operator behavior (word-shingle
+    * ops were immune — every 3-word shingle carries a salt). Intra-copy
+    * duplication structure is untouched (the same rewrite is applied to
+    * every doc in a copy).
+    */
+  def stageSalted(spark: SparkSession, src: String, mult: Int): String = {
+    val p = s"${graft.tools.Staging.root}/docs_salted_$mult"
+    if (!new java.io.File(s"$p/documents.parquet").exists()) {
+      val docs = Tables.documents(spark, src)
+      val copies = (0 until mult).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "), w =>
+              concat(regexp_replace(w, "(.{8})", "$1_" + k), lit("_" + k))),
+            " "))
       }
-      p
+      copies.reduce(_.unionByName(_)).repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/documents.parquet")
     }
+    p
+  }
+
+  private def boundedTier(spark: SparkSession, src: String): Unit = {
+    def stage(mult: Int): String = stageSalted(spark, src, mult)
     val qmap = SparkEntry.queries
     // q169 (w=1 exhaustive index) is NOT in the default tier: a single
     // 100×-salted execution spills >70 GB — beyond this harness's disk.
