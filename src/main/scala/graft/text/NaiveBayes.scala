@@ -13,48 +13,73 @@ import graft.functions.Num
   * argmax — are bit-identical cross-engine.
   *
   * Scale shape: the per-(word, class) count table stays DISTRIBUTED
-  * (vocab-sized, one wide hash-agg; classes are bounded so each row is
-  * |classes| longs); class totals / vocab size / priors are 1-row
-  * driver stats. Scoring hash-joins the test tokens against the vocab
-  * table once and folds per-class terms map-side; the argmax is
-  * min(struct(-score, label)) — no window, no driver funnel.
+  * (vocab-sized; classes are bounded). Class totals / vocab size /
+  * priors are 1-row driver stats. Scoring hash-joins the test tokens
+  * against the vocab table once and folds per-class terms map-side;
+  * the argmax is min(struct(-score, label)) — no window, no driver
+  * funnel.
+  *
+  * The model is PERSISTABLE ([[fitModel]] → one long-format parquet
+  * table) and mergeable by unioned count-sum, joining the persisted-
+  * model family (gram index q431/q432, MG sketch q389, LSH buckets
+  * q194): classify-new-batches workloads fit once and pay only the
+  * scoring join per call (q440).
   */
 object NaiveBayes {
 
-  /** Per-doc argmax prediction: (idCol, pred_label). */
-  def predict(train: DataFrame, test: DataFrame, textCol: String,
-              labelCol: String, idCol: String): DataFrame = {
-    def toks(df: DataFrame, keep: Seq[String]) = df
-      .select(keep.map(col) :+ explode(split(col(textCol), " ")).as("tok"): _*)
+  /** Persistable model: long-format rows
+    *  - ("tok", tok, label, c): token count per class;
+    *  - ("doc", null, label, c): training document count per class.
+    * Everything [[predictFromModel]] needs derives from this one table.
+    */
+  def fitModel(train: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val toks = train
+      .select(col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val trainToks = toks(train, Seq(labelCol))
-    val classes = train.select(labelCol).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val nTokByClass = trainToks.groupBy(labelCol).agg(count(lit(1)).as("nc"))
+    toks.groupBy("tok", "label").agg(count(lit(1)).as("c"))
+      .select(lit("tok").as("kind"), col("tok"), col("label"), col("c"))
+      .unionByName(
+        train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("c"))
+          .select(lit("doc").as("kind"), lit(null: String).as("tok"),
+            col("label"), col("c")))
+  }
+
+  /** Per-doc argmax prediction from a (possibly persisted) model:
+    * (idCol, pred_label).
+    */
+  def predictFromModel(model: DataFrame, test: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val tokCounts = model.filter(col("kind") === "tok")
+    val nDocsByClass = model.filter(col("kind") === "doc")
+      .select("label", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classes = nDocsByClass.keys.toSeq.sorted
+    val nTrainDocs = nDocsByClass.values.sum
+    val nTokByClass = tokCounts.groupBy("label").agg(sum("c").as("nc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocabSize = trainToks.select("tok").distinct().count()
-    val nTrainDocs = train.count()
-    val nDocsByClass = train.groupBy(labelCol).agg(count(lit(1)).as("nd"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val wc = trainToks.groupBy("tok").agg(
-      sum(when(col(labelCol) === classes.head, 1L).otherwise(0L)).as("c_0"),
-      classes.tail.zipWithIndex.map { case (c, i) =>
-        sum(when(col(labelCol) === c, 1L).otherwise(0L)).as(s"c_${i + 1}") }: _*)
-    val qt = toks(test, Seq(idCol))
+    val vocabSize = tokCounts.select("tok").distinct().count()
+    val wc = tokCounts.groupBy("tok").agg(
+      sum(when(col("label") === classes.head, col("c"))).as("c_0"),
+      classes.tail.zipWithIndex.map { case (cl, i) =>
+        sum(when(col("label") === cl, col("c"))).as(s"c_${i + 1}") }: _*)
+    val qt = test
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy(idCol, "tok").agg(count(lit(1)).as("o"))
     val joined = qt.join(wc, Seq("tok"), "left")
-    val sums = classes.zipWithIndex.map { case (c, i) =>
-      val denom = (nTokByClass.getOrElse(c, 0L) + vocabSize).toDouble
+    val sums = classes.zipWithIndex.map { case (cl, i) =>
+      val denom = (nTokByClass.getOrElse(cl, 0L) + vocabSize).toDouble
       sum(col("o").cast("decimal(18,0)") *
         Num.rnd(log((coalesce(col(s"c_$i"), lit(0L)) + lit(1L))
           .cast("double") / lit(denom)), 6).cast("decimal(18,6)"))
         .as(s"s_$i") }
     val perDoc = joined.groupBy(idCol).agg(sums.head, sums.tail: _*)
-    val scoreMap = classes.zipWithIndex.flatMap { case (c, i) =>
+    val scoreMap = classes.zipWithIndex.flatMap { case (cl, i) =>
       val prior = Num.rnd(
-        log(lit(nDocsByClass(c).toDouble / nTrainDocs)), 6)
+        log(lit(nDocsByClass(cl).toDouble / nTrainDocs)), 6)
         .cast("decimal(18,6)")
-      Seq(lit(c), (col(s"s_$i") + prior).cast("decimal(38,6)")) }
+      Seq(lit(cl), (col(s"s_$i") + prior).cast("decimal(38,6)")) }
     perDoc
       .select(col(idCol),
         explode(map(scoreMap: _*)).as(Seq("__label", "__score")))
@@ -64,12 +89,23 @@ object NaiveBayes {
       .select(col(idCol), col("m.l").as("pred_label"))
   }
 
+  /** Fit + predict in one call (q437's eager path). */
+  def predict(train: DataFrame, test: DataFrame, textCol: String,
+              labelCol: String, idCol: String): DataFrame =
+    predictFromModel(fitModel(train, textCol, labelCol), test, textCol, idCol)
+
   /** Confusion matrix over the held-out split:
     * (true_label, pred_label, n_docs).
     */
   def confusion(train: DataFrame, test: DataFrame, textCol: String,
                 labelCol: String, idCol: String): DataFrame =
-    predict(train, test, textCol, labelCol, idCol)
+    confusionFromModel(fitModel(train, textCol, labelCol), test,
+      textCol, labelCol, idCol)
+
+  /** [[confusion]] from a (possibly persisted) model. */
+  def confusionFromModel(model: DataFrame, test: DataFrame, textCol: String,
+                         labelCol: String, idCol: String): DataFrame =
+    predictFromModel(model, test, textCol, idCol)
       .join(test.select(col(idCol), col(labelCol).as("true_label")), idCol)
       .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n_docs"))
