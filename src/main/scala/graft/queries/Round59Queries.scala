@@ -26,6 +26,23 @@ import graft.functions.Num
   */
 object Round59Queries {
 
+  /** q442's oracle, shared with its streaming twin q443. */
+  private val cdcOracle: Option[String] =
+    Some("""WITH changes AS (SELECT
+               CASE WHEN doc_id % 30 = 20 THEN doc_id + 10000000 ELSE doc_id END
+                 AS doc_id,
+               CASE WHEN doc_id % 30 = 0 THEN 'D'
+                    WHEN doc_id % 30 = 10 THEN 'U' ELSE 'I' END AS op,
+               text || ' ' || text AS new_text,
+               source AS new_source
+             FROM documents WHERE doc_id % 10 = 0)
+             SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               md5(CASE WHEN c.op IS NOT NULL THEN c.new_text ELSE b.text END)
+                 AS text_md5,
+               COALESCE(c.new_source, b.source) AS source
+             FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+             WHERE COALESCE(c.op, '') != 'D'""")
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     "q440_nb_model_prefit" -> QueryDef(
@@ -95,40 +112,23 @@ object Round59Queries {
 
     // ops: doc_id%30=0 → D(elete), %30=10 → U(pdate: text doubled),
     // %30=20 → I(nsert under doc_id+10^7). ONE full-outer join applies
-    // the batch; output keyed by md5(text) so the gate stays compact.
+    // the batch ([[graft.operators.CdcUpsert]]); output keyed by
+    // md5(text) so the gate stays compact.
     "q442_cdc_upsert" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val base = docs.select(col("doc_id"), col("text"), col("source"))
-        val changes = docs.filter(col("doc_id") % 10 === 0)
-          .select(
-            when(col("doc_id") % 30 === 20, col("doc_id") + 10000000L)
-              .otherwise(col("doc_id")).as("doc_id"),
-            when(col("doc_id") % 30 === 0, lit("D"))
-              .when(col("doc_id") % 30 === 10, lit("U"))
-              .otherwise(lit("I")).as("op"),
-            concat(col("text"), lit(" "), col("text")).as("new_text"),
-            col("source").as("new_source"))
-        base.join(changes, Seq("doc_id"), "full_outer")
-          .filter(coalesce(col("op"), lit("")) =!= "D")
-          .select(col("doc_id"),
-            md5(when(col("op").isNotNull, col("new_text"))
-              .otherwise(col("text"))).as("text_md5"),
-            coalesce(col("new_source"), col("source")).as("source"))
+        graft.operators.CdcUpsert.applyChanges(
+            docs.select(col("doc_id"), col("text"), col("source")),
+            graft.operators.CdcUpsert.changesOf(docs))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
       },
-      Some("""WITH changes AS (SELECT
-               CASE WHEN doc_id % 30 = 20 THEN doc_id + 10000000 ELSE doc_id END
-                 AS doc_id,
-               CASE WHEN doc_id % 30 = 0 THEN 'D'
-                    WHEN doc_id % 30 = 10 THEN 'U' ELSE 'I' END AS op,
-               text || ' ' || text AS new_text,
-               source AS new_source
-             FROM documents WHERE doc_id % 10 = 0)
-             SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-               md5(CASE WHEN c.op IS NOT NULL THEN c.new_text ELSE b.text END)
-                 AS text_md5,
-               COALESCE(c.new_source, b.source) AS source
-             FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
-             WHERE COALESCE(c.op, '') != 'D'"""))
+      cdcOracle),
+
+    // Streaming twin: multi-microbatch copy-on-write merge loop over a
+    // versioned parquet table (see DocStreams.cdcUpsertStream); the
+    // batch oracle gates it because key-disjoint batches compose.
+    "q443_stream_cdc_upsert" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.cdcUpsertStream(s, d),
+      cdcOracle)
   )
 }

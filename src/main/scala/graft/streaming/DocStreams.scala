@@ -485,6 +485,47 @@ object DocStreams {
         new java.util.ArrayList[org.apache.spark.sql.Row](), report.schema)
     }
 
+  /** STREAMING CDC upsert — the live table-maintenance twin of batch
+    * q442: the change batch is staged as key-disjoint shard FILES, read
+    * with `maxFilesPerTrigger=1` (so the merge genuinely runs across
+    * MULTIPLE microbatches), and each trigger folds its changes into a
+    * VERSIONED parquet table directory via `foreachBatch` (read current
+    * version → one full-outer merge join → write next version — the
+    * copy-on-write loop a Delta/Iceberg MERGE runs, distilled to plain
+    * parquet). Key-disjoint batches make sequential application ≡ the
+    * one-shot batch merge, so q442's oracle gates the stream.
+    */
+  def cdcUpsertStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.CdcUpsert
+    val docs = graft.Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id"), col("text"), col("source"))
+    val changes = CdcUpsert.changesOf(docs)
+    // stage the change stream: 4 shard files, disjoint by key
+    val srcDir = graft.tools.Staging.dir("cdc_changes", sfDir)
+    changes.repartition(4, pmod(col("doc_id"), lit(4)))
+      .write.mode(SaveMode.Overwrite).parquet(srcDir)
+    val tabDir = graft.tools.Staging.dir("cdc_table", sfDir)
+    base.write.mode(SaveMode.Overwrite).parquet(s"$tabDir/v0")
+    @volatile var cur = 0
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val current = spark.read.parquet(s"$tabDir/v$cur")
+        CdcUpsert.applyChanges(current, batch)
+          .write.mode(SaveMode.Overwrite).parquet(s"$tabDir/v${cur + 1}")
+        cur += 1
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$tabDir/v$cur")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
+  }
+
   private def gramProbe(spark: SparkSession, sfDir: String, L: Int)
                        (sink: DataFrame => DataFrame): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)

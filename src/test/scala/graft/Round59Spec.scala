@@ -45,6 +45,16 @@ class Round59Spec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("q443 streaming upsert ≡ batch merge, across MULTIPLE microbatches") {
+    val streamed = graft.streaming.DocStreams.cdcUpsertStream(spark, sf)
+    val batch = run("q442_cdc_upsert")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the copy-on-write loop really versioned more than once
+    val versions = new java.io.File(graft.tools.Staging.dir("cdc_table", sf))
+      .listFiles().count(f => f.getName.matches("v\\d+"))
+    assert(versions >= 3, s"expected multi-batch merge, saw $versions versions")
+  }
+
   test("q442 upsert mass accounting: base − deletes + inserts; ops applied") {
     val docs = Tables.documents(spark, sf)
     val nBase = docs.count()
