@@ -34,6 +34,16 @@ object GraftSession {
       // partitions are ≫ 64k, so the lower floor is inert there —
       // parallelismFirst still targets default parallelism.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Input-split twin of the coalescing floor above: 128 MiB splits
+      // pack this engine's CPU-dense scans (tokenizing text kernels,
+      // embedding folds, decimal aggs — bytes underestimate CPU by
+      // 10-100×) into 1-3 tasks at the gated SFs, idling 29+ cores on
+      // the longest stage. 16 MiB splits keep scan stages at machine
+      // width: sf0.1 headline 16.9→13.9 s, sf10 tier 62.9→59.0 s, no
+      // regressions (r13 A/B). A pure-columnar-scan deployment at PB
+      // scale would override back via SPARK_GRAFT_CONF — the same knob
+      // every production tuning guide reaches for in either direction.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // Always use the sort-based (serialized) shuffle writer. The
       // default bypass-merge writer kicks in whenever reducers <= 200 —
       // i.e. EVERY shuffle at our 32-partition conf — and opens one

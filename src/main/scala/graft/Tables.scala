@@ -123,6 +123,9 @@ object Tables {
     val bytes =
       if (fs.exists(path)) fs.getContentSummary(path).getLength else Long.MaxValue
     val splits = math.max(1L, bytes / maxPart)
-    if (splits < cores) df.repartition(cores) else df
+    // Repartitioning costs a full-row exchange; once the scan already
+    // yields at least half machine width the imbalance it fixes is
+    // smaller than the shuffle it pays (r13 A/B at the sf10 tier).
+    if (splits * 2 < cores) df.repartition(cores) else df
   }
 }
