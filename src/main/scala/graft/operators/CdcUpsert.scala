@@ -38,4 +38,25 @@ object CdcUpsert {
         when(col("op").isNotNull, col("new_text"))
           .otherwise(col("text")).as("text"),
         coalesce(col("new_source"), col("source")).as("source"))
+
+  /** The INVERSE of [[applyChanges]]: derive the I/U/D change set
+    * between two table snapshots (q445 — data-versioning diff, the
+    * "what changed between crawls" report and the input a downstream
+    * incremental pipeline replays). ONE full-outer join; no-op rows
+    * (same key, same text) are dropped, so
+    * `deriveChanges(old, applyChanges(old, c))` recovers exactly the
+    * EFFECTIVE subset of `c` (Round60Spec pins the round-trip).
+    */
+  def deriveChanges(oldT: DataFrame, newT: DataFrame): DataFrame = {
+    val o = oldT.select(col("doc_id"), col("text").as("old_text"))
+    val n = newT.select(col("doc_id"), col("text").as("new_text"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .filter(col("old_text").isNull || col("new_text").isNull ||
+        col("old_text") =!= col("new_text"))
+      .select(col("doc_id"),
+        when(col("new_text").isNull, lit("D"))
+          .when(col("old_text").isNull, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        md5(col("new_text")).as("text_md5"))
+  }
 }

@@ -565,6 +565,19 @@ object Similarity {
     (row.getLong(1), row.getInt(0) + 1)
   }
 
+  /** RETENTION delete for the persisted cell index (the GDPR/tombstone
+    * leg — the embedding twin of GramIndex.retentionRepair): index rows
+    * carry their vec_id, so deletion is ONE index-only anti-join —
+    * no corpus re-scan, and (unlike the gram index's owner election)
+    * no repair pass, because cell rows are independent. The frozen
+    * modulus column survives untouched: probes after deletion still
+    * hash with the BUILD-time modulus (the retention contract — the
+    * index never silently re-derives C from a shrunken corpus).
+    */
+  def retentionDeleteEmbedIndex(index: DataFrame, deleted: DataFrame): DataFrame =
+    index.join(deleted.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(index.columns.map(col).toIndexedSeq: _*) // keep the index's column order
+
   def probeEmbedIndex(index: DataFrame, batch: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
     val (c, tables) = indexMeta(index)
