@@ -82,7 +82,8 @@ object SparkEntry {
     graft.queries.Round57Queries.defs ++
     graft.queries.Round58Queries.defs ++
     graft.queries.Round59Queries.defs ++
-    graft.queries.Round60Queries.defs
+    graft.queries.Round60Queries.defs ++
+    graft.queries.Round61Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -485,6 +485,34 @@ object DocStreams {
         new java.util.ArrayList[org.apache.spark.sql.Row](), report.schema)
     }
 
+  /** STREAMING Naive-Bayes classification — the ingest-time language/
+    * quality filter: the model is FIT in batch ([[graft.text.NaiveBayes
+    * .fitModel]]), FROZEN to exact 6dp-grid longs, and rides the
+    * closure; each arriving document is classified in the scan stage
+    * (STATELESS — no join, no aggregation, microbatch-invariant by
+    * construction, the q261 frozen-classifier deployment shape). The
+    * returned frame aggregates the appended predictions into q437's
+    * confusion matrix, so the batch oracle gates the stream.
+    */
+  def nbClassifyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val frozen = graft.text.NaiveBayes.freeze(
+      graft.text.NaiveBayes.fitModel(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "lang"))
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.text.NaiveBayes.classify(frozen, text)) }
+      .toDF("doc_id", "pred_lang")
+    val preds = runAppend(spark, stream, "graft_stream_nb_classify")
+    preds.join(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** STREAMING CDC upsert — the live table-maintenance twin of batch
     * q442: the change batch is staged as key-disjoint shard FILES, read
     * with `maxFilesPerTrigger=1` (so the merge genuinely runs across
