@@ -83,7 +83,8 @@ object SparkEntry {
     graft.queries.Round58Queries.defs ++
     graft.queries.Round59Queries.defs ++
     graft.queries.Round60Queries.defs ++
-    graft.queries.Round61Queries.defs
+    graft.queries.Round61Queries.defs ++
+    graft.queries.Round62Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as
