@@ -84,7 +84,8 @@ object SparkEntry {
     graft.queries.Round59Queries.defs ++
     graft.queries.Round60Queries.defs ++
     graft.queries.Round61Queries.defs ++
-    graft.queries.Round62Queries.defs
+    graft.queries.Round62Queries.defs ++
+    graft.queries.Round63Queries.defs
 
   /** Flagship query on sf=0.001 — the SURVEY §7.2 minimum slice:
     * scan → filter → hash-agg → join → sort, the same pipeline shape as

@@ -41,39 +41,11 @@ object Round61Queries {
         val base = docs.select(col("doc_id"), col("text"), col("source"))
         val next = graft.operators.CdcUpsert.applyChanges(
           base, graft.operators.CdcUpsert.changesOf(docs))
-        // ONE corpus pass per side (each histogram feeds exactly one
-        // consumer): full-outer join of the two tiny histograms,
-        // per-source totals via a window over that tiny result, and the
-        // buckets EMPTY ON BOTH SIDES folded in ARITHMETICALLY —
-        // (NBUCKET − k_present) copies of the all-empty smoothed term —
-        // instead of materializing a dense spine (exact: DECIMAL
-        // addition of identical 6dp terms commutes with the multiply).
-        val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        def hist(t: org.apache.spark.sql.DataFrame, cc: String) = t
-          .select(col("source"),
-            least(floor(size(filter(split(col("text"), " "), x => x =!= ""))
-              / 10).cast("long"), lit(NBUCKET - 1L)).as("bucket"))
-          .groupBy("source", "bucket").agg(count(lit(1)).as(cc))
-        val j = hist(base, "cb").join(hist(next, "cn"),
-            Seq("source", "bucket"), "full_outer")
-          .withColumn("nb", sum("cb").over(wSrc))
-          .withColumn("nn", sum("cn").over(wSrc))
-          .withColumn("cb", coalesce(col("cb"), lit(0L)))
-          .withColumn("cn", coalesce(col("cn"), lit(0L)))
-        def share(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-          (c + lit(1)).cast("double") / (n + lit(NBUCKET.toLong)).cast("double")
-        def term(cb: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) = {
-          val p = share(cb, col("nb"))
-          val q = share(cn, col("nn"))
-          Num.rnd((p - q) * log(p / q), 6).cast("decimal(18,6)")
-        }
-        j.groupBy("source")
-          .agg(sum(term(col("cb"), col("cn"))).as("__present"),
-            count(lit(1)).as("__k"),
-            first(col("nb")).as("nb"), first(col("nn")).as("nn"))
-          .select(col("source"),
-            (col("__present") + (lit(NBUCKET.toLong) - col("__k")) *
-              term(lit(0L), lit(0L))).cast("double").as("psi"))
+        // shape notes in [[graft.operators.Psi]] (one corpus pass per
+        // side; empty-on-both buckets folded in arithmetically)
+        graft.operators.Psi.fold(
+          graft.operators.Psi.hist(base, NBUCKET, "cb"),
+          graft.operators.Psi.hist(next, NBUCKET, "cn"), NBUCKET)
       },
       Some(s"""WITH changes AS (SELECT
                CASE WHEN doc_id % 30 = 20 THEN doc_id + 10000000 ELSE doc_id END

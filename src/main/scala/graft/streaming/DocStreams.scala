@@ -513,6 +513,25 @@ object DocStreams {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** STREAMING PSI drift monitor — the live half of q447: the reference
+    * histogram is a tiny batch aggregate; arriving documents fold into
+    * a (source, bucket) running histogram (state bounded at
+    * |sources|×buckets regardless of volume), and the PSI arithmetic
+    * runs in batch over the two tiny tables. Gated by its own
+    * split-vs-split oracle (q451).
+    */
+  def psiStream(spark: SparkSession, sfDir: String, nBuckets: Int = 8): DataFrame = {
+    import graft.operators.Psi
+    val docs = graft.Tables.documents(spark, sfDir)
+    val ref = Psi.hist(docs.filter(col("doc_id") % 10 =!= 0), nBuckets, "cb")
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("source"), Psi.bucketCol(nBuckets).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cn"))
+    val hn = run(spark, stream, "graft_stream_psi")
+    Psi.fold(ref, hn, nBuckets)
+  }
+
   /** STREAMING CDC upsert — the live table-maintenance twin of batch
     * q442: the change batch is staged as key-disjoint shard FILES, read
     * with `maxFilesPerTrigger=1` (so the merge genuinely runs across
