@@ -29,6 +29,33 @@ object Round62Queries {
 
   private val allowedLangs = Seq("en", "fr", "es")
 
+  /** First-failing-rule attribution (q448/q452): scan-stage CASE chain
+    * over (text, lang).
+    */
+  private[queries] def reasonCol: org.apache.spark.sql.Column = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    when(size(toks) < 10, "too_short")
+      .when(!col("lang").isin(allowedLangs: _*), "lang_filtered")
+      .when(col("text").contains("slow query"), "blocklisted")
+      .when(size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double") < 0.5, "repetitive")
+      .otherwise("kept")
+  }
+
+  private[queries] val reasonOracleCase: String =
+    s"""CASE
+         WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 10
+           THEN 'too_short'
+         WHEN lang NOT IN (${allowedLangs.map(l => s"'$l'").mkString(", ")})
+           THEN 'lang_filtered'
+         WHEN contains(text, 'slow query') THEN 'blocklisted'
+         WHEN CAST(len(list_distinct(list_filter(string_split(text, ' '),
+             x -> x <> ''))) AS DOUBLE)
+           / len(list_filter(string_split(text, ' '), x -> x <> '')) < 0.5
+           THEN 'repetitive'
+         ELSE 'kept'
+       END"""
+
   // ---- q449 helpers ----------------------------------------------------
 
   private val Alpha = 0.5
@@ -55,32 +82,11 @@ object Round62Queries {
   val defs: Seq[(String, QueryDef)] = Seq(
 
     "q448_reject_audit" -> QueryDef(
-      (s, d) => {
-        val toks = filter(split(col("text"), " "), x => x =!= "")
-        val reason = when(size(toks) < 10, "too_short")
-          .when(!col("lang").isin(allowedLangs: _*), "lang_filtered")
-          .when(col("text").contains("slow query"), "blocklisted")
-          .when(size(array_distinct(toks)).cast("double") /
-            size(toks).cast("double") < 0.5, "repetitive")
-          .otherwise("kept")
-        Tables.documents(s, d)
-          .select(col("source"), reason.as("reason"))
-          .groupBy("source", "reason")
-          .agg(count(lit(1)).as("n_docs"))
-      },
-      Some(s"""WITH r AS (SELECT source,
-               CASE
-                 WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 10
-                   THEN 'too_short'
-                 WHEN lang NOT IN (${allowedLangs.map(l => s"'$l'").mkString(", ")})
-                   THEN 'lang_filtered'
-                 WHEN contains(text, 'slow query') THEN 'blocklisted'
-                 WHEN CAST(len(list_distinct(list_filter(string_split(text, ' '),
-                     x -> x <> ''))) AS DOUBLE)
-                   / len(list_filter(string_split(text, ' '), x -> x <> '')) < 0.5
-                   THEN 'repetitive'
-                 ELSE 'kept'
-               END AS reason
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), reasonCol.as("reason"))
+        .groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs")),
+      Some(s"""WITH r AS (SELECT source, $reasonOracleCase AS reason
              FROM documents)
              SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
              FROM r GROUP BY 1, 2""")),

@@ -97,6 +97,15 @@ object Round63Queries {
                  CAST(round((1.0 / (nb + $NBUCKET) - 1.0 / (nn + $NBUCKET)) *
                    ln((1.0 / (nb + $NBUCKET)) / (1.0 / (nn + $NBUCKET))), 6)
                    AS DECIMAL(18,6)) AS DOUBLE) AS psi
-             FROM agg"""))
+             FROM agg""")),
+
+    // Ingest-time twin of q448: the rule chain is stateless per row;
+    // state = the (source, reason) running counts only. Same oracle.
+    "q452_stream_reject_audit" -> QueryDef(
+      (s, d) => graft.streaming.DocStreams.rejectAuditStream(
+        s, d, Round62Queries.reasonCol),
+      Round62Queries.defs.collectFirst {
+        case ("q448_reject_audit", q) => q.oracle.get
+      })
   )
 }

@@ -513,6 +513,20 @@ object DocStreams {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** STREAMING rejection audit — the ingest-time twin of q448: each
+    * arriving document is attributed to its first failing curation rule
+    * in the scan stage (the CASE chain rides the plan — stateless per
+    * row), and the running (source, reason) counts are the only state
+    * (bounded at |sources|×|rules| regardless of volume).
+    */
+  def rejectAuditStream(spark: SparkSession, sfDir: String,
+                        reason: org.apache.spark.sql.Column): DataFrame = {
+    val stream = spark.readStream.schema(docSchema).parquet(stageDir(sfDir))
+      .select(col("source"), reason.as("reason"))
+      .groupBy("source", "reason").agg(count(lit(1)).as("n_docs"))
+    run(spark, stream, "graft_stream_reject_audit")
+  }
+
   /** STREAMING PSI drift monitor — the live half of q447: the reference
     * histogram is a tiny batch aggregate; arriving documents fold into
     * a (source, bucket) running histogram (state bounded at

@@ -287,7 +287,13 @@ object ScaleSmoke {
       "q426_blocklist_phrases", "q427_epoch_shuffle",
       // wave 12: the gram-index append loop (build+probe / build+merge
       // on the salted corpus; index rows ∝ distinct grams)
-      "q431_gram_index_probe", "q432_gram_index_merge")
+      "q431_gram_index_probe", "q432_gram_index_merge",
+      // round-13 wave: NB fit+score (vocab×class table ∝ salted vocab),
+      // novelty join, CDC upsert (one full-outer join), PSI (two
+      // histogram passes), temperature sampler (positions spine +
+      // bucketed ranks), shard manifest (bucketed rank + shard agg)
+      "q437_naive_bayes_lang", "q439_ngram_novelty", "q442_cdc_upsert",
+      "q447_psi_drift", "q449_temperature_sampler", "q450_shard_manifest")
     val bounded = sys.env.get("SPARK_GRAFT_SMOKE_NAMES")
       .map(_.split(",").toSeq).getOrElse(all)
     // Shuffle files live until their shuffle dependency is GC'd
