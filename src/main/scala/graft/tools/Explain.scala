@@ -1,11 +1,15 @@
 package graft.tools
 import graft.{GraftSession, SparkEntry}
-/** Dev tool: print formatted plans for selected queries. */
+/** Dev tool: print formatted plans for selected queries.
+  * Usage (via run_verify.sh): Explain <sfDir> <ignored> <q1,q2,...>
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val sf = "/root/testdata/sf0.01"
-    args.foreach { name =>
+    val sf = if (args.length > 0 && args(0).startsWith("/")) args(0)
+             else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = args.lastOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    names.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(spark, sf).explain("formatted")
     }
