@@ -25,6 +25,7 @@ object Hits {
   /** Returns (id, side['hub'|'auth'], score) after `iters` rounds. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    Iterative.withAqeOff(edges.sparkSession) {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val hubs0 = e.select(col("src").as("id")).distinct()
@@ -74,5 +75,6 @@ object Hits {
     if (prevA != null) prevA.unpersist(blocking = false)
     if (prevH != null) prevH.unpersist(blocking = false)
     result
+    }
   }
 }

@@ -37,13 +37,10 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val spark = edges.sparkSession
-    import spark.implicits._
-
-    // symmetrize + dedupe: every vertex that appears has degree ≥ 1,
-    // so there are no dangling vertices to redistribute. The union
-    // references `edges` TWICE — materialize it once (r11: a cold call
-    // was recomputing the caller's whole edge derivation per branch;
-    // checkpoint blocks die with this local, nothing to release).
+    Iterative.withAqeOff(spark) {
+    // materialize the caller's edge derivation once (r11: a cold call
+    // was recomputing it per downstream reference; checkpoint blocks
+    // die with this local, nothing to release).
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
     // sym is REPARTITIONED by src once and every iteration's edge⋈rank
@@ -54,19 +51,29 @@ object PageRank {
     // exact pattern a 1000-executor run wants (edges stay put, ranks
     // move).
     //
-    // The partition count is SIZE-DERIVED, not conf-pinned (r12): the
-    // cached layout's count propagates through every iteration's join
-    // stage (the shuffle-hash requirement defeats AQE coalescing
-    // there), so a conf-default 32 means 32 near-empty tasks per stage
-    // per iteration on a small graph — measured ~0.1 s fixed cost per
-    // task (hash-relation page alloc + agg-map zeroing) dwarfing the
-    // row work. ~1M edges per partition, capped for the huge end.
+    // The partition count is SIZE-DERIVED (r12): ~1M edges/partition,
+    // capped for the huge end — but floored at machine width (r13):
+    // with AQE off in the loop nothing re-splits the layout, and a
+    // floor of defaultParallelism only matters when the graph is small
+    // relative to the machine (at 100 TB the size term dominates), so
+    // it is scale-adaptive, not a local[32] constant.
     val nEdgeRows = e0.count() // e0 is checkpointed: a cheap local scan
-    val edgeParts = math.max(1L, math.min(2L * nEdgeRows / 1000000L + 1L, 20000L)).toInt
+    val edgeParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(2L * nEdgeRows / 1000000L + 1L, 20000L)).toInt
+    // symmetrize + dedupe in ONE pass (r13, guide §2.3/§2.4): explode
+    // emits both directions per edge row (the union form scanned e0
+    // twice through two map stages), and the dedupe Aggregate sits ON
+    // TOP of the src-repartition — HashPartitioning(src) satisfies
+    // ClusteredDistribution(src, dst), so distinct() plans with NO
+    // second exchange. Before: union(2 scans) + distinct exchange +
+    // repartition exchange; after: 1 scan + 1 exchange.
     val sym = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(edgeParts, col("src"))
+      .distinct()
       .persist()
     val verts = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
@@ -115,6 +122,7 @@ object PageRank {
     sym.unpersist(blocking = false)
     verts.unpersist(blocking = false)
     pr
+    }
   }
 
   /** PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): the
@@ -127,6 +135,7 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    Iterative.withAqeOff(edges.sparkSession) {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())
     val sym = e0
@@ -170,6 +179,7 @@ object PageRank {
     if (prev != null) prev.unpersist(blocking = false)
     pr.unpersist(blocking = false)
     result
+    }
   }
 
   /** WEIGHTED PageRank: mass splits proportionally to integer edge
@@ -181,6 +191,7 @@ object PageRank {
   def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    Iterative.withAqeOff(edges.sparkSession) {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())
@@ -222,6 +233,7 @@ object PageRank {
     if (prev != null) prev.unpersist(blocking = false)
     pr.unpersist(blocking = false)
     result
+    }
   }
 
   /** customer↔supplier trade graph from the TPC-H-ish tables: distinct
