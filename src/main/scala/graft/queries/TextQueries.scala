@@ -66,13 +66,12 @@ object TextQueries {
                                        kernel: Boolean):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    val sh = docs
-      .select(col("doc_id"), Shingles.shingles(col("text"), 3).as("sh"))
-      .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)
+    val sh = Shingles.cachedSets(docs, "doc_id", "text", 3)
       // ^ shared with q55's identical subplan via CacheManager — cache
       //   once, silently (r11: the second cache() logged a spurious
-      //   "already cached" warning in the bench tail)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      //   "already cached" warning in the bench tail); r13: fanned out
+      //   + carries the set size as a cached column (see cachedSets)
+    val sizes = sh.select(col("doc_id"), col("n"))
     // Keyed by the shingle STRING, deliberately: keying by xxhash64(s)
     // (8-byte shuffle keys) was measured FASTER at sf0.1 (1.54s vs
     // 1.72s warm) but 30% SLOWER on the 10×-cloned smoke corpus

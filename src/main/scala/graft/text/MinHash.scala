@@ -128,10 +128,10 @@ object MinHash {
     // cache the shingle sets: referenced by the LSH banding AND both
     // sides of the verification join — 4 recomputes of the shingle
     // expression otherwise.
-    val sh = docs.select(col(idCol), Shingles.shingles(col(textCol), n).as("sh"))
-      .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)
+    val sh = Shingles.cachedSets(docs, idCol, textCol, n)
       // cache-if-absent (r11): q54 caches the identical shingle
       // projection — share the entry silently instead of double-caching
+      // (r13: shared helper so the plans stay identical by construction)
     val cand = candidatePairs(sh, idCol, "sh", k, r)
     val s1 = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val s2 = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))

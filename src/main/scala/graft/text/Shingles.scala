@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
+  /** Shared cached per-doc shingle-set projection for the near-dup
+    * family (q54 inverted index, q55 LSH + verify, their composites).
+    *
+    * One definition so every caller builds the IDENTICAL plan and
+    * CacheBridge.cacheIfAbsent shares a single in-memory entry.
+    * r13 perf shape (opt guide §2.4/§6):
+    *   - widened to machine parallelism BEFORE the shingle kernel when
+    *     the scan is narrower than half the cores (same rule as
+    *     Tables.fanout; a single gated-SF parquet split otherwise runs
+    *     the tokenizing kernel — and every later cache read — on ONE
+    *     task; at scale splits ≥ cores and this is a no-op);
+    *   - the set SIZE is cached as its own column: the cache is
+    *     columnar, so the size-only consumers (q54's two broadcast
+    *     `sizes` builds) no longer deserialize the full string arrays.
+    */
+  def cachedSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val parts = docs.rdd.getNumPartitions // planning only, no job
+    val wide = if (parts * 2 < cores) docs.repartition(cores) else docs
+    wide.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("sh")))
+      .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)
+  }
+
   /** Native one-pass expression ([[ShingleSet]]); the composed
     * array-lambda form below documents the exact semantics and pins them
     * in TextSpec.
