@@ -29,6 +29,9 @@ object PipelineQueries {
         // 1e7 cents), the unbounded second stage uses the int128
         // kernel. Aggregate-before-join is also the 100 TB shape: the
         // join input shrinks from line-level to order-level.
+        // (r13 measured and REJECTED: Tables.fanout before this rollup —
+        // the full-row repartition write on the serial scan task cost
+        // more than the parallelism it bought: 1.28 -> 1.47 s solo.)
         Tables.lineitem(s, d)
           .groupBy("l_orderkey")
           .agg(sum(Num.cents(col("l_extendedprice")) * (lit(100L) - Num.cents(col("l_discount")))).as("__rev_u"),

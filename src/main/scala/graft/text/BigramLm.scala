@@ -69,11 +69,23 @@ object BigramLm {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def ngrams(n: Int): Column =
       ColumnBridge.column(NgramList(ColumnBridge.expression(col(textCol)), n))
-    def counts(ex: DataFrame, b: Column): Map[Int, Long] =
-      ex.groupBy(b.as("b")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val uc = counts(corpus.select(explode(ngrams(1)).as("w")), uniBucket(col("w")))
-    val bc = counts(corpus.select(explode(ngrams(2)).as("g")), biBucket(col("g")))
+    // ONE corpus pass for both tables (r13, guide §1.2 step 1): the
+    // unigram and bigram fits were two separate explode+groupBy jobs,
+    // i.e. two tokenizing scans of the corpus per model build. A bigram
+    // ("prev cur") contains a space and a token never does, so one
+    // explode over the concatenated lists can route each element to its
+    // bucket space post-explode, fully inside codegen (the bucketing
+    // stays AFTER the explode — a lambda-side md5 would fall back to
+    // interpreted, the r12 lesson). Identical counts → identical tables.
+    val rows = corpus
+      .select(explode(concat(ngrams(1), ngrams(2))).as("g"))
+      .groupBy(col("g").contains(" ").as("bi"),
+        when(col("g").contains(" "), biBucket(col("g")))
+          .otherwise(uniBucket(col("g"))).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val uc = rows.filter(!_.getBoolean(0)).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val bc = rows.filter(_.getBoolean(0)).map(r => r.getInt(1) -> r.getLong(2)).toMap
     val uTot = uc.values.sum.toDouble + UniBuckets
     val bTot = bc.values.sum.toDouble + BiBuckets
     val pu = (0 until UniBuckets).map(b => b -> (uc.getOrElse(b, 0L) + 1.0) / uTot).toMap
