@@ -24,7 +24,28 @@ object IVF {
   final case class Model(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
 
-    /** squared L2 distance to centroid j as a pure expression. */
+    private lazy val cNorm2 = centroids.map(_.map(x => x * x).sum)
+
+    private def nearest(vec: Column, nprobe: Int): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(NearestCells(
+        ColumnBridge.expression(vec), centroids, cNorm2, nprobe))
+    }
+
+    /** Nearest cell id (argmin over centroid distances) — native
+      * [[NearestCells]] (r13): the composed array_min-over-literals
+      * spelling below put k×dims centroid constants in the Catalyst
+      * tree (q239's plan was 76 KB; per-pass planning cost more than
+      * its task time). Bit-identity pinned in NearestCellsSpec.
+      */
+    def cell(vec: Column): Column = nearest(vec, 1)
+
+    /** The `nprobe` nearest cell ids as an array column. */
+    def probeCells(vec: Column, nprobe: Int): Column = nearest(vec, nprobe)
+
+    /** squared L2 distance to centroid j as a pure expression —
+      * composed differential twin of [[NearestCells]] (spec only).
+      */
     private def dist2(vec: Column, j: Int): Column = {
       val c = centroids(j)
       val dot = Similarity.dot(vec, typedlit(c.toSeq))
@@ -32,15 +53,15 @@ object IVF {
       Similarity.dot(vec, vec) - lit(2.0) * dot + lit(cNorm2)
     }
 
-    /** Nearest cell id (argmin over centroid distances). */
-    def cell(vec: Column): Column = {
+    /** Composed twin of [[cell]] (spec differential only). */
+    def cellComposed(vec: Column): Column = {
       val pairs = array((0 until k).map(j =>
         struct(dist2(vec, j).as("d"), lit(j).as("j"))): _*)
       array_min(pairs).getField("j")
     }
 
-    /** The `nprobe` nearest cell ids as an array column. */
-    def probeCells(vec: Column, nprobe: Int): Column = {
+    /** Composed twin of [[probeCells]] (spec differential only). */
+    def probeCellsComposed(vec: Column, nprobe: Int): Column = {
       val pairs = array((0 until k).map(j =>
         struct(dist2(vec, j).as("d"), lit(j).as("j"))): _*)
       transform(slice(array_sort(pairs), 1, nprobe), s => s.getField("j"))

@@ -85,9 +85,17 @@ object PQ {
 
     /** ADC lookup table for a QUERY vector: lut[s][j] = exact squared
       * L2 from query-subvector s to centroid (s, j). m×ksub doubles,
-      * computed once per query row.
+      * computed once per query row. Native [[PqLut]] (r13): the
+      * composed twin below carried the full codebook as literals in
+      * the plan (44 KB on q239; per-pass planning dominated).
       */
-    def lut(vec: Column): Column =
+    def lut(vec: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(PqLut(ColumnBridge.expression(vec), codebooks))
+    }
+
+    /** Composed twin of [[lut]] (spec differential only). */
+    def lutComposed(vec: Column): Column =
       array((0 until m).map { s =>
         val sub = subvec(vec, s)
         array((0 until ksub).map(j => dist2(sub, codebooks(s)(j))): _*)

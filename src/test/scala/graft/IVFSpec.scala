@@ -23,4 +23,26 @@ class IVFSpec extends SparkSpec {
     val m2 = IVF.fit(e, k = 8)
     assert(model.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
   }
+
+  test("native NearestCells ≡ composed array_min/array_sort spelling") {
+    val e = Tables.embeddings(spark, sf)
+    val model = IVF.fit(e, k = 8)
+    // cell: argmin (nprobe = 1)
+    val cells = e.select(
+      model.cell(col("embedding")).as("n"),
+      model.cellComposed(col("embedding")).as("c"))
+    assert(cells.filter(col("n") =!= col("c")).count() === 0L)
+    // probeCells: full sorted prefix, incl. nprobe > k clamping
+    for (np <- Seq(2, 4, 8, 11)) {
+      val probes = e.select(
+        model.probeCells(col("embedding"), np).as("n"),
+        model.probeCellsComposed(col("embedding"), np).as("c"))
+      assert(probes.filter(not(col("n") <=> col("c"))).count() === 0L, s"nprobe=$np")
+    }
+    // null input → null out on both
+    val nulls = e.select(lit(null).cast("array<float>").as("embedding"))
+      .select(model.cell(col("embedding")).as("n"),
+        model.probeCells(col("embedding"), 3).as("p"))
+    assert(nulls.filter(col("n").isNotNull || col("p").isNotNull).count() === 0L)
+  }
 }

@@ -53,6 +53,15 @@ class PQSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("native PqLut is bit-identical to the composed lut twin") {
+    val df = Tables.embeddings(spark, sf).filter(col("vec_id") < 256)
+      .select(col("vec_id"),
+        pq.lut(col("embedding")).as("native"),
+        pq.lutComposed(col("embedding")).as("composed"))
+    assert(df.filter(not(col("native") <=> col("composed"))).count() == 0)
+    assert(df.count() > 0)
+  }
+
   test("ADC distance equals the exact sub-distance sum of the assigned codes") {
     val sample = corpusSample(16)
     val q = sample.head._2
