@@ -133,9 +133,16 @@ object Round12Queries {
     // codes per billion vectors. Oracle replays the identical argmin
     // (d-then-j struct order) from the same literals.
     "q238_pq_encode" -> QueryDef(
+      // one native PqEncode kernel projected to the m code columns
+      // (r13): the per-subspace pq.code() spelling inlined the full
+      // codebook as literals m times — a 44 KB plan whose per-pass
+      // planning walk dominated the sub-second query. Runtime CSE
+      // dedups the repeated pq_encode node; values are pinned
+      // code-for-code by PQSpec's encode≡encodeComposed differential.
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id") +:
-          (0 until pq.m).map(sp => pq.code(col("embedding"), sp).as(s"code_$sp")): _*),
+          (0 until pq.m).map(sp =>
+            element_at(pq.encode(col("embedding")), sp + 1).as(s"code_$sp")): _*),
       Some(pqEncodeSelectSql), headline = true),
 
     // IVF-PQ ADC top-k: the full billion-scale ANN layout — coarse
