@@ -26,6 +26,10 @@ object Components {
     *         min node id of its component
     */
   def connected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // AQE off for the loop (r13, see Iterative): every round is a
+    // shape-pinned join+agg over checkpointed tiny frames; AQE re-plans
+    // per materialized stage and each round pays the driver round-trip.
+    Iterative.withAqeOff(edges.sparkSession) {
     // Materialize the (possibly very expensive) edge plan ONCE before
     // symmetrizing: the union references it twice, and without the
     // checkpoint both orientations recompute the full upstream plan —
@@ -72,5 +76,6 @@ object Components {
     }
     sym.unpersist()
     labels
+    }
   }
 }
