@@ -25,25 +25,15 @@ object GraftSession {
       // alone serializes the aggregation. On a real cluster the same
       // default keeps reduce stages at executor parallelism.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE's coalescing floor defaults to 1 MiB per partition, which
-      // serializes small-byte but CPU-heavy reduce stages (r13 probe:
-      // q203's window stage carried 0.78 s of task time in a ~2 MiB
-      // shuffle → AQE coalesced it to 2 tasks; 64k floor → 32 tasks,
-      // query best 1.26→0.53 s; the 12-query floor-set A/B improved
-      // 9.0→8.1 s with no regressions). At cluster scale shuffle
-      // partitions are ≫ 64k, so the lower floor is inert there —
-      // parallelismFirst still targets default parallelism.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // Input-split twin of the coalescing floor above: 128 MiB splits
-      // pack this engine's CPU-dense scans (tokenizing text kernels,
-      // embedding folds, decimal aggs — bytes underestimate CPU by
-      // 10-100×) into 1-3 tasks at the gated SFs, idling 29+ cores on
-      // the longest stage. 16 MiB splits keep scan stages at machine
-      // width: sf0.1 headline 16.9→13.9 s, sf10 tier 62.9→59.0 s, no
-      // regressions (r13 A/B). A pure-columnar-scan deployment at PB
-      // scale would override back via SPARK_GRAFT_CONF — the same knob
-      // every production tuning guide reaches for in either direction.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // coalescePartitions.minPartitionSize and files.maxPartitionBytes
+      // stay at their Spark defaults (r14, reverting r13's 64k floor +
+      // 16m splits): both multiplied task counts ~4-8x to chase warm
+      // same-session wins on the builder's box, and the driver's
+      // cold-JVM run showed the opposite — 25/30 queries regressed and
+      // 23/30 ran FASTER at 8 cores than 32 (per-task scheduling/alloc
+      // overhead grows with core count; VERDICT r13). Scan width for
+      // CPU-dense small scans is handled where it belongs, per-operator
+      // via Tables.fanout, not by a global split-size constant.
       // Always use the sort-based (serialized) shuffle writer. The
       // default bypass-merge writer kicks in whenever reducers <= 200 —
       // i.e. EVERY shuffle at our 32-partition conf — and opens one

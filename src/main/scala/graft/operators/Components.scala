@@ -29,7 +29,7 @@ object Components {
     // AQE off for the loop (r13, see Iterative): every round is a
     // shape-pinned join+agg over checkpointed tiny frames; AQE re-plans
     // per materialized stage and each round pays the driver round-trip.
-    Iterative.withAqeOff(edges.sparkSession) {
+    Iterative.withAqeOff(edges) { edges =>
     // Materialize the (possibly very expensive) edge plan ONCE before
     // symmetrizing: the union references it twice, and without the
     // checkpoint both orientations recompute the full upstream plan —

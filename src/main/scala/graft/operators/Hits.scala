@@ -25,7 +25,7 @@ object Hits {
   /** Returns (id, side['hub'|'auth'], score) after `iters` rounds. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    Iterative.withAqeOff(edges.sparkSession) {
+    Iterative.withAqeOff(edges) { edges =>
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val hubs0 = e.select(col("src").as("id")).distinct()

@@ -1,32 +1,70 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared discipline for iterative graph loops (PageRank family, HITS,
-  * LPA): run the loop body with AQE disabled, scoped and restored.
+  * LPA, Components): run the loop body on a DEDICATED SESSION CLONE with
+  * AQE disabled.
   *
-  * Why (opt guide §1.2 step 1 / §2.4): each iteration is a shape-pinned
-  * pair of stages (shuffle-hash join on the cached edge layout + partial
-  * agg) whose partition count the operator derives itself from the edge
-  * count. AQE cannot improve that plan — the join strategy is hinted and
-  * the edge layout must stay put for exchange reuse — but it charges a
-  * driver re-planning round-trip per materialized shuffle stage. Measured
-  * r13 (ProbeStages, q263 at sf0.1, best of 4): 4.67 s with AQE on, with
-  * inter-stage gaps of 0.05-0.4 s after every one of ~16 tiny stages;
-  * 2.83 s with AQE off, gaps gone, identical stage set and task times.
-  * The same round-trips serialize on a busy cluster driver; an iterative
-  * loop over a pinned layout is the one place they buy nothing.
+  * Why AQE off (opt guide §1.2 step 1 / §2.4): each iteration is a
+  * shape-pinned pair of stages (shuffle-hash join on the cached edge
+  * layout + partial agg) whose partition count the operator derives
+  * itself from the edge count. AQE cannot improve that plan — the join
+  * strategy is hinted and the edge layout must stay put for exchange
+  * reuse — but it charges a driver re-planning round-trip per
+  * materialized shuffle stage. Measured r13 (ProbeStages, q263 at sf0.1,
+  * best of 4): 4.67 s with AQE on, with inter-stage gaps of 0.05-0.4 s
+  * after every one of ~16 tiny stages; 2.83 s with AQE off, gaps gone,
+  * identical stage set and task times. The same round-trips serialize on
+  * a busy cluster driver; an iterative loop over a pinned layout is the
+  * one place they buy nothing.
   *
-  * Scoped + restored so every non-iterative query keeps AQE (skew-join
-  * splitting, partition coalescing). Deliberately NOT keyed on machine
-  * size: the win is driver-latency per iteration, independent of scale.
+  * Why a session clone (r14, VERDICT/ADVICE r13): the previous
+  * set/restore of `spark.sql.adaptive.enabled` mutated SESSION-GLOBAL
+  * conf — a concurrent query on the same session silently lost AQE for
+  * the duration of a loop, and two overlapping loops could race the
+  * restore and leave AQE off permanently. `newSession()` shares the
+  * SparkContext, the SharedState (so CacheManager entries, broadcast
+  * cleanup and the block manager are the same engine) but owns its
+  * SQLConf, so pinning AQE off there is invisible to every other query.
+  * The clone is created once per parent session and reused by all loops
+  * (SessionState construction is not free; eager per-pass operators like
+  * PageRank would otherwise pay it per call).
   */
 object Iterative {
-  def withAqeOff[T](spark: SparkSession)(f: => T): T = {
-    val k = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
-    try f
-    finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  private val clones =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** The AQE-off clone for `parent` (created once, then reused).
+    * Exposed within graft so plan-pinning specs can register their
+    * QueryExecutionListener on the session the loops actually run on.
+    */
+  private[graft] def aqeOffSession(parent: SparkSession): SparkSession =
+    clones.computeIfAbsent(parent, p => {
+      val s = p.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    })
+
+  /** Re-root `df`'s logical plan onto `session` (shared SparkContext —
+    * the plan's scans/RDDs are session-agnostic; analysis re-runs under
+    * the target session's conf).
+    */
+  def inSession(session: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
+      session,
+      df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+        .queryExecution.logical)
+
+  /** Run `f` over a copy of `edges` rooted in the AQE-off clone session.
+    * The result is re-rooted back onto the caller's session so downstream
+    * consumers keep their own conf. `f` must derive everything from the
+    * frame it is given (true for all graph operators: they only consume
+    * `edges`).
+    */
+  def withAqeOff(edges: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val parent = edges.sparkSession
+    val clone = aqeOffSession(parent)
+    inSession(parent, f(inSession(clone, edges)))
   }
 }

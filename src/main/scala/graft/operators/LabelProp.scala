@@ -26,7 +26,7 @@ object LabelProp {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    Iterative.withAqeOff(edges.sparkSession) {
+    Iterative.withAqeOff(edges) { edges =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true) // edges referenced twice (r11, see PageRank.run)
     val sym = e0

@@ -36,8 +36,7 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val spark = edges.sparkSession
-    Iterative.withAqeOff(spark) {
+    Iterative.withAqeOff(edges) { edges =>
     // materialize the caller's edge derivation once (r11: a cold call
     // was recomputing it per downstream reference; checkpoint blocks
     // die with this local, nothing to release).
@@ -52,13 +51,16 @@ object PageRank {
     // move).
     //
     // The partition count is SIZE-DERIVED (r12): ~1M edges/partition,
-    // capped for the huge end — but floored at machine width (r13):
-    // with AQE off in the loop nothing re-splits the layout, and a
-    // floor of defaultParallelism only matters when the graph is small
-    // relative to the machine (at 100 TB the size term dominates), so
-    // it is scale-adaptive, not a local[32] constant.
+    // capped for the huge end. No machine-width floor (r14, reverting
+    // r13's defaultParallelism floor): with AQE off in the loop nothing
+    // re-splits the layout, so the floor gave a 16k-edge graph 32
+    // near-empty partitions in EVERY iteration's join+agg — ~0.1 s of
+    // fixed per-task cost × 13 iterations dwarfing the row work
+    // (driver: q263 4.0→5.4 s with the floor). At 100 TB the size term
+    // dominates and the floor was inert, so dropping it only removes
+    // the small-graph pathology.
     val nEdgeRows = e0.count() // e0 is checkpointed: a cheap local scan
-    val edgeParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+    val edgeParts = math.max(1L,
       math.min(2L * nEdgeRows / 1000000L + 1L, 20000L)).toInt
     // symmetrize + dedupe in ONE pass (r13, guide §2.3/§2.4): explode
     // emits both directions per edge row (the union form scanned e0
@@ -135,7 +137,7 @@ object PageRank {
   def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    Iterative.withAqeOff(edges.sparkSession) {
+    Iterative.withAqeOff(edges) { edges =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())
     val sym = e0
@@ -191,7 +193,7 @@ object PageRank {
   def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    Iterative.withAqeOff(edges.sparkSession) {
+    Iterative.withAqeOff(edges) { edges =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())

@@ -122,7 +122,9 @@ object Round11Queries {
       // Generate stages, no InSet-filtered string hash-agg.
       (s, d) => {
         val docs = Tables.fanout(Tables.documents(s, d), d, "documents")
-        val path = graft.tools.Staging.dir("mg_sketch_q232", d)
+        // modTime-keyed (r14): a corpus rewritten in place can never
+        // silently reuse a stale sketch — the path itself changes.
+        val path = graft.tools.Staging.dirKeyedOnSource(s, "mg_sketch_q232", d, "documents")
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(hp))

@@ -50,7 +50,8 @@ object Round59Queries {
         val docs = Tables.documents(s, d)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
         val test = docs.filter(col("doc_id") % 10 === 0)
-        val path = graft.tools.Staging.dir("nb_model_q440", d)
+        // modTime-keyed (r14): same stale-artifact guard as q232's sketch.
+        val path = graft.tools.Staging.dirKeyedOnSource(s, "nb_model_q440", d, "documents")
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(hp))

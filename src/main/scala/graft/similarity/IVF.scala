@@ -36,7 +36,7 @@ object IVF {
       * [[NearestCells]] (r13): the composed array_min-over-literals
       * spelling below put k×dims centroid constants in the Catalyst
       * tree (q239's plan was 76 KB; per-pass planning cost more than
-      * its task time). Bit-identity pinned in NearestCellsSpec.
+      * its task time). Bit-identity pinned in IVFSpec ("native NearestCells ≡ composed").
       */
     def cell(vec: Column): Column = nearest(vec, 1)
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * single operator and the distance loop runs as one fused JVM loop
   * per row instead of k separate fold expressions.
   *
-  * BIT-COMPATIBILITY with the composed form (pinned in NearestCellsSpec):
+  * BIT-COMPATIBILITY with the composed form (pinned in IVFSpec's "native NearestCells ≡ composed" test):
   *   - per-centroid distance is evaluated in the same order:
   *     `(dotVV − (2.0 · dotVC_j)) + cNorm2_j`, with both dots the
   *     [[DotProduct]] sequential fold (float elements widened per

@@ -30,8 +30,18 @@ object Shingles {
   def cachedSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
-    val parts = docs.rdd.getNumPartitions // planning only, no job
-    val wide = if (parts * 2 < cores) docs.repartition(cores) else docs
+    // Width from optimizer statistics, NOT docs.rdd.getNumPartitions
+    // (r14, ADVICE r13): touching .rdd under AQE finalizes the adaptive
+    // plan — for any input containing a shuffle that materializes query
+    // stages (real jobs) at plan-build time. Scan stats are file bytes,
+    // so splits is the same number Tables.fanout derives; pure driver
+    // planning, no job, for ANY input shape.
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      docs.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val bytes = docs.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val splits = (bytes / maxPart).min(BigInt(Int.MaxValue)).toLong.max(1L)
+    val wide = if (splits * 2 < cores) docs.repartition(cores) else docs
     wide.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .withColumn("n", org.apache.spark.sql.functions.size(col("sh")))
       .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)

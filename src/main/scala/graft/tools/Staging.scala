@@ -26,4 +26,22 @@ object Staging {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     s"$root/${tag}_$safe"
   }
+
+  /** [[dir]] additionally keyed on the SOURCE table's modification time
+    * (r14, VERDICT r13 item 6): persisted fit-once artifacts (q232's MG
+    * sketch, q440's NB model) were guarded only by `fs.exists`, so a
+    * corpus rewritten in place between runs could silently reuse a stale
+    * artifact. Embedding the source file's modTime in the path is the
+    * same invalidation key Tables.relCache uses — a changed corpus
+    * resolves to a fresh path and refits.
+    */
+  def dirKeyedOnSource(spark: org.apache.spark.sql.SparkSession,
+                       tag: String, sfDir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val mt =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    dir(s"${tag}_mt$mt", sfDir)
+  }
 }

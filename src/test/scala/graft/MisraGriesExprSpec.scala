@@ -108,4 +108,31 @@ class MisraGriesExprSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(d == e)
   }
+
+  test("persisted q232 sketch is invalidated when the corpus changes on disk") {
+    // r14 (VERDICT r13 item 6): the staging path embeds the source
+    // file's modTime, so an in-place corpus rewrite can never silently
+    // reuse a stale sketch.
+    import spark.implicits._
+    val sfDir = java.nio.file.Files.createTempDirectory("mg_stale").toString
+    def writeCorpus(word: String): Unit =
+      Seq.tabulate(20)(i => (i.toLong, s"$word filler$i", "src0", 10L))
+        .toDF("doc_id", "text", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    def topWord(): String = {
+      val q = SparkEntry.queries("q232_heavy_hitters")(spark, sfDir)
+      q.orderBy(col("cnt").desc, col("word")).limit(1).collect()(0).getString(0)
+    }
+    writeCorpus("alpha")
+    val path1 = graft.tools.Staging.dirKeyedOnSource(spark, "mg_sketch_q232", sfDir, "documents")
+    assert(topWord() == "alpha")
+    Thread.sleep(1100) // ensure a distinct file modTime even on 1s-granular filesystems
+    writeCorpus("omega")
+    // the staging path itself must move — that is the invalidation
+    val path2 = graft.tools.Staging.dirKeyedOnSource(spark, "mg_sketch_q232", sfDir, "documents")
+    assert(path1 != path2, "modTime key did not change with the corpus")
+    // and end-to-end: a stale fs.exists-guarded sketch would feed "alpha"
+    // candidates; the fresh fit sees only "omega"
+    assert(topWord() == "omega")
+  }
 }

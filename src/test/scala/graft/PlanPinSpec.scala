@@ -174,11 +174,19 @@ class PlanPinSpec extends SparkSpec {
       override def onFailure(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
+    // register on BOTH the suite session and the iterative loops'
+    // dedicated AQE-off clone (r14): graph loops execute there, and
+    // ExecutionListenerManager is per-session
+    val loopSession = graft.operators.Iterative.aqeOffSession(spark)
     spark.listenerManager.register(l)
+    loopSession.listenerManager.register(l)
     try {
       f
       org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-    } finally spark.listenerManager.unregister(l)
+    } finally {
+      spark.listenerManager.unregister(l)
+      loopSession.listenerManager.unregister(l)
+    }
     import scala.jdk.CollectionConverters._
     plans.asScala.toSeq
   }

@@ -17,7 +17,10 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $ADD_OPENS -Xmx${SPARK_GRAFT_XMX:-16g} -XX:+UseParallelGC \
+# GC left to JVM ergonomics (r14: r13's unconditional -XX:+UseParallelGC
+# regressed the big-heap driver bench; see build.sbt). Extra JVM flags for
+# experiments go through SPARK_GRAFT_JVM_OPTS.
+exec java $ADD_OPENS -Xmx${SPARK_GRAFT_XMX:-8g} ${SPARK_GRAFT_JVM_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   "$MAIN" "$SF" "$OUT" ${4:+"$4"}
