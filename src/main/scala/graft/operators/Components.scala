@@ -37,6 +37,13 @@ object Components {
     // pipeline (measured: half of q114's cost at 10× scale).
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint(true)
+    // Pin the loop's shuffle width to a size-derived layout (r14, see
+    // Iterative.layoutParts): with AQE off nothing coalesces, and a
+    // near-dup pair graph of a few hundred edges otherwise runs every
+    // round's join+agg at conf width (32+32 near-empty tasks/round —
+    // q166 regressed 0.08→0.15 s on exactly this).
+    e.sparkSession.conf.set("spark.sql.shuffle.partitions",
+      Iterative.layoutParts(e.sparkSession, e.count()).toString)
     val sym = e
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -46,6 +46,23 @@ object Iterative {
       s
     })
 
+  /** Size-then-width adaptive partition count for a loop's pinned
+    * layout over `nRows` (edge) rows: ~1M rows/partition capped at 20k
+    * partitions for the huge end, raised toward machine width only
+    * while every partition keeps ≥32k rows. Never a bare machine
+    * constant: a 300-edge near-dup graph gets 1 partition, a 100 TB
+    * edge list gets the size term. With AQE off inside the loop nothing
+    * re-coalesces, so this is the ONLY thing standing between a tiny
+    * graph and conf-width empty tasks in every round (r14; q166's
+    * Components loop paid 32+32 tasks/round for ~300 pairs).
+    */
+  def layoutParts(spark: SparkSession, nRows: Long): Int = {
+    val sizeTerm = math.min(2L * nRows / 1000000L + 1L, 20000L)
+    val widthTerm = math.min(spark.sparkContext.defaultParallelism.toLong,
+      2L * nRows / 65536L + 1L)
+    math.max(sizeTerm, widthTerm).toInt
+  }
+
   /** Re-root `df`'s logical plan onto `session` (shared SparkContext —
     * the plan's scans/RDDs are session-agnostic; analysis re-runs under
     * the target session's conf).
@@ -65,6 +82,14 @@ object Iterative {
   def withAqeOff(edges: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val parent = edges.sparkSession
     val clone = aqeOffSession(parent)
+    // Each loop starts from the parent's shuffle width; an operator may
+    // then pin the clone's spark.sql.shuffle.partitions to its own
+    // size-derived layout (PageRank does — see run()) so that iteration
+    // aggregates land directly on the edge layout. Concurrent loops
+    // sharing the clone could race this to a suboptimal width — a
+    // perf-only hazard (partition count never affects results).
+    clone.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
     inSession(parent, f(inSession(clone, edges)))
   }
 }

@@ -29,6 +29,11 @@ object LabelProp {
     Iterative.withAqeOff(edges) { edges =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true) // edges referenced twice (r11, see PageRank.run)
+    // size-derived loop width (r14, see Iterative.layoutParts /
+    // Components): AQE is off here, so the conf default would otherwise
+    // fix every round's stage width regardless of graph size
+    e0.sparkSession.conf.set("spark.sql.shuffle.partitions",
+      Iterative.layoutParts(e0.sparkSession, e0.count()).toString)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -37,6 +37,7 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
     Iterative.withAqeOff(edges) { edges =>
+    val spark = edges.sparkSession // the loop's dedicated AQE-off clone
     // materialize the caller's edge derivation once (r11: a cold call
     // was recomputing it per downstream reference; checkpoint blocks
     // die with this local, nothing to release).
@@ -50,18 +51,41 @@ object PageRank {
     // exact pattern a 1000-executor run wants (edges stay put, ranks
     // move).
     //
-    // The partition count is SIZE-DERIVED (r12): ~1M edges/partition,
-    // capped for the huge end. No machine-width floor (r14, reverting
-    // r13's defaultParallelism floor): with AQE off in the loop nothing
-    // re-splits the layout, so the floor gave a 16k-edge graph 32
-    // near-empty partitions in EVERY iteration's join+agg — ~0.1 s of
-    // fixed per-task cost × 13 iterations dwarfing the row work
-    // (driver: q263 4.0→5.4 s with the floor). At 100 TB the size term
-    // dominates and the floor was inert, so dropping it only removes
-    // the small-graph pathology.
     val nEdgeRows = e0.count() // e0 is checkpointed: a cheap local scan
-    val edgeParts = math.max(1L,
-      math.min(2L * nEdgeRows / 1000000L + 1L, 20000L)).toInt
+    // Two scale-adaptive terms, never a bare machine constant (r14):
+    //  - size term: ~1M symmetrized edges/partition, capped for the
+    //    huge end — dominates at cluster scale;
+    //  - width term: use up to machine width, but only while every
+    //    partition keeps ≥32k edges (a 16k-edge graph gets 1 partition,
+    //    not r13's 32 near-empty ones — that flat defaultParallelism
+    //    floor cost ~0.1 s of fixed per-task overhead per iteration
+    //    stage; a 587k-edge graph at 32 cores gets ~19 ~60k-edge
+    //    partitions instead of one 350-450 ms serial join+agg task per
+    //    iteration — measured r14 ProbeStages).
+    val edgeParts = Iterative.layoutParts(spark, nEdgeRows)
+    // Pin the LOOP's shuffle width to the edge layout (r14, guide §2.4):
+    // with AQE off the contribution groupBy otherwise lands on the conf
+    // default (32) and every iteration pays an extra exchange moving the
+    // rank frame from 32 agg partitions onto the edgeParts join layout.
+    // With shuffle.partitions == edgeParts the aggregate output IS
+    // HashPartitioning(id, edgeParts), localCheckpoint preserves it, and
+    // the next iteration's join fuses with the previous aggregate's read
+    // — one exchange per iteration instead of two. Clone-session conf
+    // only (withAqeOff resets it per loop); results are partition-count
+    // invariant (exact long arithmetic, pinned in Round16Spec).
+    spark.conf.set("spark.sql.shuffle.partitions", edgeParts.toString)
+    // Fan the checkpointed edge list to machine width before the
+    // symmetrize map when it is narrow (r14, same rule as Tables.fanout;
+    // .rdd on an already-materialized checkpoint is partition metadata,
+    // not a planning hazard): the explode+hash of 2·|E| symmetrized rows
+    // otherwise runs on however few (often skewed) partitions the edge
+    // derivation produced — measured 570 ms on 3 tasks at sf0.1, ~150 ms
+    // wide. At cluster scale the join output is already ≥ machine width
+    // and this is a no-op.
+    val eFan =
+      if (e0.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
+        e0.repartition(spark.sparkContext.defaultParallelism, col("src"))
+      else e0
     // symmetrize + dedupe in ONE pass (r13, guide §2.3/§2.4): explode
     // emits both directions per edge row (the union form scanned e0
     // twice through two map stages), and the dedupe Aggregate sits ON
@@ -69,7 +93,7 @@ object PageRank {
     // ClusteredDistribution(src, dst), so distinct() plans with NO
     // second exchange. Before: union(2 scans) + distinct exchange +
     // repartition exchange; after: 1 scan + 1 exchange.
-    val sym = e0
+    val sym = eFan
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -140,6 +164,9 @@ object PageRank {
     Iterative.withAqeOff(edges) { edges =>
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())
+    // size-derived loop width (r14, see run()/Iterative.layoutParts)
+    edges.sparkSession.conf.set("spark.sql.shuffle.partitions",
+      Iterative.layoutParts(edges.sparkSession, e0.count()).toString)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -197,6 +224,9 @@ object PageRank {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .localCheckpoint(true) // edges referenced twice (r11, see run())
+    // size-derived loop width (r14, see run()/Iterative.layoutParts)
+    edges.sparkSession.conf.set("spark.sql.shuffle.partitions",
+      Iterative.layoutParts(edges.sparkSession, e0.count()).toString)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
@@ -256,17 +286,21 @@ object PageRank {
 
   /** [[tradeEdges]] on LONG vertex ids (custkey·2 even, suppkey·2+1
     * odd — the key spaces are disjoint exactly like the c/s string
-    * prefixes). Iterating on longs keeps every join probe and
-    * aggregation on 8-byte hashes; the string form made UTF8String
-    * hashing/equality the hottest executor frames (JFR r12). Map back
-    * with [[vertexIdString]] for presentation.
+    * prefixes), WITHOUT the pair-distinct (see inline note). Iterating
+    * on longs keeps every join probe and aggregation on 8-byte hashes;
+    * the string form made UTF8String hashing/equality the hottest
+    * executor frames (JFR r12). Map back with [[vertexIdString]] for
+    * presentation.
     */
   def tradeEdgesLong(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val l = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    // May contain duplicate pairs, deliberately (r14): the only consumer
+    // is run(), whose sym construction dedupes on its own layout anyway —
+    // a distinct here cost a full extra exchange+aggregate (measured
+    // ~0.8 s of q263's construction at sf0.1) to shave 600k rows to 587k
+    // before a shuffle that dedupes regardless.
     o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
-      .distinct()
       .select((col("o_custkey") * 2).as("cust"),
         (col("l_suppkey") * 2 + 1).as("supp"))
   }
