@@ -123,9 +123,19 @@ object Tables {
     val bytes =
       if (fs.exists(path)) fs.getContentSummary(path).getLength else Long.MaxValue
     val splits = math.max(1L, bytes / maxPart)
+    // Fanout width is SIZE-DERIVED, capped at machine width (r14): a
+    // flat repartition(cores) gave a 584 KB corpus 32 ~18 KB tasks whose
+    // fixed scheduling/alloc cost exceeded the kernel parallelism — the
+    // r13 scaling leg showed every fanout consumer (q232/q221/q217/q50)
+    // running FASTER at 8 cores than 32. ~32 KB of compressed input per
+    // task keeps the CPU-dense kernels (tokenize/shingle/md5 — CPU per
+    // byte is 10-100x a columnar agg) at tens of ms per task; at scale
+    // splits >= cores and the frame passes through untouched, so this
+    // never affects the 100 TB path.
+    val width = math.min(cores.toLong, math.max(1L, bytes / 32768L)).toInt
     // Repartitioning costs a full-row exchange; once the scan already
-    // yields at least half machine width the imbalance it fixes is
+    // yields at least half the target width the imbalance it fixes is
     // smaller than the shuffle it pays (r13 A/B at the sf10 tier).
-    if (splits * 2 < cores) df.repartition(cores) else df
+    if (splits * 2 < width) df.repartition(width) else df
   }
 }

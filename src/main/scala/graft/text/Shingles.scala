@@ -41,7 +41,10 @@ object Shingles {
     val bytes = docs.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
       .queryExecution.optimizedPlan.stats.sizeInBytes
     val splits = (bytes / maxPart).min(BigInt(Int.MaxValue)).toLong.max(1L)
-    val wide = if (splits * 2 < cores) docs.repartition(cores) else docs
+    // size-derived width capped at machine width — same rule and
+    // rationale as Tables.fanout (r14): ~32 KB input bytes per task
+    val width = (bytes / 32768).min(cores).max(1).toInt
+    val wide = if (splits * 2 < width) docs.repartition(width) else docs
     wide.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .withColumn("n", org.apache.spark.sql.functions.size(col("sh")))
       .transform(org.apache.spark.sql.graftbridge.CacheBridge.cacheIfAbsent)

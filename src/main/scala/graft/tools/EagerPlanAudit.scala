@@ -27,6 +27,8 @@ object EagerPlanAudit {
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(l)
+    // graph loops run on the dedicated AQE-off clone (r14) — capture there too
+    graft.operators.Iterative.aqeOffSession(spark).listenerManager.register(l)
     def count(p: String, m: String): Int = p.sliding(m.length).count(_ == m)
     for (n <- names) {
       plans.clear()
